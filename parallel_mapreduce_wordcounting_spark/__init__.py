@@ -1,0 +1,44 @@
+"""parallel_mapreduce_wordcounting_spark — a PySpark-native analytics engine.
+
+A from-scratch, DataFrame-first re-expression of the capability surface of
+the reference repo ``tangweichang/parallel_mapreduce_wordCounting`` (a
+parallel MapReduce word-count engine; see SURVEY.md §0 — the reference tree
+is empty, so the surface is reconstructed from canonical MapReduce word-count
+semantics), extended with the LLM-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal columns) and relational/streaming coverage
+mandated by the build brief.
+
+Design principles (SURVEY.md §1.2, §4):
+- DataFrame/SQL first: declare logical plans, let Catalyst + AQE pick the
+  physical strategy (partial aggregation, broadcast joins, top-k via
+  TakeOrderedAndProject, parquet column pruning / predicate pushdown).
+- UDFs are the slow path: built-in ``pyspark.sql.functions`` everywhere the
+  semantics allow; Arrow-batched pandas UDFs where Python is unavoidable.
+- Every operator is registered in :mod:`.registry` with a DuckDB oracle SQL
+  string so correctness is machine-checkable (the t2 contract).
+- Designed for 100 TB: no ``collect()`` in any operator, shuffles only on
+  declared keys, dimension tables broadcast, O(n²) ops have a blocked
+  two-phase scale path (see operators/similarity.py, operators/dedup.py).
+"""
+
+from .registry import REGISTRY, register, queries, oracle_sql  # noqa: F401
+from .sources.loader import load_table  # noqa: F401
+
+# Import operator modules for their registration side effects.
+from .operators import (  # noqa: F401,E402
+    wordcount,
+    relational,
+    joins,
+    aggregates,
+    windows,
+    scalar_fns,
+    text,
+    dedup,
+    similarity,
+    streaming_batch,
+    udfs,
+    multimodal,
+)
+
+__all__ = ["REGISTRY", "register", "queries", "oracle_sql", "load_table"]
+__version__ = "0.1.0"

@@ -1,0 +1,204 @@
+"""Aggregation operators — basic, distinct, approx, rollup/cube/grouping sets,
+collect, percentile.
+
+Everything compiles to partial+final HashAggregate around a single key
+exchange (the MR combiner pattern). Double aggregates that the oracle also
+computes are rounded on both sides: money sums to 2 decimals, averages and
+quantiles to 6 — Spark's and DuckDB's summation orders differ at ~1e-12
+relative, far below the rounding grain (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+
+@register(
+    "agg_basic",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, "
+        "round(avg(l_discount), 6) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (count/sum/avg per group)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle=(
+        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS uniq_custs, "
+        "count(*) AS n_orders FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("uniq_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate count-distinct (rows-only: approximation has no exact
+    SQL oracle). At 100 TB this replaces exact distinct where a 1% error is
+    acceptable — no per-key exchange of raw values, just sketch merges."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle=(
+        "SELECT c_mktsegment, count(*) AS n_custs, round(avg(c_acctbal), 6) AS avg_bal "
+        "FROM customer GROUP BY c_mktsegment HAVING count(*) > 100"
+    ),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+        .where(F.col("n_custs") > 100)
+    )
+
+
+def _region_nation_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+
+
+_RNC_SQL = (
+    "customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey"
+)
+
+
+@register(
+    "agg_rollup",
+    oracle=(
+        f"SELECT r_name, n_name, count(*) AS n_custs, round(sum(c_acctbal), 2) AS sum_bal "
+        f"FROM {_RNC_SQL} GROUP BY ROLLUP (r_name, n_name)"
+    ),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region → nation → grand total."""
+    return (
+        _region_nation_customer(spark, sf_dir)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS sum_price "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point (Spark SQL parses
+    GROUPING SETS natively; this also exercises spark.sql + temp views)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pmrwc_orders_gs")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders "
+        "FROM pmrwc_orders_gs GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+    )
+
+
+@register(
+    "agg_collect",
+    oracle=(
+        "SELECT n.n_name, array_to_string(list_sort(list(s.s_name)), ',') AS suppliers "
+        "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    ),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation, sorted then serialized for a deterministic value hash."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("s_name"))).alias("suppliers")
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "round(median(o_totalprice), 6) AS med_price, "
+        "round(quantile_cont(o_totalprice, 0.25), 6) AS p25, "
+        "round(quantile_cont(o_totalprice, 0.75), 6) AS p75 "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) median/quartiles — matches DuckDB's quantile_cont."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 6).alias("med_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+    )

@@ -1,0 +1,258 @@
+"""Deduplication operators for an LLM data pipeline — exact, MinHash+LSH,
+n-gram Jaccard, SimHash, embedding-cosine.
+
+Similarity definition (probed on the fixture 2026-08-13): Jaccard over
+DISTINCT TOKEN TRIGRAM SHINGLES. The fixture's 31-token vocabulary makes
+unigram-set Jaccard useless (9k pairs ≥ 0.9 at sf0.01 from vocabulary overlap
+alone); trigram shingles are cleanly bimodal — planted near-dups at J ≈ 0.99,
+everything else < 0.2 — so THRESHOLD = 0.6 sits in an empty gap.
+
+MinHash/LSH parameters: H = 128 hashes, b = 32 bands × r = 4 rows. Collision
+probability 1-(1-J^r)^b: at J = 0.99 it is 1-6e-50, at J = 0.6 it is 0.988,
+at J = 0.2 (the top of the background noise) a band collides with p = 0.0016
+— false candidates are cheap because every candidate is verified with exact
+Jaccard before output, which also keeps the DuckDB oracle expressible as
+brute-force exact Jaccard (the textbook construction: Broder '97, MMDS ch.3).
+
+100 TB notes: the LSH path is the scale story — band buckets shuffle on
+(band_id, band_key) so candidate generation is linear-ish in corpus size,
+never all-pairs; only the verify join touches shingle arrays, and only for
+candidates. The brute-force forms (dedup_ngram_jaccard, dedup_embedding)
+exist as small-SF oracles and would be replaced by their LSH/blocked
+counterparts at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+JACCARD_THRESHOLD = 0.6
+N_HASHES = 128
+N_BANDS = 32
+ROWS_PER_BAND = 4
+
+#: DuckDB CTE producing each doc's distinct trigram-shingle set.
+SHINGLES_CTE = (
+    "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3)"
+)
+
+_ORACLE_PAIR_JACCARD = (
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.s, b.s)))"
+)
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct token trigrams per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    return (
+        d.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                        F.element_at(F.col("t"), i + 3),
+                    ),
+                )
+            ).alias("shingles"),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle=(
+        "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, "
+        "min(n_chars) AS n_chars FROM documents GROUP BY text"
+    ),
+    tier="B",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct text, deterministic keeper = min
+    doc_id. A hash-groupBy — the content itself never shuffles twice because
+    the partial aggregate collapses duplicates map-side. (At 100 TB, group on
+    sha2(text,256) instead of the raw text to shrink the shuffle key.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@register(
+    "dedup_fuzzy_minhash",
+    oracle=(
+        f"{SHINGLES_CTE} "
+        f"SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        f"round({_ORACLE_PAIR_JACCARD}, 6) AS jaccard "
+        f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"WHERE {_ORACLE_PAIR_JACCARD} >= {JACCARD_THRESHOLD}"
+    ),
+    tier="B",
+)
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via shingle → MinHash → LSH bands → candidate
+    pairs → exact-Jaccard verification (see module docstring for the math).
+
+    The oracle is brute-force exact Jaccard over all pairs; with these LSH
+    parameters the miss probability above threshold is < 1e-7, so the two
+    sides agree. The Spark side never goes all-pairs.
+    """
+    sh = shingle_sets(spark, sf_dir).cache()
+
+    # 128-element MinHash signature as one array column: hash seed i is mixed
+    # in via concat (xxhash64 is JVM-side, whole-stage codegen friendly).
+    sig = sh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))),
+                )
+            ),
+        ).alias("sig"),
+    )
+
+    # Band keys: 32 bands of 4 signature slots; bucket join on (band, key).
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), j * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+    # Exact-Jaccard verification of candidates only.
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard_raw",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=(
+        f"{SHINGLES_CTE} "
+        f"SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        f"round({_ORACLE_PAIR_JACCARD}, 6) AS jaccard "
+        f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"WHERE {_ORACLE_PAIR_JACCARD} >= 0.3"
+    ),
+    tier="B",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact n-gram Jaccard (threshold 0.3) — the small-SF
+    baseline the LSH path is verified against. All-pairs: do not run at
+    scale; dedup_fuzzy_minhash is the 100 TB form."""
+    sh = shingle_sets(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("jaccard_raw", j)
+        .where(F.col("jaccard_raw") >= 0.3)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+@register("dedup_simhash", oracle=None, tier="B")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only: no DuckDB xxhash64 to mirror).
+
+    Pure array expressions: per doc, each of the 64 bits is the sign of the
+    sum over distinct tokens of ±1 according to that bit of xxhash64(token).
+    Near-identical docs agree on almost all bits; identical token sets agree
+    on all. No shuffle at all — fingerprinting is embarrassingly parallel.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hashes = F.transform(
+        F.array_distinct(F.split(F.lower("text"), " ")), lambda w: F.xxhash64(w)
+    )
+    # Column-valued shift amounts need the SQL expression form (the Python
+    # shiftright/shiftleft wrappers only take literal ints).
+    simhash = F.expr(
+        "aggregate("
+        "  zip_with("
+        "    transform(sequence(0, 63), b -> "
+        "      aggregate(hs, 0, (acc, h) -> acc + IF(((h >> b) & 1) = 1, 1, -1))),"
+        "    sequence(0, 63),"
+        "    (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)"
+        "  ), 0L, (acc, x) -> acc | x)"
+    )
+    return d.select("doc_id", hashes.alias("hs")).select(
+        "doc_id", simhash.alias("simhash")
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=(
+        "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+        "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.95"
+    ),
+    tier="B",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≡ dot product — the
+    fixture vectors are L2-normalized). Brute force at small SF; at scale the
+    same predicate runs inside LSH/centroid blocks (see similarity module)."""
+    from .similarity import pair_dots
+
+    return pair_dots(spark, sf_dir).where(F.col("cosine") >= 0.95)

@@ -1,0 +1,275 @@
+"""Join operators — equi, outer, semi/anti, broadcast, cross, range, as-of.
+
+Scale notes (100 TB):
+- Dimension tables (nation, region, customer at small SF) broadcast — either
+  via the explicit ``F.broadcast`` hint (join_broadcast) or AQE's runtime
+  conversion. The fact-to-fact joins shuffle on their keys and AQE handles
+  skew splitting.
+- ``join_range`` does NOT use a nested-loop theta join: it bucketizes event
+  time to the range width and equi-joins on (user_id, bucket) — each pair is
+  examined once, the shuffle is on a proper key, and the plan survives 100×
+  scale-up. The theta form only appears in the DuckDB oracle.
+- ``join_asof`` composes equi-join + window top-1. At extreme per-key order
+  cardinality the candidate explosion is bounded by pushing ``o_orderdate <=
+  ts`` into the join condition so Spark filters during the join, and the
+  window keeps only one row per event afterward.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+from .relational import ORACLE_TS  # noqa: F401 (shared µs conversion)
+
+US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "join_inner_eq",
+    oracle=(
+        "SELECT o.o_orderkey, c.c_name, o.o_totalprice "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ),
+)
+def join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_star",
+    oracle=(
+        "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+        "count(*) AS n_lines "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    ),
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join + revenue rollup — the flagship relational query.
+
+    nation is explicitly broadcast; customer is broadcast by AQE at small SF
+    and shuffles on the key at scale. The lineitem⋈orders join is the only
+    big shuffle.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle=(
+        "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_custkey"
+    ),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0 for them)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right",
+    oracle=(
+        "SELECT o.o_orderkey, count(l.l_orderkey) AS n_items "
+        "FROM lineitem l RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderkey"
+    ),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "right")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@register(
+    "join_full",
+    oracle=(
+        "SELECT n.n_name, s.s_name FROM nation n "
+        "FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey"
+    ),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select("n_name", "s_name")
+
+
+@register(
+    "join_semi",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast",
+    oracle=(
+        "SELECT n.n_name, count(*) AS n_customers, round(avg(c.c_acctbal), 6) AS avg_bal "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    ),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint → BroadcastHashJoin, no shuffle of the fact side."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_range",
+    oracle=(
+        f"WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events) "
+        f"SELECT a.user_id, count(*) AS pair_cnt "
+        f"FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id "
+        f"AND abs(a.ts_us - b.ts_us) <= {US_PER_HOUR} "
+        f"GROUP BY a.user_id"
+    ),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join: pairs of same-user events within 1 hour.
+
+    Spark-first scale design: instead of a nested-loop theta join, bucketize
+    ``ts`` to the range width and equi-join on (user_id, bucket); side A
+    probes buckets {b-1, b, b+1} via a 3-element explode. The shuffle is a
+    plain hash exchange on the composite key, each qualifying pair is found
+    exactly once (side B's bucket is unique), and the exact predicate is
+    re-checked after the equi-match. The DuckDB oracle states the same
+    semantics as a theta join.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+        .withColumn("bucket", (F.col("ts_us") / F.lit(US_PER_HOUR)).cast("long"))
+    )
+    a = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("a_ts"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("probe_bucket"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts_us").alias("b_ts"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    pairs = a.join(
+        b,
+        (a.user_id == b.b_user)
+        & (a.probe_bucket == b.b_bucket)
+        & (a.a_id < b.b_id)
+        & (F.abs(a.a_ts - b.b_ts) <= US_PER_HOUR),
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("pair_cnt"))
+
+
+@register(
+    "join_asof",
+    oracle=(
+        "SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_date "
+        "FROM ("
+        "  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, "
+        "         row_number() OVER (PARTITION BY e.event_id "
+        "                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+        "  FROM events e JOIN orders o ON o.o_custkey = e.user_id "
+        f"  AND epoch_ns(o.o_orderdate) // 1000 <= epoch_ns(e.ts) // 1000"
+        ") WHERE rn = 1"
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at-or-before
+    the event time (ties on date broken by highest o_orderkey).
+
+    Spark has no native ASOF JOIN; the composition is equi-join on the key
+    with the inequality pushed into the join condition, then a top-1 window.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_date"),
+        )
+    )

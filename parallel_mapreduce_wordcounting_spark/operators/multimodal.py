@@ -1,0 +1,68 @@
+"""Multimodal column surface — opaque binary payloads + typed metadata.
+
+No binary fixture exists under /root/testdata (FIXTURES.md), so the payload
+is synthesized from the documents table (utf-8 bytes of text); what's real
+and tested is the Spark-side plumbing a 100 TB multimodal pipeline needs:
+
+- a BinaryType column carried through select/filter/join,
+- a typed metadata struct (mime, n_bytes, checksum) alongside it,
+- a mapInPandas decode/feature-extract stage with the correct Arrow batch
+  shape (pandas DataFrames in, iterator of pandas DataFrames out).
+
+The actual image decode is a clearly-marked deterministic stub — the
+image/audio libraries are not in this container. Swap `_fake_decode` for a
+real PIL/libav call and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """STUB decode: derives a deterministic fake (width, height) from the
+    payload instead of decoding an image. Replace with a real decoder; a
+    production build would raise NotImplementedError without one."""
+    return (len(payload) % 640) + 1, (payload[0] if payload else 0) + 1
+
+
+@register("mm_binary_surface", oracle=None, tier="B")
+def mm_binary_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct through a filter and a mapInPandas
+    feature-extract stage (rows-only: binary plumbing isn't SQL-oracled)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+            F.md5(F.col("text").cast("binary")).alias("checksum"),
+        ).alias("meta"),
+    ).where(F.col("meta.n_bytes") >= 100)
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "checksum": [m["checksum"] for m in pdf["meta"]],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                }
+            )
+
+    return with_payload.mapInPandas(
+        decode_batch,
+        schema="doc_id long, mime string, n_bytes int, checksum string, width int, height int",
+    )

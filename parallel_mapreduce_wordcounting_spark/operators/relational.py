@@ -1,0 +1,199 @@
+"""Relational basics — scans, projections, filters, sorts, limits, set ops.
+
+All pure built-in DataFrame ops: Catalyst pushes the filters and projections
+into the parquet scan (verify with .explain: ``PushedFilters`` /
+``ReadSchema``), so at 100 TB these read only the row groups and columns they
+need. Nothing here shuffles except the set ops' distinct.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table, sink_parquet as _write_parquet
+
+#: DuckDB expression mirroring the loader's exact ns→µs conversion.
+ORACLE_TS = "make_timestamp(epoch_ns(ts) // 1000)"
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000.0",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection + predicate both pushed to the parquet
+    reader (ReadSchema lists 3 of 6 columns; PushedFilters shows the GT)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "scan_events_ns",
+    oracle=f"SELECT event_id, {ORACLE_TS} AS ts, event_type, value FROM events",
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read ``events`` despite its TIMESTAMP(NANOS) footer (SURVEY.md §7.0).
+
+    The loader's integer ``div 1000`` is lossless on this fixture (ns values
+    are whole µs) and the oracle mirrors it exactly with epoch_ns // 1000.
+    """
+    return load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+
+
+@register("sink_parquet", oracle=None, tier="A")
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink surface: write word counts to parquet, read them back.
+
+    Round-trips through a real ``df.write.parquet`` so the sink path is
+    exercised end-to-end (rows-only check: sinks aren't SQL-expressible).
+    """
+    from .wordcount import wc_counts
+
+    out = tempfile.mkdtemp(prefix="pmrwc_sink_") + "/wc_counts"
+    _write_parquet(wc_counts(spark, sf_dir), out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "proj_select",
+    oracle=(
+        "SELECT c_custkey, upper(c_name) AS name_u, c_mktsegment, "
+        "round(c_acctbal * 1.1, 6) AS bal_adj FROM customer"
+    ),
+)
+def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_u"),
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 1.1, 6).alias("bal_adj"),
+    )
+
+
+@register(
+    "filt_pred",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders "
+        "WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 10000.0 AND 200000.0 "
+        "AND o_orderpriority LIKE '1%' AND o_orderdate IS NOT NULL"
+    ),
+)
+def filt_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates: IN, BETWEEN, LIKE, IS NOT NULL — all pushed down."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(10000.0, 200000.0)
+        & F.col("o_orderpriority").like("1%")
+        & F.col("o_orderdate").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filt_regex",
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        "WHERE regexp_matches(text, 'join (fast|slow)')"
+    ),
+)
+def filt_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(F.col("text").rlike("join (fast|slow)")).select("doc_id", "lang")
+
+
+@register(
+    "sort_multi",
+    oracle=(
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer "
+        "ORDER BY c_nationkey ASC, c_acctbal DESC NULLS LAST, c_custkey"
+    ),
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column global sort with explicit null placement (range-partitioned
+    exchange + per-partition sort — no single-node sort at scale)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .orderBy(
+            F.col("c_nationkey").asc(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey"),
+        )
+    )
+
+
+@register(
+    "limit_k",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"
+    ),
+    tier="A",
+)
+def limit_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted truncation → TakeOrderedAndProject (per-partition heap, no global
+    sort); o_orderkey tiebreaks so the returned set is deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(5)
+    )
+
+
+@register(
+    "set_union",
+    oracle=(
+        "SELECT c_name AS name, 'customer' AS kind FROM customer "
+        "UNION ALL SELECT s_name AS name, 'supplier' AS kind FROM supplier"
+    ),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionAll(s)
+
+
+@register(
+    "set_intersect",
+    oracle=(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "INTERSECT SELECT s_nationkey AS nationkey FROM supplier"
+    ),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle=(
+        "SELECT n_nationkey AS nationkey FROM nation "
+        "EXCEPT SELECT s_nationkey AS nationkey FROM supplier"
+    ),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.subtract(s)  # EXCEPT (distinct) semantics, matching SQL EXCEPT
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()

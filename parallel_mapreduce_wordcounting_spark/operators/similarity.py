@@ -1,0 +1,196 @@
+"""Similarity search over the embedding column — brute-force cosine top-k
+(the small-SF oracle), single-query kNN, kNN label eval, and the blocked
+two-phase variant that is the 100 TB path.
+
+The fixture vectors are L2-normalized (FIXTURES.md) so cosine ≡ dot product.
+Dot products are computed in DOUBLE from the float32 inputs: products are
+then exact, both engines fold left-to-right, and the result is rounded to 6
+decimals before any ordering/limit so the selected row *set* is identical on
+both sides (ties broken by vec_id columns).
+
+Scale (SURVEY.md §7.3): brute force is O(n²) — 11.6 s at just 2k×2k. The
+blocked form (sim_topk_blocked) assigns vectors to their nearest of C fixed
+centroids (IVF-style) and searches within blocks: the crossJoin disappears
+in favor of an equi-join on block id, which shuffles on a proper key and
+parallelizes per block. Never collect() vectors to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+_DOT_ORACLE = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+
+
+def dot(a, b):
+    """JVM-side double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pair_dots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ordered pairs (vec_id_a < vec_id_b) with rounded cosine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=(
+        f"SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+        f"round({_DOT_ORACLE}, 6) AS cosine "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"ORDER BY cosine DESC, vec_id_a, vec_id_b LIMIT 20"
+    ),
+    tier="B",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar pairs, brute force — the exactness baseline.
+    TakeOrderedAndProject keeps a 20-row heap per partition; the O(n²) pair
+    generation is the part the blocked variant replaces at scale."""
+    return pair_dots(spark, sf_dir).orderBy(
+        F.col("cosine").desc(), "vec_id_a", "vec_id_b"
+    ).limit(20)
+
+
+@register(
+    "sim_knn_query",
+    oracle=(
+        f"SELECT b.vec_id AS vec_id, round({_DOT_ORACLE}, 6) AS cosine, b.label AS label "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0 "
+        f"ORDER BY cosine DESC, vec_id LIMIT 10"
+    ),
+    tier="B",
+)
+def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 nearest neighbors of the vec_id=0 query vector. The 1-row query
+    side is broadcast — no shuffle of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+            "label",
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "sim_label_eval",
+    oracle=(
+        "WITH sims AS ("
+        f"  SELECT a.vec_id AS query_id, b.vec_id, b.label, round({_DOT_ORACLE}, 6) AS cosine "
+        "  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id >= 20"
+        "), knn AS ("
+        "  SELECT query_id, label FROM ("
+        "    SELECT query_id, label, row_number() OVER ("
+        "      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM sims"
+        "  ) WHERE rn <= 10"
+        "), votes AS ("
+        "  SELECT query_id, label, count(*) AS votes FROM knn GROUP BY query_id, label"
+        ") SELECT query_id, label AS pred_label, votes FROM ("
+        "  SELECT query_id, label, votes, row_number() OVER ("
+        "    PARTITION BY query_id ORDER BY votes DESC, label) AS rn FROM votes"
+        ") WHERE rn = 1"
+    ),
+    tier="B",
+)
+def sim_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-label prediction for queries vec_id < 20 against the
+    vec_id >= 20 corpus (k=10; vote ties broken by smallest label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    corpus = e.where(F.col("vec_id") >= 20)
+    sims = corpus.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(dot(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+    )
+    w_knn = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    knn = sims.withColumn("rn", F.row_number().over(w_knn)).where(F.col("rn") <= 10)
+    votes = knn.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    w_top = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+@register("sim_topk_blocked", oracle=None, tier="B")
+def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style blocked top-k pairs — the 100 TB scale path (rows-only:
+    blocking is approximate, there is no exact SQL oracle).
+
+    Deterministic coarse quantizer: the 16 vectors with the smallest vec_ids
+    act as fixed centroids; every vector is assigned to its nearest centroid
+    (ties → lowest centroid id) via a broadcast join, then candidate pairs
+    are generated only within blocks — an equi-join on block id instead of a
+    crossJoin. Recall is partial by construction (pairs straddling blocks are
+    missed) which is the standard IVF trade; nprobe>1 would probe the 2nd
+    nearest centroid too.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        e.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    assigned = (
+        e.crossJoin(cent)
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.round(dot(F.col("embedding"), F.col("cent_emb")), 6).alias("cent_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("block"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), "block"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"),
+        F.col("block").alias("block_b"),
+    )
+    pairs = a.join(
+        b, (F.col("block") == F.col("block_b")) & (F.col("vec_id_a") < F.col("vec_id_b"))
+    ).select(
+        "vec_id_a",
+        "vec_id_b",
+        F.round(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+    )
+    return pairs.orderBy(F.col("cosine").desc(), "vec_id_a", "vec_id_b").limit(20)

@@ -1,0 +1,58 @@
+"""Table loader — the single entry point for reading the fixture tables.
+
+Hides the one real environment gotcha (SURVEY.md §7.0): ``events.parquet``
+stores ``ts`` as parquet ``INT64 (TIMESTAMP(NANOS,false))`` which stock
+``spark.read.parquet`` rejects with ``[PARQUET_TYPE_ILLEGAL]``. The verified
+fix is the legacy nanos-as-long conf plus an exact integer µs conversion
+(the fixture's ns values are always whole microseconds, so ``div 1000`` is
+lossless — probed 2026-08-13).
+
+At 100 TB the same loader is where partition-pruning-friendly layouts and
+schema enforcement would hook in: everything downstream goes through
+``load_table`` and never touches ``spark.read`` directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _configure(spark: SparkSession) -> None:
+    # Runtime-settable confs (verified to take effect on an existing session).
+    # UTC keeps collected timestamps identical to DuckDB's epoch-naive values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame with clean Spark types.
+
+    ``events.ts`` arrives as INT64 nanoseconds (legacy conf) and is converted
+    to a proper TimestampType via exact integer division — ``timestamp_micros``
+    keeps the arithmetic JVM-side and codegen-friendly.
+    """
+    _configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def sink_parquet(df: DataFrame, path: str) -> None:
+    """Write results back out as parquet (the reference writes output files)."""
+    df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,46 @@
+"""Pre-flight replica of the driver's t2 gate: every registered operator key
+runs on Spark and (when SQL-expressible) must match its DuckDB oracle at
+sf0.001 — row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import pytest
+
+import parallel_mapreduce_wordcounting_spark as engine
+
+from .conftest import run_compare
+
+ALL_KEYS = sorted(engine.REGISTRY.keys())
+
+
+@pytest.mark.parametrize("key", ALL_KEYS)
+def test_oracle_parity(spark, duck, key):
+    run_compare(spark, duck, key)
+
+
+def test_entry_smoke(spark):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__spark_entry__")
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["word", "cnt"]
+
+
+def test_every_query_has_oracle_or_reason():
+    qs = engine.queries()
+    oracles = engine.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # rows-only keys are the documented non-SQL-expressible set
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {
+        "sink_parquet",
+        "agg_approx_distinct",
+        "dedup_simhash",
+        "sim_topk_blocked",
+        "udtf_python",
+        "mm_binary_surface",
+    }
