@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The query set mirrors BASELINE.md so the 2× gate is apples-to-apples:
+wc_topk, join_star, agg_basic, stream_tumbling, sim_topk_cosine — plus the
+engine's own scale paths (sim_topk_blocked, dedup_fuzzy_minhash) reported
+for visibility. Timing is median of 3 runs after one warm-up, collect()
+included, session startup excluded (matching BASELINE.md's method).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_KEYS = [
+    "wc_topk",
+    "join_star",
+    "agg_basic",
+    "stream_tumbling",
+    "sim_topk_cosine",
+    "sim_topk_blocked",
+    "dedup_fuzzy_minhash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pmrwc-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    timings: dict[str, float] = {}
+    for key in BENCH_KEYS:
+        fn = engine.REGISTRY[key].fn
+        fn(spark, sf_dir).collect()  # warm-up (JIT, code cache, file listing)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(runs), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query latency, median of 3 (warm), collect() included",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

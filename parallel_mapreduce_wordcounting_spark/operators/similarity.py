@@ -50,6 +50,10 @@ def pair_dots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Block-grid size for the exact blocked-GEMM pair search.
+N_GRID = 8
+
+
 @register(
     "sim_topk_cosine",
     oracle=(
@@ -61,12 +65,78 @@ def pair_dots(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="B",
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar pairs, brute force — the exactness baseline.
-    TakeOrderedAndProject keeps a 20-row heap per partition; the O(n²) pair
-    generation is the part the blocked variant replaces at scale."""
-    return pair_dots(spark, sf_dir).orderBy(
-        F.col("cosine").desc(), "vec_id_a", "vec_id_b"
-    ).limit(20)
+    """Exact top-20 most-similar pairs via blocked matrix multiplication.
+
+    Semantically identical to the brute-force all-pairs oracle, but executed
+    as a block grid: vectors land in N_GRID blocks (vec_id % N_GRID); each of
+    the N_GRID·(N_GRID+1)/2 block pairs (i ≤ j) becomes one applyInPandas
+    group that computes its cross-similarities as a single numpy float64
+    GEMM and emits only its local top-20 (ordered by the same
+    (-cosine, vec_id_a, vec_id_b) key as the final sort, so group-local
+    truncation composes exactly with the global top-20). ~100× less work
+    per pair than a per-row zip_with fold, and the grid shuffles on a proper
+    key — the pattern scales out by raising N_GRID.
+
+    Every unordered pair appears in exactly one block pair
+    (min(blk_a, blk_b), max(blk_a, blk_b)); the i == j diagonal is masked to
+    vec_id_a < vec_id_b inside the kernel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blk = (F.col("vec_id") % N_GRID).cast("int")
+    with_blk = e.withColumn("blk", blk)
+    side_a = with_blk.select(
+        "vec_id",
+        "embedding",
+        F.col("blk").alias("i"),
+        F.explode(F.sequence(F.col("blk"), F.lit(N_GRID - 1))).alias("j"),
+        F.lit("a").alias("side"),
+    )
+    side_b = with_blk.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("i"),
+        F.col("blk").alias("j"),
+        F.lit("b").alias("side"),
+    )
+    both = side_a.unionByName(side_b)
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+        A = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        S = np.round(A @ B.T, 6)
+        ida = a["vec_id"].to_numpy()
+        idb = b["vec_id"].to_numpy()
+        diagonal = pdf["i"].iloc[0] == pdf["j"].iloc[0]
+        if diagonal:
+            # same block on both sides: every unordered pair appears twice,
+            # keep the ida < idb orientation only
+            valid = ida[:, None] < idb[None, :]
+        else:
+            # distinct blocks: every cross pair is a distinct unordered pair
+            valid = np.ones((ida.size, idb.size), dtype=bool)
+        ii, jj = np.nonzero(valid)
+        if ii.size == 0:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+        sims = S[ii, jj]
+        lo = np.minimum(ida[ii], idb[jj])
+        hi = np.maximum(ida[ii], idb[jj])
+        # order by the global key (-cosine, vec_id_a, vec_id_b), keep 20
+        order = np.lexsort((hi, lo, -sims))[:20]
+        return pd.DataFrame(
+            {"vec_id_a": lo[order], "vec_id_b": hi[order], "cosine": sims[order]}
+        )
+
+    local = both.groupBy("i", "j").applyInPandas(
+        block_topk, schema="vec_id_a long, vec_id_b long, cosine double"
+    )
+    return local.orderBy(F.col("cosine").desc(), "vec_id_a", "vec_id_b").limit(20)
 
 
 @register(
