@@ -28,18 +28,27 @@ def events_stream(
     Chunks are split on ``event_id % n_chunks`` so replay order is
     deterministic-ish but interleaved in event time — a realistic ooo stream.
     """
+    from pyspark.sql import Window
+
     src = load_table(spark, sf_dir, "events")
     stage = tempfile.mkdtemp(prefix="pmrwc_stream_")
-    (
-        src.withColumn("chunk", (F.col("event_id") % n_chunks).cast("int"))
-        .repartition("chunk")
-        .write.mode("overwrite")
-        .partitionBy("chunk")
-        .parquet(stage)
+    # Chunk in EVENT-TIME order (ntile over ts) and write sequentially so the
+    # file source's modification-time ordering replays the stream in order —
+    # chunking on an unrelated key would make every later batch arrive
+    # almost entirely behind the watermark.
+    chunked = src.withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
     )
-    schema = src.schema
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.where(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{stage}/c{i}")
+        )
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(stage)

@@ -1,0 +1,66 @@
+"""Golden-fixture assertions (SURVEY.md §5.3): exact values measured from the
+deterministic seed=42 corpus. These catch silent tokenization or dedup
+regressions that a self-consistent oracle comparison would miss."""
+
+from __future__ import annotations
+
+import parallel_mapreduce_wordcounting_spark as engine
+
+SF0001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_top5_words_sf0001(spark):
+    rows = engine.REGISTRY["wc_topk"].fn(spark, SF0001).collect()
+    top5 = [(r.word, r.cnt) for r in rows[:5]]
+    assert top5 == [
+        ("scan", 984),
+        ("column", 978),
+        ("window", 976),
+        ("order", 975),
+        ("sort", 974),
+    ]
+
+
+def test_vocabulary_size_sf0001(spark):
+    (row,) = engine.REGISTRY["wc_distinct_vocab"].fn(spark, SF0001).collect()
+    assert row.vocab_size == 31
+
+
+def test_planted_near_dup_pair_sf0001(spark):
+    """FIXTURES.md: docs 8 and 12 are a planted near-duplicate pair."""
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in engine.REGISTRY["dedup_fuzzy_minhash"].fn(spark, SF0001).collect()
+    }
+    assert (8, 12) in pairs
+
+
+def test_exact_dups_sf01(spark):
+    """FIXTURES.md: 8 texts appear exactly twice at sf0.1."""
+    rows = engine.REGISTRY["dedup_exact"].fn(spark, SF01).collect()
+    twice = [r for r in rows if r.n_copies == 2]
+    assert len(twice) == 8
+    assert all(r.n_copies <= 2 for r in rows)
+
+
+def test_fuzzy_recall_vs_bruteforce_sf0001(spark):
+    """LSH must find every pair the brute-force exact-Jaccard path finds at
+    the same threshold — zero false negatives (the t2 failure mode)."""
+    lsh = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in engine.REGISTRY["dedup_fuzzy_minhash"].fn(spark, SF0001).collect()
+    }
+    brute = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in engine.REGISTRY["dedup_ngram_jaccard"].fn(spark, SF0001).collect()
+        if r.jaccard >= 0.6
+    }
+    assert lsh == brute
+
+
+def test_embedding_norms_are_one(spark):
+    """FIXTURES.md: embeddings are L2-normalized (norm_sq rounds to 1.0)."""
+    rows = engine.REGISTRY["fn_array"].fn(spark, SF0001).collect()
+    assert all(abs(r.norm_sq - 1.0) < 1e-3 for r in rows)
+    assert all(r.dim == 64 for r in rows)

@@ -1,0 +1,62 @@
+"""Property-based tests (hypothesis) over the engine's core invariants,
+using tiny in-memory corpora rather than the fixtures — these pin the
+*algebra* of the operators (SURVEY.md §5.3 item 2)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+WORDS = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=0, max_size=30
+)
+
+
+def _wc(spark, docs: list[list[str]]):
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    toks = df.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    return toks.groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(WORDS, min_size=1, max_size=5))
+def test_wordcount_total_is_token_count(spark, docs):
+    """Σ counts == number of tokens, for any corpus."""
+    rows = _wc(spark, docs).collect()
+    assert sum(r.cnt for r in rows) == sum(len(ws) for ws in docs)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(WORDS, min_size=1, max_size=5))
+def test_wordcount_rdd_dataframe_agree(spark, docs):
+    """The RDD reduceByKey formulation and the DataFrame groupBy agree."""
+    from operator import add
+
+    df_counts = {(r.word, r.cnt) for r in _wc(spark, docs).collect()}
+    rdd_counts = set(
+        spark.sparkContext.parallelize([" ".join(ws) for ws in docs])
+        .flatMap(lambda t: t.lower().split(" "))
+        .filter(lambda w: w != "")
+        .map(lambda w: (w, 1))
+        .reduceByKey(add)
+        .collect()
+    )
+    assert df_counts == rdd_counts
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=20), min_size=1, max_size=8))
+def test_dedup_exact_idempotent(spark, texts):
+    """dedup(dedup(x)) == dedup(x): one row per distinct text, keeper stable."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = df.groupBy("text").agg(F.min("doc_id").alias("keep_doc_id"))
+    again = once.groupBy("text").agg(F.min("keep_doc_id").alias("keep_doc_id"))
+    assert sorted(once.collect()) == sorted(again.collect())
+    assert once.count() == len(set(texts))

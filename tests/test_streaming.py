@@ -1,0 +1,131 @@
+"""Real Structured Streaming runs — replay the events fixture as a 4-chunk
+file-source micro-batch stream and assert batch equivalence for the §2.9
+operators, plus genuine watermark/dedup streaming behavior the batch forms
+can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_wordcounting_spark.streaming import events_stream, run_to_batch
+
+from .conftest import SF_DIR
+
+
+def _normalize(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream, _ = events_stream(spark, SF_DIR)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "cnt")
+    )
+    result = run_to_batch(spark, agg, output_mode="complete")
+
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    batch = engine.REGISTRY["stream_tumbling"].fn(spark, SF_DIR).drop("avg_value")
+    cols = ["w_start", "event_type", "cnt"]
+    assert _normalize(result, cols) == _normalize(batch, cols)
+
+
+def test_stream_session_equals_batch(spark):
+    stream, _ = events_stream(spark, SF_DIR)
+    agg = (
+        stream.withWatermark("ts", "100 days")  # streaming session windows need one
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    result = run_to_batch(spark, agg, output_mode="complete")
+
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    batch = engine.REGISTRY["stream_session"].fn(spark, SF_DIR)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _normalize(result, cols) == _normalize(batch, cols)
+
+
+def test_stream_stateful_counts_equal_batch(spark):
+    stream, _ = events_stream(spark, SF_DIR)
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    result = run_to_batch(spark, agg, output_mode="complete")
+
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    batch = engine.REGISTRY["stream_stateful"].fn(spark, SF_DIR)
+    cols = ["user_id", "n_events"]
+    assert _normalize(result, cols) == _normalize(batch, cols)
+
+
+def test_stream_dedup_within_watermark_drops_duplicates(spark):
+    """dropDuplicatesWithinWatermark: re-send every event twice; the stream
+    must still emit each event_id exactly once."""
+    src = events_stream(spark, SF_DIR)[0]
+    doubled = src.union(src)
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    result = run_to_batch(spark, deduped.select("event_id"), output_mode="append")
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    got = result.count()
+    assert got == n_events, f"expected {n_events} unique events, got {got}"
+
+
+def test_watermark_drops_late_rows(spark):
+    """A genuinely late row (beyond the watermark delay, arriving in a later
+    run against the same checkpoint) must be excluded from its closed
+    window's aggregate. Three sequential availableNow runs share one
+    checkpoint so the watermark persists between arrivals."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pmrwc_late_")
+    stage, ckpt, out = f"{root}/in", f"{root}/ckpt", f"{root}/out"
+
+    def arrive(rows):
+        df = spark.createDataFrame(rows, "event_id long, ts_str string").select(
+            "event_id", F.col("ts_str").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(stage)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("window.start").alias("w_start"), "cnt")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    arrive([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")])
+    drain()  # watermark advances to 11:50 → the 10:00 window is closed
+    arrive([(3, "2024-01-01 10:00:01")])  # late: behind the watermark
+    drain()  # 10:00 window emits WITHOUT the late row
+    arrive([(4, "2024-01-01 14:00:00")])
+    drain()  # closes the 12:00 window too
+
+    counts = {
+        r.w_start.strftime("%H"): r.cnt for r in spark.read.parquet(out).collect()
+    }
+    assert counts.get("10") == 1, f"late row leaked into closed window: {counts}"
+    assert counts.get("12") == 1, f"on-time row missing: {counts}"
