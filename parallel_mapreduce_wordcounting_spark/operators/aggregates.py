@@ -185,6 +185,56 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted",
+    oracle=(
+        "SELECT word, COUNT(*) AS cnt FROM ("
+        "  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents"
+        ") WHERE word <> '' GROUP BY word"
+    ),
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the hot-key (skew) mitigation pattern.
+
+    Word counts skew badly ('the' at web scale): phase 1 aggregates on
+    (word, salt) so a hot word spreads over 16 reducers; phase 2 sums the 16
+    partials. Result is identical to the direct groupBy (same oracle as
+    wc_counts); the salt is deterministic (doc_id hash), not random."""
+    from .wordcount import tokens
+
+    toks = tokens(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(16))
+    )
+    phase1 = toks.groupBy("word", "salt").agg(F.count("*").alias("partial_cnt"))
+    return phase1.groupBy("word").agg(F.sum("partial_cnt").alias("cnt"))
+
+
+@register(
+    "agg_time_rollup",
+    oracle=(
+        "WITH e AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS tsc, value FROM events) "
+        "SELECT CAST(date_trunc('day', tsc) AS TIMESTAMP) AS day, "
+        "CAST(date_trunc('hour', tsc) AS TIMESTAMP) AS hour, "
+        "count(*) AS cnt, round(sum(value), 2) AS total_value "
+        "FROM e GROUP BY ROLLUP (day, hour)"
+    ),
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: one pass producing hourly, daily, and
+    grand-total aggregates via ROLLUP over truncated timestamps — the
+    continuous-aggregate pattern for time-series tables."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
     "agg_percentile",
     oracle=(
         "SELECT o_orderstatus, "

@@ -210,6 +210,72 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster",
+    oracle=(
+        f"WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), "
+        f"pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sh a JOIN sh b "
+        f"ON a.doc_id < b.doc_id WHERE {_ORACLE_PAIR_JACCARD} >= {JACCARD_THRESHOLD}), "
+        "edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs), "
+        "reach AS ("
+        "  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) "
+        "  UNION "
+        "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u"
+        ") SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u"
+    ),
+    tier="B",
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the near-dup pair graph,
+    labeled by the smallest reachable doc_id (the canonical keeper).
+
+    Iterative min-label propagation: each round every node adopts the min of
+    its own and its neighbors' labels; converges in O(graph diameter) rounds
+    (near-dup clusters are small cliques, so 2-3 rounds in practice; a
+    100 TB corpus would swap in the large-star/small-star variant, which
+    shrinks long chains in O(log n) rounds). The convergence check is one
+    tiny count per round — the label table itself never leaves the cluster.
+    The oracle computes the same components with a recursive CTE.
+    """
+    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).cache()
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=(
         f"{SHINGLES_CTE} "

@@ -238,6 +238,55 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed",
+    oracle=(
+        "SELECT o.o_orderkey, c.c_name, o.o_totalprice "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join — the shuffle-free fact⋈fact pattern.
+
+    Both sides are persisted as bucketed tables on the join key (same bucket
+    count), so the sort-merge join's distribution requirement is already
+    satisfied and NO exchange appears in the plan (asserted in
+    tests/test_plans.py). At 100 TB this is the difference between shuffling
+    the fact table on every join and shuffling it once at ingest. The merge
+    hint keeps the comparison honest (otherwise AQE would broadcast the
+    small side and hide the effect at test scale).
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    # The in-memory catalog forgets tables between sessions but their
+    # warehouse directories persist — clear both before (re)writing.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("pmrwc_orders_bucketed", "pmrwc_customer_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("pmrwc_orders_bucketed")
+    )
+    (
+        c.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("pmrwc_customer_bucketed")
+    )
+    ob = spark.table("pmrwc_orders_bucketed")
+    cb = spark.table("pmrwc_customer_bucketed")
+    return ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
     "join_asof",
     oracle=(
         "SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_date "

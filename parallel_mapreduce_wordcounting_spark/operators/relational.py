@@ -62,6 +62,57 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_parquet_partitioned",
+    oracle=(
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        "FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang"
+    ),
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned read-back.
+
+    Writes documents partitioned by ``lang``, reads back with a partition
+    filter — the scan then lists only the en/fr directories
+    (``PartitionFilters`` in the plan, asserted in tests/test_plans.py).
+    At 100 TB partition layout is the first-order scan optimization."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="pmrwc_part_") + "/docs"
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).where(F.col("lang").isin("en", "fr"))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "scan_csv",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source surface: round-trip a projection through a real CSV write
+    and schema-explicit read (header on, no inference job at scale)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = tempfile.mkdtemp(prefix="pmrwc_csv_") + "/docs"
+    d.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema("doc_id long, lang string, n_chars long").option(
+        "header", True
+    ).csv(out)
+
+
+@register(
+    "scan_jsonl",
+    oracle="SELECT doc_id, lang, source FROM documents",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source surface: explicit schema (schema inference is a
+    full extra pass over the data — never at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = tempfile.mkdtemp(prefix="pmrwc_jsonl_") + "/docs"
+    d.write.mode("overwrite").json(out)
+    return spark.read.schema("doc_id long, lang string, source string").json(out)
+
+
+@register(
     "proj_select",
     oracle=(
         "SELECT c_custkey, upper(c_name) AS name_u, c_mktsegment, "

@@ -176,6 +176,35 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_struct",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus AS status, "
+        "round(o_totalprice, 2) AS price, year(o_orderdate) AS yr "
+        "FROM orders WHERE round(o_totalprice, 2) > 200000.0"
+    ),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: pack columns into a struct, filter through the
+    nested field, project fields back out (output stays flat so the oracle
+    compares scalar-for-scalar)."""
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.year("o_orderdate").alias("yr"),
+        ).alias("info"),
+    )
+    return nested.where(F.col("info.price") > 200000.0).select(
+        "o_orderkey",
+        F.col("info.status").alias("status"),
+        F.col("info.price").alias("price"),
+        F.col("info.yr").alias("yr"),
+    )
+
+
+@register(
     "fn_map",
     oracle=(
         "SELECT event_id, "

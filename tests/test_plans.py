@@ -61,6 +61,21 @@ def test_join_range_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_join_bucketed_has_no_exchange(spark):
+    """Both sides bucketed on the join key → the sort-merge join's
+    distribution requirement is pre-satisfied: zero shuffles."""
+    df = engine.REGISTRY["join_bucketed"].fn(spark, SF_DIR)
+    p = explain_str(df, "simple")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    df = engine.REGISTRY["sink_parquet_partitioned"].fn(spark, SF_DIR)
+    p = explain_str(df)
+    assert "PartitionFilters: [lang" in p or "lang#" in p.split("PartitionFilters:")[1].split("]")[0]
+
+
 def test_whole_stage_codegen_everywhere_core(spark):
     """Codegen spans only materialize in the AQE *final* plan — run the query,
     then assert the executed plan has fused codegen stages (`*(n)` markers)."""

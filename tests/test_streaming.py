@@ -79,6 +79,49 @@ def test_stream_dedup_within_watermark_drops_duplicates(spark):
     assert got == n_events, f"expected {n_events} unique events, got {got}"
 
 
+def test_apply_in_pandas_with_state_running_count(spark):
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running count carried in GroupState across micro-batches must end at
+    the batch groupBy count."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream, _ = events_stream(spark, SF_DIR)
+
+    def running_count(key, pdfs, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    counted = (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_count,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    result = run_to_batch(spark, counted, output_mode="update")
+    # update mode emits one row per user per micro-batch; the max is final
+    final = {
+        r.user_id: r.n_events
+        for r in result.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    batch = {
+        r.user_id: r.n_events
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert final == batch
+
+
 def test_watermark_drops_late_rows(spark):
     """A genuinely late row (beyond the watermark delay, arriving in a later
     run against the same checkpoint) must be excluded from its closed
