@@ -59,6 +59,21 @@ def test_fuzzy_recall_vs_bruteforce_sf0001(spark):
     assert lsh == brute
 
 
+def test_blocked_ann_recall_floor(spark):
+    """The IVF path is approximate but deterministic: recall@20 against the
+    exact path must stay at/above its measured floor (10/20 at sf0.001 scale
+    of this corpus; regressions in assignment or probing would drop it)."""
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in engine.REGISTRY["sim_topk_cosine"].fn(spark, SF0001).collect()
+    }
+    approx = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in engine.REGISTRY["sim_topk_blocked"].fn(spark, SF0001).collect()
+    }
+    assert len(exact & approx) >= 10
+
+
 def test_embedding_norms_are_one(spark):
     """FIXTURES.md: embeddings are L2-normalized (norm_sq rounds to 1.0)."""
     rows = engine.REGISTRY["fn_array"].fn(spark, SF0001).collect()
