@@ -64,7 +64,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_parquet_partitioned",
     oracle=(
-        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
         "FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang"
     ),
 )

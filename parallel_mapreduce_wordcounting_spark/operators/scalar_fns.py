@@ -24,7 +24,7 @@ from ..sources.loader import load_table
         "upper(p_name) AS name_u, "
         "lower(p_brand) AS brand_l, "
         "substring(p_name, 1, 5) AS name5, "
-        "length(p_name) AS name_len, "
+        "CAST(length(p_name) AS INTEGER) AS name_len, "
         "concat_ws('-', p_brand, p_type) AS brand_type, "
         "replace(p_name, ' ', '_') AS name_us, "
         "lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad, "
@@ -55,7 +55,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_date",
     oracle=(
         "SELECT o_orderkey, "
-        "year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom, "
+        "CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo, "
+        "CAST(day(o_orderdate) AS INTEGER) AS dom, "
         "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, "
         "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since, "
         "CAST(o_orderdate AS DATE) + 30 AS plus_30, "
@@ -179,7 +180,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_struct",
     oracle=(
         "SELECT o_orderkey, o_orderstatus AS status, "
-        "round(o_totalprice, 2) AS price, year(o_orderdate) AS yr "
+        "round(o_totalprice, 2) AS price, CAST(year(o_orderdate) AS INTEGER) AS yr "
         "FROM orders WHERE round(o_totalprice, 2) > 200000.0"
     ),
 )

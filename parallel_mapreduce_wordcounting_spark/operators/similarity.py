@@ -54,6 +54,66 @@ def pair_dots(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_GRID = 8
 
 
+def grid_pair_sims_above(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """EXACT cosines for every pair with rounded cosine ≥ threshold, via the
+    same block-grid GEMM as sim_topk_cosine but with a threshold kernel —
+    each block pair emits only its qualifying pairs, so the Arrow return
+    traffic is proportional to matches, not to n²."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blk = (F.col("vec_id") % N_GRID).cast("int")
+    with_blk = e.withColumn("blk", blk)
+    side_a = with_blk.select(
+        "vec_id",
+        "embedding",
+        F.col("blk").alias("i"),
+        F.explode(F.sequence(F.col("blk"), F.lit(N_GRID - 1))).alias("j"),
+        F.lit("a").alias("side"),
+    )
+    side_b = with_blk.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("i"),
+        F.col("blk").alias("j"),
+        F.lit("b").alias("side"),
+    )
+    both = side_a.unionByName(side_b)
+
+    def block_threshold(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        empty = pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+        if a.empty or b.empty:
+            return empty
+        A = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        S = np.round(A @ B.T, 6)
+        ida = a["vec_id"].to_numpy()
+        idb = b["vec_id"].to_numpy()
+        if pdf["i"].iloc[0] == pdf["j"].iloc[0]:
+            valid = (ida[:, None] < idb[None, :]) & (S >= threshold)
+        else:
+            valid = S >= threshold
+        ii, jj = np.nonzero(valid)
+        if ii.size == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.minimum(ida[ii], idb[jj]),
+                "vec_id_b": np.maximum(ida[ii], idb[jj]),
+                "cosine": S[ii, jj],
+            }
+        )
+
+    return both.groupBy("i", "j").applyInPandas(
+        block_threshold, schema="vec_id_a long, vec_id_b long, cosine double"
+    )
+
+
 @register(
     "sim_topk_cosine",
     oracle=(

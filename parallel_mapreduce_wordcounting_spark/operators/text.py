@@ -41,7 +41,7 @@ _LEX_CASE = (
     oracle=(
         "SELECT lang, source, count(*) AS n_docs, "
         "round(avg(n_chars), 6) AS avg_chars, "
-        "sum(n_chars) AS total_chars, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
         "min(doc_id) AS first_doc "
         "FROM documents GROUP BY lang, source"
     ),

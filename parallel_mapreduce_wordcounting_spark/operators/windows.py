@@ -21,8 +21,8 @@ from ..sources.loader import load_table
     "win_rank",
     oracle=(
         "SELECT c_custkey, c_nationkey, c_acctbal, "
-        "row_number() OVER w AS rn, rank() OVER w AS rnk, "
-        "dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile "
+        "CAST(row_number() OVER w AS INTEGER) AS rn, CAST(rank() OVER w AS INTEGER) AS rnk, "
+        "CAST(dense_rank() OVER w AS INTEGER) AS drnk, CAST(ntile(4) OVER w AS INTEGER) AS quartile "
         "FROM customer "
         "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)"
     ),
@@ -117,7 +117,7 @@ def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_topn_group",
     oracle=(
-        "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM ("
         "  SELECT o_custkey, o_orderkey, o_totalprice, "
         "  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
         "  FROM orders"
