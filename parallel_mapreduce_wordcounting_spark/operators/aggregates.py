@@ -185,6 +185,34 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_pivot",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f, "
+        "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o, "
+        "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): order counts by priority × status. Pivot values are
+    declared explicitly — letting Spark discover them is an extra full pass
+    and non-deterministic column order at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("cnt_f"),
+        F.coalesce("O", F.lit(0)).alias("cnt_o"),
+        F.coalesce("P", F.lit(0)).alias("cnt_p"),
+    )
+
+
+@register(
     "agg_salted",
     oracle=(
         "SELECT word, COUNT(*) AS cnt FROM ("

@@ -66,3 +66,43 @@ def mm_binary_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batch,
         schema="doc_id long, mime string, n_bytes int, checksum string, width int, height int",
     )
+
+
+@register("mm_frame_sample", oracle=None, tier="B")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque video-like payload (rows-only).
+
+    Real part: the one-row-in / many-rows-out mapInPandas plumbing a video
+    pipeline needs — each payload expands to its sampled frames with typed
+    per-frame metadata, batch-shape preserved. Stub part: "frames" are
+    fixed-size byte windows of the payload (the container has no video
+    codecs); swap `_fake_frames` for a real demuxer and nothing else changes.
+    Sampling every k-th frame is deterministic, never random."""
+    import hashlib
+
+    FRAME_BYTES, SAMPLE_EVERY = 64, 4
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def _fake_frames(payload: bytes):
+        """STUB demuxer: fixed-size windows standing in for decoded frames."""
+        for i in range(0, len(payload) // FRAME_BYTES):
+            yield i, payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+
+    def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_sha": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, frame in _fake_frames(bytes(payload)):
+                    if idx % SAMPLE_EVERY != 0:
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_sha"].append(hashlib.sha256(frame).hexdigest()[:16])
+                    rows["n_bytes"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return with_payload.mapInPandas(
+        sample_batch, schema="doc_id long, frame_idx int, frame_sha string, n_bytes int"
+    )

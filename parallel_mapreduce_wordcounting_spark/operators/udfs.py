@@ -88,13 +88,19 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
-                "geo_mean": [round(float(np.exp(np.mean(np.log(pdf["o_totalprice"])))), 4)],
+                "geo_mean_raw": [float(np.exp(np.mean(np.log(pdf["o_totalprice"]))))],
                 "n": [len(pdf)],
             }
         )
 
-    return o.groupBy("o_orderstatus").applyInPandas(
-        geo_mean, schema="o_orderstatus string, geo_mean double, n long"
+    # Round with F.round (HALF_UP, matching DuckDB) — Python/numpy round()
+    # is banker's rounding and can differ at exact .5 boundaries.
+    return (
+        o.groupBy("o_orderstatus")
+        .applyInPandas(geo_mean, schema="o_orderstatus string, geo_mean_raw double, n long")
+        .select(
+            "o_orderstatus", F.round("geo_mean_raw", 4).alias("geo_mean"), "n"
+        )
     )
 
 

@@ -156,6 +156,39 @@ def wc_distinct_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wc_topk_per_lang",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT lang, word FROM ("
+        "    SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents"
+        "  ) WHERE word <> ''"
+        "), counts AS (SELECT lang, word, count(*) AS cnt FROM toks GROUP BY lang, word) "
+        "SELECT lang, word, cnt, CAST(rn AS INTEGER) AS rn FROM ("
+        "  SELECT lang, word, cnt, row_number() OVER ("
+        "    PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM counts"
+        ") WHERE rn <= 3"
+    ),
+    tier="A",
+)
+def wc_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 3 most frequent words per language — per-group
+    word count with a rank-then-filter window instead of a global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).where(F.col("word") != "")
+    counts = toks.groupBy("lang", "word").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "word", "cnt", "rn")
+    )
+
+
+@register(
     "wc_char_freq",
     oracle=(
         "SELECT ch, COUNT(*) AS cnt FROM ("

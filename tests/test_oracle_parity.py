@@ -43,4 +43,5 @@ def test_every_query_has_oracle_or_reason():
         "sim_topk_blocked",
         "udtf_python",
         "mm_binary_surface",
+        "mm_frame_sample",
     }
