@@ -234,20 +234,27 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
         "length(text) AS n_bytes, "
-        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens "
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens, "
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) "
+        "AS bpe_regex_tokens "
         "FROM documents"
     ),
     tier="B",
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens plus the chars/4 BPE-ish estimate
-    used for LLM budget accounting."""
+    """Token counting for LLM budget accounting: whitespace tokens, the
+    chars/4 estimate, and a BPE-ish regex split (letter runs / digit runs /
+    single other-chars — the GPT-2 pre-tokenizer shape, simplified to the
+    regex subset Spark's Java regex and DuckDB's RE2 agree on)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         F.length("text").cast("long").alias("n_bytes"),
         F.ceil(F.length("text") / 4.0).alias("approx_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("long")
+        .alias("bpe_regex_tokens"),
     )
 
 
