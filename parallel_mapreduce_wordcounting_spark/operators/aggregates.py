@@ -185,6 +185,56 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_stats",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(stddev_samp(l_extendedprice), 4) AS std_price, "
+        "round(var_samp(l_extendedprice), 2) AS var_price, "
+        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+        "round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price, "
+        # DuckDB's skewness is the sample-corrected G1; Spark's is the
+        # population g1 = m3/m2^1.5 — convert: g1 = G1 * (n-2) / sqrt(n(n-1)).
+        "round(skewness(l_extendedprice) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 6) "
+        "AS skew_price "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance/skewness
+    per group — single-pass moment computations, partial+final like any agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew_price"),
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle=(
+        "SELECT l_linestatus, "
+        "count(DISTINCT l_partkey) AS uniq_parts, "
+        "count(DISTINCT l_suppkey) AS uniq_supps, "
+        "count(*) AS n_rows "
+        "FROM lineitem GROUP BY l_linestatus"
+    ),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one query — Catalyst's
+    RewriteDistinctAggregates expands the input once per distinct set
+    (an Expand node) rather than running the query twice."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("uniq_parts"),
+        F.countDistinct("l_suppkey").alias("uniq_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
     "agg_pivot",
     oracle=(
         "SELECT o_orderpriority, "

@@ -238,6 +238,35 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_nullsafe",
+    oracle=(
+        "WITH e AS (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL "
+        "ELSE event_type END AS et FROM events), "
+        "d AS (SELECT DISTINCT CASE WHEN event_type = 'error' THEN NULL "
+        "ELSE event_type END AS et FROM events) "
+        "SELECT d.et AS event_type, count(*) AS cnt FROM e "
+        "JOIN d ON e.et IS NOT DISTINCT FROM d.et GROUP BY d.et"
+    ),
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of being dropped — the semantics ETL needs when
+    a 'missing' category is itself a join key. Nulls are introduced by
+    mapping 'error' to NULL so the path is actually exercised."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("et"),
+    )
+    d = e.select("et").distinct().withColumnRenamed("et", "d_et")
+    return (
+        e.join(d, e.et.eqNullSafe(d.d_et))
+        .groupBy("d_et")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("d_et").alias("event_type"), "cnt")
+    )
+
+
+@register(
     "join_bucketed",
     oracle=(
         "SELECT o.o_orderkey, c.c_name, o.o_totalprice "

@@ -177,6 +177,42 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_nulls",
+    oracle=(
+        "WITH e AS (SELECT event_id, "
+        "CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et, "
+        "CASE WHEN value < 1.0 THEN NULL ELSE value END AS v FROM events) "
+        "SELECT event_id, "
+        "coalesce(et, 'unknown') AS et_filled, "
+        "round(coalesce(v, 0.0), 2) AS v_filled, "
+        "(et IS NULL) AS et_was_null, "
+        "(et IS NOT NULL AND v IS NOT NULL) AS row_complete "
+        "FROM e"
+    ),
+)
+def fn_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null handling: introduce NULLs (nullif/when), then fill (na.fill /
+    coalesce) and flag — the fixtures are null-free, so the null paths are
+    manufactured to actually execute."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("et"),
+        F.when(F.col("value") < 1.0, None).otherwise(F.col("value")).alias("v"),
+    )
+    filled = e.na.fill({"et": "unknown", "v": 0.0})
+    return (
+        filled.join(e.select("event_id", F.col("et").alias("et_raw"), F.col("v").alias("v_raw")), "event_id")
+        .select(
+            "event_id",
+            F.col("et").alias("et_filled"),
+            F.round("v", 2).alias("v_filled"),
+            F.col("et_raw").isNull().alias("et_was_null"),
+            (F.col("et_raw").isNotNull() & F.col("v_raw").isNotNull()).alias("row_complete"),
+        )
+    )
+
+
+@register(
     "fn_struct",
     oracle=(
         "SELECT o_orderkey, o_orderstatus AS status, "
