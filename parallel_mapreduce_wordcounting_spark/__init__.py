@@ -38,6 +38,7 @@ from .operators import (  # noqa: F401,E402
     streaming_batch,
     udfs,
     multimodal,
+    tpch,
 )
 
 __all__ = ["REGISTRY", "register", "queries", "oracle_sql", "load_table"]

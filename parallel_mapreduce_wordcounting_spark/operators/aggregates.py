@@ -15,15 +15,16 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.loader import load_table
+from .exact import money_sum, money_sum_sql
 
 
 @register(
     "agg_basic",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
-        "round(sum(l_quantity), 2) AS sum_qty, "
-        "round(sum(l_extendedprice), 2) AS sum_base_price, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        f"{money_sum_sql('l_quantity')} AS sum_qty, "
+        f"{money_sum_sql('l_extendedprice')} AS sum_base_price, "
+        f"{money_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price, "
         "round(avg(l_quantity), 6) AS avg_qty, "
         "round(avg(l_discount), 6) AS avg_disc, "
         "count(*) AS count_order "
@@ -38,9 +39,9 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
@@ -114,7 +115,7 @@ _RNC_SQL = (
 @register(
     "agg_rollup",
     oracle=(
-        f"SELECT r_name, n_name, count(*) AS n_custs, round(sum(c_acctbal), 2) AS sum_bal "
+        f"SELECT r_name, n_name, count(*) AS n_custs, {money_sum_sql('c_acctbal')} AS sum_bal "
         f"FROM {_RNC_SQL} GROUP BY ROLLUP (r_name, n_name)"
     ),
 )
@@ -125,7 +126,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            money_sum(F.col("c_acctbal")).alias("sum_bal"),
         )
     )
 
@@ -134,7 +135,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle=(
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, "
-        "round(sum(o_totalprice), 2) AS sum_price "
+        f"{money_sum_sql('o_totalprice')} AS sum_price "
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
     ),
 )
@@ -142,7 +143,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        money_sum(F.col("o_totalprice")).alias("sum_price"),
     )
 
 
@@ -292,7 +293,7 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH e AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS tsc, value FROM events) "
         "SELECT CAST(date_trunc('day', tsc) AS TIMESTAMP) AS day, "
         "CAST(date_trunc('hour', tsc) AS TIMESTAMP) AS hour, "
-        "count(*) AS cnt, round(sum(value), 2) AS total_value "
+        f"count(*) AS cnt, {money_sum_sql('value')} AS total_value "
         "FROM e GROUP BY ROLLUP (day, hour)"
     ),
 )
@@ -308,7 +309,7 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .rollup("day", "hour")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("cnt"), money_sum(F.col("value")).alias("total_value"))
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.loader import load_table
 
+from .exact import money_sum, money_sum_sql
 from .relational import ORACLE_TS  # noqa: F401 (shared µs conversion)
 
 US_PER_HOUR = 3_600_000_000
@@ -46,7 +47,7 @@ def join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_star",
     oracle=(
-        "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+        f"SELECT n.n_name, {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue, "
         "count(*) AS n_lines "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
@@ -71,9 +72,7 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )

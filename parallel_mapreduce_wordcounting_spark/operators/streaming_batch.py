@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.loader import load_table
+from .exact import money_sum, money_sum_sql
 
 US_15MIN = 900_000_000
 US_10MIN = 600_000_000
@@ -161,7 +162,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT user_id, count(*) AS n_events, "
         "make_timestamp(max(epoch_ns(ts) // 1000)) AS last_ts, "
-        "round(sum(value), 2) AS total_value "
+        f"{money_sum_sql('value')} AS total_value "
         "FROM events GROUP BY user_id"
     ),
 )
@@ -173,5 +174,5 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.max("ts").alias("last_ts"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_sum(F.col("value")).alias("total_value"),
     )
