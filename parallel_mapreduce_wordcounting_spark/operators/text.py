@@ -263,15 +263,23 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT doc_id, md5(text) AS fp, "
         "md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) "
-        "AS fp_sorted_vocab "
-        "FROM documents"
+        "AS fp_sorted_vocab, "
+        "list_min(list_transform(generate_series(1, length(text) - 15), "
+        "i -> md5(substr(text, CAST(i AS INTEGER), 16)))) AS fp_winnow "
+        "FROM documents WHERE length(text) >= 16"
     ),
     tier="B",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: exact content hash plus an order-insensitive
-    vocabulary hash (the canonicalized form catches token-order shuffles)."""
-    d = load_table(spark, sf_dir, "documents")
+    """Document fingerprinting, three grains: exact content hash, an
+    order-insensitive vocabulary hash (catches token-order shuffles), and a
+    rolling-window winnow — the minimum hash over every 16-char window, the
+    content-defined-chunking primitive that survives local edits (an edit
+    only changes the fingerprint if it touched the minimal window)."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 16)
+    winnow = F.array_min(
+        F.expr("transform(sequence(1, length(text) - 15), i -> md5(substring(text, i, 16)))")
+    )
     return d.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp"),
@@ -280,4 +288,5 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.sort_array(F.array_distinct(F.split(F.lower("text"), " ")))
             ).cast("binary")
         ).alias("fp_sorted_vocab"),
+        winnow.alias("fp_winnow"),
     )
