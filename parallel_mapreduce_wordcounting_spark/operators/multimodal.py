@@ -26,17 +26,21 @@ from ..registry import register
 from ..sources.loader import load_table
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """STUB decode: derives a deterministic fake (width, height) from the
-    payload instead of decoding an image. Replace with a real decoder; a
-    production build would raise NotImplementedError without one."""
-    return (len(payload) % 640) + 1, (payload[0] if payload else 0) + 1
-
-
 @register("mm_binary_surface", oracle=None, tier="B")
 def mm_binary_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct through a filter and a mapInPandas
-    feature-extract stage (rows-only: binary plumbing isn't SQL-oracled)."""
+    feature-extract stage (rows-only: binary plumbing isn't SQL-oracled).
+
+    Helpers are nested so cloudpickle ships them BY VALUE: a module-level
+    helper would pickle by reference and require the engine package on every
+    Python worker's import path — which the driver's session does not
+    guarantee."""
+
+    def _fake_decode(payload: bytes) -> tuple[int, int]:
+        """STUB decode: deterministic fake (width, height) from the payload
+        instead of decoding an image. Replace with a real decoder; a
+        production build would raise NotImplementedError without one."""
+        return (len(payload) % 640) + 1, (payload[0] if payload else 0) + 1
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select(
         "doc_id",

@@ -37,6 +37,35 @@ def _configure(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on Spark's Python workers.
+
+    cloudpickle serializes closures by value but module-level references by
+    name — a UDF touching a module global then needs this package on every
+    worker's import path, which the driver's session does not guarantee
+    (workers inherit neither the driver's sys.path nor its cwd). Shipping a
+    zip via addPyFile closes that hole for good; done once per context.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_pmrwc_pkg_shipped", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_root = pathlib.Path(__file__).resolve().parents[1]
+    zpath = (
+        pathlib.Path(tempfile.mkdtemp(prefix="pmrwc_pkg_"))
+        / "parallel_mapreduce_wordcounting_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_root.rglob("*.py")):
+            z.write(p, f"{pkg_root.name}/{p.relative_to(pkg_root)}")
+    sc.addPyFile(str(zpath))
+    sc._pmrwc_pkg_shipped = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
