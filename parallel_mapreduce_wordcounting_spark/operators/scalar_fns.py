@@ -57,6 +57,9 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, "
         "CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo, "
         "CAST(day(o_orderdate) AS INTEGER) AS dom, "
+        "CAST(quarter(o_orderdate) AS INTEGER) AS qtr, "
+        "CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, "
+        "CAST(weekofyear(o_orderdate) AS INTEGER) AS woy, "
         "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, "
         "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since, "
         "CAST(o_orderdate AS DATE) + 30 AS plus_30, "
@@ -72,6 +75,10 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        # Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6 → +1
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
         F.date_add(F.col("o_orderdate"), 30).alias("plus_30"),
