@@ -77,7 +77,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # raw fixture layout: ts arrived as ns-longs via the legacy conf;
+        # re-written events (e.g. staged test copies) already carry a real
+        # TimestampType and must not be converted twice
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
