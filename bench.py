@@ -57,7 +57,7 @@ def main() -> None:
         fn = engine.REGISTRY[key].fn
         fn(spark, sf_dir).collect()  # warm-up (JIT, code cache, file listing)
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
@@ -67,7 +67,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query latency, median of 3 (warm), collect() included",
+                "metric": "headline query latency, median of 5 (warm), collect() included",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
