@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--limit", type=int, default=20, help="rows to show")
     run.add_argument("--explain", action="store_true", help="print the physical plan instead")
 
+    sql = sub.add_parser("sql", help="run ad-hoc SQL against the fixture tables")
+    sql.add_argument("query", help="SQL text; tables: region nation customer supplier "
+                     "part orders lineitem events documents embeddings")
+    sql.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sql.add_argument("--limit", type=int, default=20, help="rows to show")
+
     sub.add_parser("list", help="list the operator inventory")
 
     args = parser.parse_args(argv)
@@ -83,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
                 counts = counts.limit(args.top)
             for row in counts.collect():
                 print(f"{row.word}\t{row.cnt}")
+            return 0
+
+        if args.cmd == "sql":
+            from parallel_mapreduce_wordcounting_spark.sources.loader import register_views
+
+            register_views(spark, args.sf_dir)
+            spark.sql(args.query).show(args.limit, truncate=False)
             return 0
 
         spec = engine.REGISTRY.get(args.key)

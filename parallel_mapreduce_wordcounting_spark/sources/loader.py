@@ -85,6 +85,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so users can run plain
+    SQL (``spark.sql(...)``) against the engine — the same table names the
+    DuckDB oracle uses (region nation customer supplier part orders lineitem
+    events documents embeddings)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def sink_parquet(df: DataFrame, path: str) -> None:
     """Write results back out as parquet (the reference writes output files)."""
     df.write.mode("overwrite").parquet(path)
