@@ -57,33 +57,38 @@ def register(
 # every key driver-verified across rounds we rotate: keys already verified
 # in a prior round sink to the back; never-verified keys float to the front
 # (alphabetical within each group, so the order is deterministic).
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        # CORRECTNESS_r01.json — the 50 keys the driver checked in round 1.
-        "agg_approx_distinct", "agg_basic", "agg_collect", "agg_cube",
-        "agg_distinct", "agg_grouping_sets", "agg_having", "agg_multi_distinct",
-        "agg_percentile", "agg_pivot", "agg_rollup", "agg_salted", "agg_stats",
-        "agg_time_rollup", "dedup_cluster", "dedup_embedding", "dedup_exact",
-        "dedup_fuzzy_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-        "distinct_rows", "filt_pred", "filt_regex", "fn_array", "fn_cond",
-        "fn_date", "fn_json", "fn_map", "fn_math", "fn_nulls", "fn_string",
-        "fn_struct", "join_anti", "join_asof", "join_broadcast", "join_bucketed",
-        "join_cross", "join_full", "join_inner_eq", "join_left", "join_nullsafe",
-        "join_range", "join_right", "join_semi", "join_star", "limit_k",
-        "mm_binary_surface", "mm_frame_sample", "proj_select", "scan_csv",
-    }
-)
+#
+# The verified set is DERIVED from the checked-in CORRECTNESS_r*.json files
+# — any key with a driver verdict row (hash-match or the weaker rows-only
+# check) counts as verified.  Deriving instead of hand-transcribing means
+# the rotation resyncs automatically each round and a transcription typo
+# can't silently mis-rotate (round-2 lesson: a hand-kept list went stale
+# and an off-by-two left win_running/win_topn_group outside every window).
+DRIVER_WINDOW = 50  # operational invariant: the driver verifies 50 keys/round
 
-# Keys whose round-1 check was rows-only but now carry a real oracle
-# (dedup_simhash via md5 bit votes, etc.) are re-prioritised so the
-# upgraded oracle gets a hash-match verdict.
-_REVERIFY: frozenset[str] = frozenset({"dedup_simhash", "agg_approx_distinct"})
+
+def _load_driver_verified() -> frozenset[str]:
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    keys: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):  # unreadable/partial file: skip, stay safe
+            continue
+        if isinstance(data, dict):
+            keys.update(k for k, v in data.items() if isinstance(v, dict))
+    return frozenset(keys)
+
+
+_DRIVER_VERIFIED: frozenset[str] = _load_driver_verified()
 
 
 def _emission_order() -> list[str]:
     def rank(key: str) -> tuple[int, str]:
-        verified = key in _DRIVER_VERIFIED and key not in _REVERIFY
-        return (1 if verified else 0, key)
+        return (1 if key in _DRIVER_VERIFIED else 0, key)
 
     return sorted(REGISTRY, key=rank)
 
