@@ -35,13 +35,15 @@ BENCH_KEYS = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    # local[*] is legal — shuffle partitions then follow the machine's cores
+    n_cpus = os.cpu_count() or 8 if cpus == "*" else int(cpus)
 
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("pmrwc-bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(max(n_cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -24,6 +24,7 @@ counterparts at scale.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: the pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,7 +52,6 @@ _ORACLE_PAIR_JACCARD = (
 def _make_minhash_sig():
     """Build the Arrow-batched MinHash signature UDF (lazy import shield)."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -62,10 +62,8 @@ def _make_minhash_sig():
     fmix = np.uint64(0xFF51AFD7ED558CCD)
     s33 = np.uint64(33)
 
-    from pyspark.sql.functions import PandasUDFType
-
-    @pandas_udf(ArrayType(LongType()), PandasUDFType.SCALAR)
-    def minhash_sig(hs):
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_sig(hs: pd.Series) -> pd.Series:
         def sig(h0) -> np.ndarray:
             h = np.asarray(h0, dtype=np.int64).astype(np.uint64)
             m = h[:, None] * mult[None, :] + add[None, :]
@@ -245,34 +243,61 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
         )
         .distinct()
-        .cache()
     )
-    labels = edges.select("u").distinct().withColumn("label", F.col("u")).cache()
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "u", "left")
-            .select(
-                "u",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = min_label_propagation(edges)
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def min_label_propagation(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components by min-label propagation over an undirected edge
+    list (columns ``u``, ``v``; both orientations present). Returns
+    ``(u, label)`` with label = min node id reachable from ``u``.
+
+    Converges in O(graph diameter) rounds. Near-dup clusters are small
+    cliques (diameter ≤ 2-3); if a pathological chain exceeds ``max_rounds``
+    we RAISE rather than silently return partially-propagated (wrong)
+    labels. Each round materializes the new label table, then unpersists
+    the superseded one, so memory stays O(1) in rounds. A 100 TB corpus
+    with long chains would swap in large-star/small-star (O(log n) rounds).
+    """
+    edges = edges.cache()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).cache()
+    try:
+        for _ in range(max_rounds):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("u", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("label"), F.coalesce("nmin", F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = (  # materializes new_labels' cache as a side effect
+                new_labels.alias("n")
+                .join(labels.alias("o"), "u")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        labels.unpersist()
+        raise RuntimeError(
+            f"min_label_propagation did not converge within {max_rounds} rounds "
+            f"(graph diameter > {max_rounds}); raise max_rounds or use a "
+            f"star-contraction variant"
+        )
+    finally:
+        edges.unpersist()
 
 
 @register(

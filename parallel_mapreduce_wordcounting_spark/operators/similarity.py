@@ -26,6 +26,16 @@ from ..sources.loader import load_table
 _DOT_ORACLE = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
 
 
+def round_half_up(x, decimals: int = 6):
+    """Round half away from zero — the semantics of ``F.round`` and DuckDB's
+    ``round()``. ``np.round`` is half-to-even (banker's), which can disagree
+    exactly on .5 boundaries that the ≥-threshold filters then compare."""
+    import numpy as np
+
+    f = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def dot(a, b):
     """JVM-side double-precision dot product of two float arrays."""
     return F.aggregate(
@@ -91,7 +101,7 @@ def grid_pair_sims_above(
             return empty
         A = np.stack(a["embedding"].to_numpy()).astype(np.float64)
         B = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-        S = np.round(A @ B.T, 6)
+        S = round_half_up(A @ B.T)
         ida = a["vec_id"].to_numpy()
         idb = b["vec_id"].to_numpy()
         if pdf["i"].iloc[0] == pdf["j"].iloc[0]:
@@ -170,7 +180,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
         A = np.stack(a["embedding"].to_numpy()).astype(np.float64)
         B = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-        S = np.round(A @ B.T, 6)
+        S = round_half_up(A @ B.T)
         ida = a["vec_id"].to_numpy()
         idb = b["vec_id"].to_numpy()
         diagonal = pdf["i"].iloc[0] == pdf["j"].iloc[0]
@@ -318,7 +328,7 @@ def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         C = bc.value
         for pdf in batches:
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            sims = np.round(X @ C.T, 6)
+            sims = round_half_up(X @ C.T)
             top2 = np.argsort(-sims, axis=1, kind="stable")[:, :2]
             out = pd.concat(
                 [
@@ -335,7 +345,7 @@ def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         ids = pdf["vec_id"].to_numpy()
-        S = np.round(X @ X.T, 6)
+        S = round_half_up(X @ X.T)
         ii, jj = np.nonzero(ids[:, None] < ids[None, :])
         if ii.size == 0:
             return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
