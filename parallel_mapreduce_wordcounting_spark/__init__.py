@@ -39,6 +39,14 @@ from .operators import (  # noqa: F401,E402
     udfs,
     multimodal,
     tpch,
+    tpch_ext,
+    windows_ext,
+    aggregates_ext,
+    subqueries,
+    scalar_fns_ext,
+    text_ext,
+    events_analytics,
+    similarity_ext,
 )
 
 __all__ = ["REGISTRY", "register", "queries", "oracle_sql", "load_table"]

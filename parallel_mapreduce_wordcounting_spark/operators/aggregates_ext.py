@@ -1,0 +1,200 @@
+"""Aggregate-function extensions: arg-min/max, conditional counting,
+deterministic mode, bounded products, boolean/bitwise reducers, ordered
+string aggregation, and fixed-width histograms.
+
+Cross-engine determinism notes:
+- agg_minmax_by orders by a (value, key) struct so ties resolve identically.
+- agg_mode is implemented as count + rank with a smallest-value tiebreak on
+  BOTH engines — native mode() is tie-nondeterministic on each.
+- agg_product multiplies ≤7 values per group (lineitems per order), so FP
+  rounding drift stays ~1e-16 and rounding to 6 decimals is stable.
+- agg_hist buckets with floor(x / width) — identical integer bucketing on
+  both engines, negatives floor toward -inf on both.
+
+Scale: all are single hash-shuffle groupBys with map-side partial
+aggregation; the histogram is the classic 2-phase (bucket-then-count)
+shape that never materializes per-row data on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+
+@register(
+    "agg_minmax_by",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000 + o_orderkey) AS priciest_order, "
+        "min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000 + o_orderkey) AS cheapest_order, "
+        "round(max(o_totalprice), 2) AS max_price, "
+        "round(min(o_totalprice), 2) AS min_price "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per status: the order id carrying the extreme price. The ordering
+    value packs (integer cents, orderkey) into one int64 — cents·1e9 + key,
+    far under overflow — so price ties resolve deterministically (largest
+    key wins the max side, smallest the min side) on both engines; DuckDB's
+    max_by can't order by a struct, an int key can."""
+    o = load_table(spark, sf_dir, "orders")
+    packed = F.round(F.col("o_totalprice") * 100).cast("long") * 1_000_000_000 + F.col(
+        "o_orderkey"
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", packed).alias("priciest_order"),
+        F.min_by("o_orderkey", packed).alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+@register(
+    "agg_count_if",
+    oracle=(
+        "SELECT l_returnflag, count(*) AS n, "
+        "CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted, "
+        "CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_bulk, "
+        "CAST(count_if(l_tax = 0.0) AS BIGINT) AS n_taxfree "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts in one pass — the idiom replacing N filtered
+    scans with one scan and N predicated counters (map-side combinable)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.count_if(F.col("l_tax") == 0.0).alias("n_taxfree"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle=(
+        "WITH c AS (SELECT o_orderpriority, CAST(floor(o_totalprice / 1000) AS INTEGER) "
+        "AS price_kbucket, count(*) AS cnt FROM orders "
+        "GROUP BY o_orderpriority, price_kbucket) "
+        "SELECT o_orderpriority, price_kbucket AS modal_kbucket, cnt AS modal_n "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY cnt DESC, price_kbucket) AS rn FROM c) WHERE rn = 1"
+    ),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent price bucket per priority — mode as count+rank with a
+    smallest-value tiebreak (native mode() breaks ties arbitrarily on both
+    engines, so it can never hash-match; this form is deterministic AND the
+    scalable shape: two shuffles, both on small key spaces)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 1000).cast("int")
+    counts = (
+        o.groupBy("o_orderpriority", bucket.alias("price_kbucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), F.col("price_kbucket")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("price_kbucket").alias("modal_kbucket"),
+            F.col("cnt").alias("modal_n"),
+        )
+    )
+
+
+@register(
+    "agg_product",
+    oracle=(
+        "SELECT l_orderkey, count(*) AS n_lines, "
+        "round(product(1 + l_tax), 6) AS tax_factor "
+        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 500"
+    ),
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound tax factor per order — a true multiplicative aggregate.
+    Groups are tiny (≤7 lineitems/order) so float product drift is below
+    the 6-decimal rounding; at scale the log-sum-exp form would replace it
+    for long products."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.product(1 + F.col("l_tax")), 6).alias("tax_factor"),
+        )
+        .orderBy("l_orderkey")
+        .limit(500)
+    )
+
+
+@register(
+    "agg_bool_bit",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "bool_and(o_totalprice > 1000) AS all_over_1k, "
+        "bool_or(o_orderpriority = '1-URGENT') AS any_urgent, "
+        "bit_and(o_custkey) AS key_and, "
+        "bit_or(o_custkey) AS key_or, "
+        "bit_xor(o_orderkey) AS key_xor "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean every/any and bitwise AND/OR/XOR reducers — all associative
+    and commutative, so partial aggregation is exact at any parallelism."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bit_and("o_custkey").alias("key_and"),
+        F.bit_or("o_custkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+@register(
+    "agg_string",
+    oracle=(
+        "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+)
+def agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect, sort, join — the
+    explicit sort is what makes the concatenation deterministic."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@register(
+    "agg_hist",
+    oracle=(
+        "SELECT CAST(floor(c_acctbal / 500) AS BIGINT) AS bucket, "
+        "count(*) AS n, "
+        "round(CAST(floor(c_acctbal / 500) AS BIGINT) * CAST(500.0 AS DOUBLE), 1) AS bucket_lo "
+        "FROM customer GROUP BY 1"
+    ),
+)
+def agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width balance histogram ($500 buckets, negatives floor toward
+    -inf identically on both engines) — the distributed histogram shape:
+    bucket map-side, count with partial agg, never collect raw values."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 500)
+    return (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("bucket_lo", F.round(F.col("bucket") * 500.0, 1))
+    )

@@ -1,0 +1,164 @@
+"""Event-stream analytics in batch-checkable form: conversion funnels,
+cohort retention, inter-event gap statistics, and per-window top-k — the
+product-analytics layer over the events table.
+
+Timestamps: all arithmetic is in integer microseconds (the loader's ns→µs
+conversion; oracles mirror with epoch_ns // 1000), so ordering, gaps, and
+day bucketing are exact on both engines. Gap averages divide exact integer
+sums — no float accumulation anywhere.
+
+Scale: every query shuffles once on user_id (funnel, retention, gaps) or
+(hour, type) (top-k); min/max/sum aggregates are map-side combinable. The
+funnel's staged min-after-min computation is three aggregates over the
+same user-partitioned shuffle, not a self-join explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+
+@register(
+    "event_funnel",
+    oracle=(
+        "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), "
+        "s AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id), "
+        "v AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN s ON e.user_id = s.user_id "
+        "WHERE e.event_type = 'view' AND e.ts_us > s.t1 GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts_us > v.t2 GROUP BY e.user_id) "
+        "SELECT (SELECT count(*) FROM s) AS n_signup, "
+        "(SELECT count(*) FROM v) AS n_view_after, "
+        "(SELECT count(*) FROM p) AS n_purchase_after"
+    ),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: users counted at
+    stage k only if the stage-k event strictly follows their stage-(k-1)
+    event. Three min-aggregates chained by per-user joins — all three
+    shuffle on user_id, so AQE coalesces them onto one exchange layout."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_view_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@register(
+    "event_retention",
+    oracle=(
+        "WITH e AS (SELECT user_id, "
+        "CAST((epoch_ns(ts) // 1000) // 86400000000 AS BIGINT) AS day FROM events), "
+        "first AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id), "
+        "activity AS (SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset "
+        "FROM e JOIN first f ON e.user_id = f.user_id) "
+        "SELECT cohort_day, day_offset, count(*) AS n_users "
+        "FROM activity WHERE day_offset <= 7 GROUP BY cohort_day, day_offset"
+    ),
+)
+def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active epoch-day,
+    counted on each of their first 7 offset days. Day bucketing is integer
+    µs // 86400e6 — exact, no timezone/calendar dependence."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(first, "user_id")
+        .select(
+            "user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "event_gap_stats",
+    oracle=(
+        "WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events), "
+        "gaps AS (SELECT user_id, ts_us - lag(ts_us) OVER "
+        "(PARTITION BY user_id ORDER BY ts_us) AS gap FROM e) "
+        "SELECT user_id, count(gap) AS n_gaps, "
+        "CAST(sum(gap) AS BIGINT) AS total_gap_us, max(gap) AS max_gap_us, "
+        "CAST(sum(gap) AS BIGINT) / (1.0 * count(gap)) AS avg_gap_us "
+        "FROM gaps WHERE gap IS NOT NULL GROUP BY user_id"
+    ),
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user (sessionization's raw material).
+    Gaps are exact integer µs; the average is an exact-int division."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = e.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").alias("total_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+        # no rounding: the division of two exact integers is IEEE-identical
+        # on both engines, while round(±3.6e10, 6) differs at the final ulp
+        (F.sum("gap") / (1.0 * F.count("gap"))).alias("avg_gap_us"),
+    )
+
+
+@register(
+    "stream_win_topk",
+    oracle=(
+        "WITH w AS (SELECT date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) "
+        "AS w_start, event_type, count(*) AS cnt FROM events GROUP BY 1, 2) "
+        "SELECT w_start, event_type, cnt FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY w_start "
+        "ORDER BY cnt DESC, event_type) AS rn FROM w) WHERE rn = 1"
+    ),
+)
+def stream_win_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant event type per tumbling hour — windowed aggregation followed
+    by per-window rank-1 (the trending-items shape; in streaming mode the
+    rank runs on the complete-mode sink of the windowed counts)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "cnt")
+    )
+    w = Window.partitionBy("w_start").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("w_start", "event_type", "cnt")
+    )

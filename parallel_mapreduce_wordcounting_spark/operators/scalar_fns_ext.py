@@ -1,0 +1,115 @@
+"""Scalar-function extensions: cryptographic hashes/fingerprints, regex
+multi-extraction, bitwise operators, and trigonometry — rounding out the
+§2 function surface in scalar_fns.py.
+
+All JVM-side built-ins inside whole-stage codegen; no UDFs. Hash functions
+(md5/sha256) are bit-identical across engines by specification, which makes
+fn_hash the strongest cross-engine check in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+
+@register(
+    "fn_hash",
+    oracle=(
+        "SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256, "
+        "CAST(length(md5(text)) AS INTEGER) AS md5_len "
+        "FROM documents WHERE doc_id < 100"
+    ),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints — md5 and sha-256 hex digests (the exact-dedup
+    and cache-key primitives; both lowercase-hex by spec on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+    )
+
+
+@register(
+    "fn_regexp_extract_all",
+    oracle=(
+        "SELECT doc_id, "
+        "regexp_extract_all(text, '[a-z]*a[a-z]*') AS a_words, "
+        "CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INTEGER) AS n_a_words "
+        "FROM documents WHERE doc_id < 50"
+    ),
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All matches of a pattern per document (tokens containing 'a') — the
+    multi-match sibling of fn_string's single regexp_extract. Greedy
+    leftmost matching gives identical match sets on Java regex and RE2 for
+    this alternation-free pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all("text", F.lit("[a-z]*a[a-z]*"), 0)
+    return d.where(F.col("doc_id") < 50).select(
+        "doc_id", matches.alias("a_words"), F.size(matches).alias("n_a_words")
+    )
+
+
+@register(
+    "fn_bits",
+    oracle=(
+        "SELECT o_orderkey, "
+        "o_orderkey << 3 AS shl, "
+        "o_orderkey >> 2 AS shr, "
+        "o_orderkey & 255 AS low_byte, "
+        "o_orderkey | 4096 AS with_flag, "
+        "xor(o_orderkey, o_custkey) AS key_xor, "
+        "~o_orderkey AS inverted "
+        "FROM orders WHERE o_orderkey < 500"
+    ),
+)
+def fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise shift/and/or/xor/not on 64-bit keys — two's-complement
+    semantics match exactly across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.where(k < 500).select(
+        "o_orderkey",
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.bitwise_not(k).alias("inverted"),
+    )
+
+
+@register(
+    "fn_trig",
+    oracle=(
+        "SELECT p_partkey, "
+        "round(sin(p_size / 10.0), 6) AS sin_v, "
+        "round(cos(p_size / 10.0), 6) AS cos_v, "
+        "round(atan2(p_size, p_retailprice / 100.0), 6) AS angle, "
+        "round(degrees(atan2(p_size, p_retailprice / 100.0)), 6) AS angle_deg, "
+        "round(radians(p_size), 6) AS size_rad "
+        "FROM part WHERE p_partkey < 200"
+    ),
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric surface (sin/cos/atan2/degrees/radians). Inputs are
+    exact small rationals; libm differences live at the final-ulp (1e-17)
+    level, absorbed by 6-decimal rounding."""
+    p = load_table(spark, sf_dir, "part")
+    x = F.col("p_size") / 10.0
+    angle = F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice") / 100.0)
+    return p.where(F.col("p_partkey") < 200).select(
+        "p_partkey",
+        F.round(F.sin(x), 6).alias("sin_v"),
+        F.round(F.cos(x), 6).alias("cos_v"),
+        F.round(angle, 6).alias("angle"),
+        F.round(F.degrees(angle), 6).alias("angle_deg"),
+        F.round(F.radians(F.col("p_size").cast("double")), 6).alias("size_rad"),
+    )

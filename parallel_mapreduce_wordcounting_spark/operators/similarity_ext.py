@@ -1,0 +1,77 @@
+"""Embedding-corpus diagnostics: per-label centroids and the pairwise
+similarity histogram — the tooling for choosing ANN/near-dup thresholds
+(the 0.45/0.6 cutoffs elsewhere in this engine came from exactly these
+distributions).
+
+Scale: sim_centroid is one posexplode + groupBy (shuffles on (label, pos) —
+64·n_labels keys, tiny); sim_pair_hist demonstrates the histogram contract
+on a bounded id-range slice; its full-corpus form is the block-grid GEMM of
+similarity.grid_pair_sims_above feeding the same bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+from .similarity import _DOT_ORACLE, dot
+
+
+@register(
+    "sim_centroid",
+    oracle=(
+        "SELECT label, CAST(i - 1 AS INTEGER) AS pos, "
+        "round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS centroid_val "
+        "FROM embeddings CROSS JOIN generate_series(1, 64) t(i) "
+        "GROUP BY label, i"
+    ),
+)
+def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension). posexplode turns
+    the array column into (pos, val) rows so the mean is a plain groupBy —
+    no UDF, no collect; the float32→double casts make both engines sum the
+    same doubles (order noise ~1e-15 under the 6-decimal round)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("centroid_val")
+        )
+    )
+
+
+@register(
+    "sim_pair_hist",
+    oracle=(
+        "WITH pairs AS (SELECT "
+        f"round({_DOT_ORACLE}, 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE a.vec_id < 200 AND b.vec_id < 200) "
+        "SELECT CAST(floor(cosine * 20) AS BIGINT) AS bucket, "
+        "round(CAST(floor(cosine * 20) AS BIGINT) / 20.0, 2) AS bucket_lo, "
+        "count(*) AS n_pairs "
+        "FROM pairs GROUP BY 1"
+    ),
+)
+def sim_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of pairwise cosines (0.05-wide buckets) over the first 200
+    vectors — the threshold-tuning distribution. Bucketing floors the
+    already-rounded cosine, so both engines bucket identical values."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    cosine = F.round(dot(F.col("ea"), F.col("eb")), 6)
+    bucket = F.floor(cosine * 20)
+    return (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("bucket_lo", F.round(F.col("bucket") / 20.0, 2))
+        .select("bucket", "bucket_lo", "n_pairs")
+    )

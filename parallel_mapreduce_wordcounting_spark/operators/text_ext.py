@@ -1,0 +1,199 @@
+"""Text-analysis extensions for the LLM-pipeline tier: token entropy,
+Zipf rank-frequency, bigram PMI, and document co-occurrence — corpus
+statistics a training-data pipeline computes before filtering/mixing.
+
+Exactness: every statistic is built from integer counts; the only floating
+steps are final divisions/logs of identical integers, so both engines see
+bit-identical doubles before the 6-decimal rounding.
+
+Scale: all are counts-first designs — aggregate to the (small) vocabulary
+or bigram space before any join, never join raw token streams. The
+co-occurrence self-join is bounded by per-document DISTINCT vocabulary
+(≤ |V| per doc), the standard trick that keeps it out of n² territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+def _tokens():
+    """Tokenization shared by all four: lowercase, split on single spaces —
+    identical to wordcount.py's contract tokenizer. Built lazily: Column
+    construction needs an active SparkContext."""
+    return F.split(F.lower("text"), " ")
+
+
+@register(
+    "text_entropy",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents), "
+        "cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w), "
+        "tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id) "
+        "SELECT c.doc_id, CAST(t.n AS BIGINT) AS n_tokens, "
+        "count(*) AS n_distinct, "
+        "round(-sum((c.c / (1.0 * t.n)) * log2(c.c / (1.0 * t.n))), 6) AS entropy "
+        "FROM cnt c JOIN tot t ON c.doc_id = t.doc_id "
+        "GROUP BY c.doc_id, t.n"
+    ),
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the repetition
+    detector (low entropy = boilerplate/spam) used in corpus quality
+    filtering. Counts are exact ints; p·log2 p terms sum per doc (≤31 terms,
+    noise ~1e-16 under the 6-decimal round)."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(_tokens()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / (1.0 * F.col("n"))
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+        )
+        .select(
+            "doc_id", F.col("n").alias("n_tokens"), "n_distinct", "entropy"
+        )
+    )
+
+
+@register(
+    "text_zipf",
+    oracle=(
+        "WITH wc AS (SELECT w, count(*) AS cnt FROM ("
+        "SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) "
+        "GROUP BY w) "
+        "SELECT w AS word, cnt, "
+        "CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INTEGER) AS rank, "
+        "round(log10(row_number() OVER (ORDER BY cnt DESC, w)), 6) AS log_rank, "
+        "round(log10(cnt), 6) AS log_freq "
+        "FROM wc"
+    ),
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency table (log-log columns ready for a slope fit) —
+    the vocabulary-health diagnostic. The global rank window is over the
+    aggregated vocabulary (31 rows), not the token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("w"))
+    return wc.select(
+        F.col("w").alias("word"),
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.round(F.log10(F.row_number().over(w)), 6).alias("log_rank"),
+        F.round(F.log10("cnt"), 6).alias("log_freq"),
+    )
+
+
+@register(
+    "text_bigram_pmi",
+    oracle=(
+        "WITH tok AS (SELECT string_split(lower(text), ' ') AS t FROM documents), "
+        "uni AS (SELECT unnest(t) AS w FROM tok), "
+        "ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w), "
+        "nu AS (SELECT sum(c) AS n FROM ucnt), "
+        "big AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i+1])) AS bg FROM tok), "
+        "bcnt AS (SELECT bg, count(*) AS c FROM big GROUP BY bg), "
+        "nb AS (SELECT sum(c) AS n FROM bcnt) "
+        "SELECT b.bg AS bigram, b.c AS cnt, "
+        "round(log2((b.c * nu.n * nu.n) / (1.0 * nb.n * u1.c * u2.c)), 6) AS pmi "
+        "FROM bcnt b CROSS JOIN nu CROSS JOIN nb "
+        "JOIN ucnt u1 ON string_split(b.bg, ' ')[1] = u1.w "
+        "JOIN ucnt u2 ON string_split(b.bg, ' ')[2] = u2.w "
+        "WHERE b.c >= 5 "
+        "ORDER BY pmi DESC, bigram LIMIT 50"
+    ),
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — collocation
+    mining. PMI = log2(p(xy) / (p(x)p(y))) evaluated as one integer product
+    ratio (c_xy·Nu² / (Nb·c_x·c_y), exact int64 well under overflow at this
+    vocabulary) so the double division is bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(_tokens().alias("t"))
+    ucnt = (
+        toks.select(F.explode("t").alias("w")).groupBy("w").agg(F.count("*").alias("c"))
+    )
+    nu = ucnt.agg(F.sum("c").alias("nu"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)
+                ),
+            )
+        ).alias("bg")
+    )
+    bcnt = bigrams.groupBy("bg").agg(F.count("*").alias("cb"))
+    nb = bcnt.agg(F.sum("cb").alias("nb"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    parts = F.split(F.col("bg"), " ")
+    pmi = F.round(
+        F.log2(
+            (F.col("cb") * F.col("nu") * F.col("nu"))
+            / (1.0 * F.col("nb") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        bcnt.where(F.col("cb") >= 5)
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .withColumn("w1", F.element_at(parts, 1))
+        .withColumn("w2", F.element_at(parts, 2))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(F.col("bg").alias("bigram"), F.col("cb").alias("cnt"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "text_cooccur",
+    oracle=(
+        "WITH docw AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents) "
+        "SELECT a.w AS word_a, b.w AS word_b, count(*) AS n_docs "
+        "FROM docw a JOIN docw b ON a.doc_id = b.doc_id AND a.w < b.w "
+        "GROUP BY a.w, b.w "
+        "ORDER BY n_docs DESC, word_a, word_b LIMIT 50"
+    ),
+)
+def text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence: top word pairs appearing in the same
+    documents. The join operates on per-doc DISTINCT vocabulary (≤31 rows
+    per doc), so cost is Σ vocab² per doc — the inverted-index shape, not
+    corpus²."""
+    d = load_table(spark, sf_dir, "documents")
+    docw = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("w")
+    )
+    a = docw.select("doc_id", F.col("w").alias("word_a"))
+    b = docw.select("doc_id", F.col("w").alias("word_b"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "word_a", "word_b")
+        .limit(50)
+    )

@@ -83,3 +83,43 @@ def test_whole_stage_codegen_everywhere_core(spark):
         df = engine.REGISTRY[key].fn(spark, SF_DIR)
         df.collect()
         assert "*(" in explain_str(df, "simple"), key
+
+
+def test_tpch_q6_filters_pushed_to_scan(spark):
+    """Q6 is the pushdown showcase: shipdate/discount/quantity predicates
+    must reach the parquet scan, and only the 4 referenced columns load."""
+    p = _plan(spark, "tpch_q6")
+    assert "PushedFilters:" in p
+    pushed = p.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema
+
+
+def test_tpch_q19_broadcasts_part(spark):
+    p = _plan(spark, "tpch_q19")
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q18_semi_join_no_cartesian(spark):
+    p = _plan(spark, "tpch_q18")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p  # top-100 as heap, not global sort
+
+
+def test_sample_mod_filter_pushes_to_scan(spark):
+    p = _plan(spark, "sample_mod")
+    # modulo isn't a parquet-pushable predicate, but it must sit in the scan
+    # stage (codegen Filter directly over the scan), not after an exchange
+    assert "Exchange" not in _plan_simple(spark, "sample_mod")
+
+
+def test_subq_lateral_decorrelates_to_aggregate_join(spark):
+    """The LATERAL must rewrite to groupBy + join, not a per-row re-scan:
+    exactly one aggregate over customer and one join."""
+    p = _plan_simple(spark, "subq_lateral")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def _plan_simple(spark, key):
+    return explain_str(engine.REGISTRY[key].fn(spark, SF_DIR), "simple")

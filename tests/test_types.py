@@ -21,7 +21,22 @@ _SPARK = {
     "date": "date",
     "boolean": "bool",
 }
+_SPARK.update(
+    {
+        "array<string>": "list<str>",
+        "array<bigint>": "list<i64>",
+        "array<int>": "list<i32>",
+        "array<double>": "list<f64>",
+        "array<float>": "list<f32>",
+    }
+)
+
 _DUCK = {
+    "VARCHAR[]": "list<str>",
+    "BIGINT[]": "list<i64>",
+    "INTEGER[]": "list<i32>",
+    "DOUBLE[]": "list<f64>",
+    "FLOAT[]": "list<f32>",
     "BIGINT": "i64",
     "INTEGER": "i32",
     "HUGEINT": "i128",
