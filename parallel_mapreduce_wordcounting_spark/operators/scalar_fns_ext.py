@@ -40,7 +40,7 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regexp_extract_all",
     oracle=(
         "SELECT doc_id, "
-        "regexp_extract_all(text, '[a-z]*a[a-z]*') AS a_words, "
+        "array_to_string(regexp_extract_all(text, '[a-z]*a[a-z]*'), ',') AS a_words, "
         "CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INTEGER) AS n_a_words "
         "FROM documents WHERE doc_id < 50"
     ),
@@ -49,11 +49,15 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All matches of a pattern per document (tokens containing 'a') — the
     multi-match sibling of fn_string's single regexp_extract. Greedy
     leftmost matching gives identical match sets on Java regex and RE2 for
-    this alternation-free pattern."""
+    this alternation-free pattern. The match list is emitted comma-joined
+    (order-preserving) because the driver's value-hash needs hashable cells
+    — same convention as agg_collect."""
     d = load_table(spark, sf_dir, "documents")
     matches = F.regexp_extract_all("text", F.lit("[a-z]*a[a-z]*"), 0)
     return d.where(F.col("doc_id") < 50).select(
-        "doc_id", matches.alias("a_words"), F.size(matches).alias("n_a_words")
+        "doc_id",
+        F.concat_ws(",", matches).alias("a_words"),
+        F.size(matches).alias("n_a_words"),
     )
 
 

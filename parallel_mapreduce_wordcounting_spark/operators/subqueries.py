@@ -27,7 +27,7 @@ from .exact import money_sum, money_sum_sql
     oracle=(
         "SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice "
         "FROM orders WHERE o_totalprice > 1.5 * ("
-        "CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders) AS BIGINT)"
+        "CAST((SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) FROM orders) AS BIGINT)"
         " / (100.0 * (SELECT count(*) FROM orders)))"
     ),
 )
@@ -40,7 +40,7 @@ def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     avg_price = o.agg(
         (
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
             / (100.0 * F.count(F.lit(1)))
         ).alias("ap")
     )
@@ -122,7 +122,7 @@ def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  SELECT count(*) AS n_rich, "
         # CAST to DOUBLE: Spark SQL's bigint / 100.0 is DECIMAL arithmetic,
         # DuckDB's is DOUBLE — align the output type explicitly.
-        "  CAST(coalesce(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 0.0) AS DOUBLE) AS bal "
+        "  CAST(coalesce(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0, 0.0) AS DOUBLE) AS bal "
         "  FROM pmrwc_sub_customer c WHERE c.c_nationkey = n.n_nationkey "
         "  AND c.c_acctbal > 5000"
         ") t"

@@ -41,13 +41,13 @@ def _ts(s: str):
 def _cents_avg(col, decimals: int = 6):
     """Exact average of a 2-decimal money column: integer-cent sum / count."""
     return F.round(
-        F.sum(F.round(col * 100).cast("long")) / (100.0 * F.count(F.lit(1))), decimals
+        F.sum(F.floor(col * 100 + F.lit(0.5))) / (100.0 * F.count(F.lit(1))), decimals
     )
 
 
 def _cents_avg_sql(expr: str, decimals: int = 6) -> str:
     return (
-        f"round(CAST(sum(CAST(round(({expr}) * 100) AS BIGINT)) AS BIGINT)"
+        f"round(CAST(sum(CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)) AS BIGINT)"
         f" / (100.0 * count(*)), {decimals})"
     )
 
@@ -199,7 +199,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH allrev AS ("
         "  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year, "
-        "  CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents, "
+        "  CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents, "
         "  n1.n_name AS supp_nation "
         "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "  JOIN customer c ON o.o_custkey = c.c_custkey "
@@ -231,7 +231,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
-    cents = F.round(_rev() * 100).cast("long")
+    cents = F.floor(_rev() * 100 + F.lit(0.5))
     base = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .where(
@@ -324,9 +324,9 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT round("
         "100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' "
-        "THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) "
+        "THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) "
         "ELSE 0 END) AS BIGINT) "
-        "/ (1.0 * CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT))"
+        "/ (1.0 * CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT))"
         ", 6) AS promo_revenue "
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
         "WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' "
@@ -338,7 +338,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts. Both sides of the ratio are integer-cent sums."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    cents = F.round(_rev() * 100).cast("long")
+    cents = F.floor(_rev() * 100 + F.lit(0.5))
     return (
         l.where(
             (F.col("l_shipdate") >= _ts("1996-03-01 00:00:00"))
@@ -398,7 +398,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) / (1.0 * count(*)) AS aq "
         "  FROM lineitem GROUP BY l_partkey"
         ") SELECT round("
-        "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / 7.0"
+        "CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / 7.0"
         ", 6) AS avg_yearly "
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
         "JOIN avg_qty a ON l.l_partkey = a.l_partkey "
@@ -421,7 +421,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(
             F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0,
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))) / 100.0 / 7.0,
                 6,
             ).alias("avg_yearly")
         )
@@ -513,7 +513,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22",
     oracle=(
         "WITH avg_bal AS ("
-        "  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+        "  SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) "
         "  / (100.0 * count(*)) AS ab "
         "  FROM customer WHERE c_acctbal > 0.0"
         ") SELECT c.c_nationkey % 5 AS cntrycode, count(*) AS numcust, "
@@ -537,7 +537,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
         (
-            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)))
             / (100.0 * F.count(F.lit(1)))
         ).alias("ab")
     )

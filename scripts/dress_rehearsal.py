@@ -33,6 +33,10 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return str(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     return v
 
 
