@@ -38,8 +38,10 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     31-row vocabulary, not the token stream — the pattern for making an
     unavoidable row UDF harmless at scale."""
 
+    # no type hints: `word: str -> int` trips the Arrow eval-type inference
+    # (UNSUPPORTED_SIGNATURE warning) — this is deliberately a classic row UDF
     @udf(returnType=IntegerType())
-    def n_vowels(word: str) -> int:
+    def n_vowels(word):
         return sum(1 for ch in word if ch in "aeiou")
 
     wc = tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))

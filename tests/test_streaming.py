@@ -172,3 +172,29 @@ def test_watermark_drops_late_rows(spark):
     }
     assert counts.get("10") == 1, f"late row leaked into closed window: {counts}"
     assert counts.get("12") == 1, f"on-time row missing: {counts}"
+
+
+def test_stream_win_topk_equals_batch(spark):
+    """stream_win_topk's documented streaming form: windowed counts run as a
+    complete-mode stream; the per-window rank-1 runs on the sink output."""
+    from pyspark.sql import Window
+
+    stream, _ = events_stream(spark, SF_DIR)
+    counts = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "cnt")
+    )
+    sink = run_to_batch(spark, counts, output_mode="complete")
+    w = Window.partitionBy("w_start").orderBy(F.col("cnt").desc(), "event_type")
+    result = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("w_start", "event_type", "cnt")
+    )
+
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    batch = engine.REGISTRY["stream_win_topk"].fn(spark, SF_DIR)
+    cols = ["w_start", "event_type", "cnt"]
+    assert _normalize(result, cols) == _normalize(batch, cols)
