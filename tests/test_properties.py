@@ -60,3 +60,28 @@ def test_dedup_exact_idempotent(spark, texts):
     again = once.groupBy("text").agg(F.min("keep_doc_id").alias("keep_doc_id"))
     assert sorted(once.collect()) == sorted(again.collect())
     assert once.count() == len(set(texts))
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    """The README/SCALE.md exactness claim, enforced: float-sensitive keys
+    (fixed-point money sums, exact-int averages, rounded divisions) return
+    the identical row multiset at shuffle.partitions 3 and 200 — i.e. no
+    result depends on summation order / parallelism."""
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    from .conftest import SF_DIR
+
+    KEYS = ["agg_basic", "tpch_q1", "tpch_q10", "text_entropy",
+            "event_gap_stats", "sim_centroid", "subq_scalar"]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for k in KEYS:
+                rows = sorted(map(tuple, engine.REGISTRY[k].fn(spark, SF_DIR).collect()))
+                results.setdefault(k, []).append(rows)
+        for k, (a, b) in results.items():
+            assert a == b, f"{k} differs between 3 and 200 shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
