@@ -40,6 +40,7 @@ from .operators import (  # noqa: F401,E402
     multimodal,
     tpch,
     tpch_ext,
+    tpch_full,
     windows_ext,
     aggregates_ext,
     subqueries,
