@@ -72,7 +72,8 @@ def test_results_invariant_to_shuffle_partition_count(spark):
     from .conftest import SF_DIR
 
     KEYS = ["agg_basic", "tpch_q1", "tpch_q10", "text_entropy",
-            "event_gap_stats", "sim_centroid", "subq_scalar"]
+            "event_gap_stats", "sim_centroid", "subq_scalar",
+            "tpch_q2", "tpch_q11"]  # q2: unit-price cents min; q11: cents>frac-of-total cut
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
