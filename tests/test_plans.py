@@ -123,3 +123,36 @@ def test_subq_lateral_decorrelates_to_aggregate_join(spark):
 
 def _plan_simple(spark, key):
     return explain_str(engine.REGISTRY[key].fn(spark, SF_DIR), "simple")
+
+
+def test_tpch_q2_broadcasts_all_dimensions(spark):
+    """Q2's only shuffles are the pair-cost aggregate and its window-min;
+    supplier/nation/region/part all broadcast, and top-100 is a heap."""
+    p = _plan(spark, "tpch_q2")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q11_scalar_total_broadcasts(spark):
+    """The fraction-of-total threshold must come from a broadcast 1-row
+    aggregate, never a per-row recompute or a cartesian blow-up."""
+    p = _plan_simple(spark, "tpch_q11")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_tpch_q21_single_fact_pass_no_correlated_rescans(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is algebraized to one per-order
+    aggregate: no nested-loop join anywhere, supplier side broadcast,
+    top-100 as a heap."""
+    p = _plan(spark, "tpch_q21")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q12_date_range_pushed_to_scan(spark):
+    p = _plan(spark, "tpch_q12")
+    pushed = p.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed
