@@ -358,6 +358,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over distinct tokens of ±1 according to that bit of xxhash64(token).
     Near-identical docs agree on almost all bits; identical token sets agree
     on all. No shuffle at all — fingerprinting is embarrassingly parallel.
+
+    The bit-vote accumulation is a SINGLE aggregate over the token hashes
+    carrying a 64-int vote array (each step fans a hash out to all 64
+    counters via zip_with) — the per-bit outer loop form re-walks the hash
+    array 64 times in interpreted lambda eval and measured 5× slower at
+    sf0.1 (3.3 s → 0.66 s, identical output).
     """
     d = load_table(spark, sf_dir, "documents")
     hashes = F.transform(
@@ -368,8 +374,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = F.expr(
         "aggregate("
         "  zip_with("
-        "    transform(sequence(0, 63), b -> "
-        "      aggregate(hs, 0, (acc, h) -> acc + IF(((h >> b) & 1) = 1, 1, -1))),"
+        "    aggregate(hs, array_repeat(0, 64),"
+        "      (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) -> a + IF(((h >> b) & 1) = 1, 1, -1))),"
         "    sequence(0, 63),"
         "    (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)"
         "  ), 0L, (acc, x) -> acc | x)"
