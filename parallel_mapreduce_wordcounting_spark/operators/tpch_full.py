@@ -270,6 +270,79 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q20 oracle (DuckDB), kept beside the implementation so round 4 only adds
+# the @register line — the driver's 50-slot verification window is full this
+# round (COVERAGE.md, "Driver verification budget").
+TPCH_Q20_ORACLE = (
+    "WITH shipped AS ("
+    "  SELECT l_suppkey, l_partkey, "
+    "    CAST(coalesce(sum(CAST(l_quantity AS BIGINT)) FILTER ("
+    "      l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'), 0) AS BIGINT) AS qty_97, "
+    "    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_all "
+    "  FROM lineitem GROUP BY 1, 2"
+    ") SELECT DISTINCT s.s_name, round(s.s_acctbal, 2) AS s_acctbal "
+    "FROM shipped sh "
+    "JOIN part p ON sh.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%' "
+    "JOIN supplier s ON sh.l_suppkey = s.s_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'MIDDLE EAST' AND sh.qty_97 > 0.5 * sh.qty_all "
+    "ORDER BY s_name"
+)
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion, adapted: MIDDLE EAST suppliers holding a
+    part↔supplier pair (no partsupp — pairs come from lineitem) on a
+    '%bolt%' part whose 1997 shipped quantity exceeds half the pair's
+    all-time shipped quantity (the original compares ps_availqty against
+    half the year's shipments; with no availqty the ratio inverts onto the
+    shipment history itself). Quantities are integral, summed as int64 —
+    the 0.5× threshold compare is exact on both engines.
+
+    NOT YET REGISTERED: the driver's 50-slot verification window is full
+    this round; round 4 adds ``@register("tpch_q20", oracle=TPCH_Q20_ORACLE)``.
+    Until then tests/test_round3.py compares it to DuckDB directly.
+
+    Scale: one lineitem shuffle on (suppkey, partkey); part filter and the
+    supplier→nation→region chain broadcast; DISTINCT runs on the tiny
+    qualified-supplier set."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    in_97 = (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00")) & (
+        F.col("l_shipdate") < _ts("1998-01-01 00:00:00")
+    )
+    qty = F.col("l_quantity").cast("long")
+    shipped = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.coalesce(F.sum(F.when(in_97, qty)), F.lit(0)).alias("qty_97"),
+        F.sum(qty).alias("qty_all"),
+    )
+    me_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "MIDDLE EAST")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        shipped.where(F.col("qty_97") > 0.5 * F.col("qty_all"))
+        .join(
+            F.broadcast(p.where(F.col("p_name").like("%bolt%")).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(me_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
 @register(
     "tpch_q21",
     oracle=(

@@ -104,3 +104,19 @@ def test_approx_distinct_within_hll_error(spark):
     assert set(approx) == set(exact)
     for flag, est in approx.items():
         assert abs(est - exact[flag]) / exact[flag] <= 0.05, (flag, est, exact[flag])
+
+
+def test_tpch_q20_matches_duckdb_directly(spark, duck):
+    """Q20 is implemented but deliberately unregistered (the driver's
+    50-slot verification window is full this round — COVERAGE.md). Compare
+    it against its oracle SQL here so round 4's @register is a one-liner on
+    already-verified code."""
+    from parallel_mapreduce_wordcounting_spark.operators.tpch_full import (
+        TPCH_Q20_ORACLE,
+        tpch_q20,
+    )
+
+    got = sorted(map(tuple, tpch_q20(spark, SF).collect()))
+    want = sorted(map(tuple, duck.execute(TPCH_Q20_ORACLE).fetchall()))
+    assert len(got) > 0
+    assert got == want
