@@ -50,5 +50,7 @@ from .operators import (  # noqa: F401,E402
     similarity_ext,
 )
 
-__all__ = ["REGISTRY", "register", "queries", "oracle_sql", "load_table"]
+from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)
+
+__all__ = ["REGISTRY", "register", "queries", "oracle_sql", "load_table", "pipelines"]
 __version__ = "0.1.0"
