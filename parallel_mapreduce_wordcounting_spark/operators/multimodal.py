@@ -72,6 +72,43 @@ def mm_binary_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_embed(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """Binary payload → feature embedding (``array<float>``), the bridge
+    from the multimodal decode surface into the similarity/ANN operators.
+
+    NOT REGISTERED this round (the driver's 50-slot verification window is
+    full — COVERAGE.md); exercised by tests/test_pipelines.py's
+    multimodal→ANN composition test instead.
+
+    Real part: the mapInPandas batch shape (binary in, fixed-width float
+    vector out), L2 normalization so downstream cosine ≡ dot, and the
+    schema the similarity operators expect (vec_id, embedding). Stub part:
+    the "feature extractor" is a byte-value histogram — deterministic,
+    content-sensitive, and swappable for a real vision/audio encoder with
+    no plumbing change. Embarrassingly parallel: no shuffle, Arrow-batched.
+    """
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        F.col("doc_id").alias("vec_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b % dim, minlength=dim).astype(np.float32)
+                norm = float(np.linalg.norm(hist))
+                vecs.append((hist / norm if norm else hist).tolist())
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "embedding": vecs})
+
+    return with_payload.mapInPandas(
+        embed_batch, schema="vec_id long, embedding array<float>"
+    )
+
+
 @register("mm_frame_sample", oracle=None, tier="B")
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over an opaque video-like payload (rows-only).

@@ -51,3 +51,42 @@ def test_lang_gate_filters(spark):
     both = curate(spark, SF, langs=("en", "de"))
     assert en.count() <= both.count()
     assert {r.lang for r in en.collect()} <= {"en"}
+
+
+def test_multimodal_embed_feeds_similarity_search(spark):
+    """The multimodal→ANN bridge: mm_embed produces L2-normalized
+    array<float> vectors from binary payloads; a broadcast query against
+    them (the sim_knn_query shape) must rank the query's own near-duplicate
+    first — the sf0.001 fixture plants doc 8 ≈ doc 12."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_wordcounting_spark.operators.multimodal import mm_embed
+    from parallel_mapreduce_wordcounting_spark.operators.similarity import dot
+
+    emb = mm_embed(spark, SF)
+    # schema contract the similarity operators expect
+    assert dict(emb.dtypes) == {"vec_id": "bigint", "embedding": "array<float>"}
+    # L2-normalized: ||v|| == 1 for non-empty payloads
+    norms = emb.select(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        ).alias("sq")
+    ).collect()
+    assert all(abs(r.sq - 1.0) < 1e-5 for r in norms)
+
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == 8).select(F.col("embedding").alias("q_emb"))
+    )
+    top = (
+        emb.where(F.col("vec_id") != 8)
+        .crossJoin(q)
+        .select("vec_id", dot(F.col("embedding"), F.col("q_emb")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(3)
+        .collect()
+    )
+    # A byte-histogram is a coarse feature; the planted near-dup must still
+    # sit in the top-3 with near-unit cosine (exact rank depends on other
+    # clique members of the synthetic corpus).
+    by_id = {r.vec_id: r.cosine for r in top}
+    assert 12 in by_id and by_id[12] > 0.999, top
