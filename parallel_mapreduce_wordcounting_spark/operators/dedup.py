@@ -256,9 +256,14 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     Converges in O(graph diameter) rounds. Near-dup clusters are small
     cliques (diameter ≤ 2-3); if a pathological chain exceeds ``max_rounds``
     we RAISE rather than silently return partially-propagated (wrong)
-    labels. Each round materializes the new label table, then unpersists
-    the superseded one, so memory stays O(1) in rounds. A 100 TB corpus
-    with long chains would swap in large-star/small-star (O(log n) rounds).
+    labels. Each round ``localCheckpoint``s the new label table — this both
+    materializes it AND truncates the logical plan, so the returned
+    DataFrame's lineage is one checkpoint deep, not O(rounds) joins deep
+    (an un-truncated iterative lineage makes every later action replan the
+    whole tree — the audited plan string had 822 exchanges). Memory stays
+    O(1) in rounds (superseded checkpoints are GC-reclaimed). A 100 TB
+    deployment would use a reliable ``checkpoint()`` dir instead (surviving
+    executor loss) and the large-star/small-star variant for long chains.
     """
     edges = edges.cache()
     labels = edges.select("u").distinct().withColumn("label", F.col("u")).cache()
@@ -277,9 +282,9 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
                         F.col("label"), F.coalesce("nmin", F.col("label"))
                     ).alias("label"),
                 )
-                .cache()
+                .localCheckpoint()  # materialize + truncate lineage
             )
-            changed = (  # materializes new_labels' cache as a side effect
+            changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "u")
                 .where(F.col("n.label") != F.col("o.label"))
