@@ -62,6 +62,60 @@ def sample_stratified(
     )
 
 
+EVENT_SESSIONIZE_ORACLE = (
+    "WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events), "
+    "gaps AS ("
+    "  SELECT user_id, event_id, ts_us, "
+    "    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 "
+    "         OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_start "
+    "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    "), sess AS ("
+    "  SELECT user_id, ts_us, CAST(sum(is_start) OVER ("
+    "    PARTITION BY user_id ORDER BY ts_us, event_id"
+    "  ) AS BIGINT) AS session_id FROM gaps"
+    ") SELECT user_id, session_id, count(*) AS n_events, "
+    "min(ts_us) AS start_us, max(ts_us) AS end_us "
+    "FROM sess GROUP BY user_id, session_id"
+)
+
+
+def event_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch sessionization with explicit session ids: a user's events more
+    than ``gap_minutes`` apart start a new session (the lag → boundary-flag
+    → running-sum pattern; `stream_session` counts per session window but
+    never materializes a joinable session id — this does).
+
+    All arithmetic is exact integer microseconds (engine-independent; same
+    convention as events_analytics.py). One shuffle on user_id serves the
+    lag window, the running sum, AND the final per-session aggregate —
+    Catalyst keeps all three in the same user_id partitioning.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1
+        ).when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0),
+    )
+    with_ids = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_ids.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
 JOIN_SALTED_ORACLE = (
     "SELECT s.s_nationkey, "
     f"{money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue, "

@@ -50,3 +50,30 @@ def test_join_salted_result_invariant_to_salt_width(spark):
     a = sorted(map(tuple, join_salted(spark, SF, n_salt=2).collect()))
     b = sorted(map(tuple, join_salted(spark, SF, n_salt=16).collect()))
     assert a == b
+
+
+def test_event_sessionize_matches_duckdb(spark, duck):
+    from parallel_mapreduce_wordcounting_spark.operators.staged import (
+        EVENT_SESSIONIZE_ORACLE,
+        event_sessionize,
+    )
+
+    got = sorted(map(tuple, event_sessionize(spark, SF).collect()))
+    want = sorted(map(tuple, duck.execute(EVENT_SESSIONIZE_ORACLE).fetchall()))
+    assert len(got) > 0
+    assert got == want
+
+
+def test_event_sessionize_sessions_respect_gap(spark):
+    from parallel_mapreduce_wordcounting_spark.operators.staged import event_sessionize
+
+    out = event_sessionize(spark, SF, gap_minutes=30).collect()
+    # session ids are 1..k contiguous per user; sessions don't overlap in time
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.session_id)
+        assert [r.session_id for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert b.start_us - a.end_us > 30 * 60 * 1_000_000
