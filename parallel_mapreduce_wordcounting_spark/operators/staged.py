@@ -116,6 +116,32 @@ def event_sessionize(
     )
 
 
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: one HLL sketch per day
+    (``hll_sketch_agg``), then ``hll_union_agg`` folds the daily sketches
+    into the period total — the pattern that replaces count-distinct at
+    100 TB (per-partition/day sketches are tiny, merge is register-max:
+    commutative, idempotent, order-independent, so incremental daily jobs
+    and the one-shot batch agree EXACTLY, not just approximately).
+
+    Output: per-day estimates plus the merged period estimate. Rows-only
+    territory by nature (DuckDB's approx_count_distinct uses a different
+    sketch), so the direct test asserts the merge-vs-single-pass identity
+    and the estimate's documented HLL error bound instead.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit(None).cast("timestamp").alias("day"), "est_users")
+    return per_day.unionByName(total).orderBy(F.col("day").asc_nulls_last())
+
+
 JOIN_SALTED_ORACLE = (
     "SELECT s.s_nationkey, "
     f"{money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue, "

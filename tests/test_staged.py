@@ -77,3 +77,32 @@ def test_event_sessionize_sessions_respect_gap(spark):
         assert [r.session_id for r in rows] == list(range(1, len(rows) + 1))
         for a, b in zip(rows, rows[1:]):
             assert b.start_us - a.end_us > 30 * 60 * 1_000_000
+
+
+def test_agg_sketch_merge_is_exactly_mergeable(spark):
+    """HLL register-max merging is commutative and idempotent, so the
+    daily-sketches→union estimate must EQUAL the single-pass estimate, and
+    sit within the standard HLL error of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_wordcounting_spark.operators.staged import agg_sketch_merge
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    out = agg_sketch_merge(spark, SF).collect()
+    merged = [r.est_users for r in out if r.day is None]
+    assert len(merged) == 1
+
+    e = load_table(spark, SF, "events")
+    single = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0].est
+    assert merged[0] == single  # merge-order independence, exact
+
+    exact = e.select("user_id").distinct().count()
+    assert abs(merged[0] - exact) <= max(3, 0.05 * exact)
+    # per-day rows cover every day present in the fixture
+    days = {r.day for r in out if r.day is not None}
+    want_days = {
+        r.d for r in e.select(F.date_trunc("day", "ts").alias("d")).distinct().collect()
+    }
+    assert days == want_days
