@@ -95,6 +95,13 @@ def event_sessionize(
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
     )
+    return sessionize_events(e, gap_minutes)
+
+
+def sessionize_events(e: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Core sessionization over a ``(user_id, event_id, ts_us)`` DataFrame —
+    separated from the table loader so property tests can drive it with
+    synthetic streams."""
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
     flagged = e.withColumn(

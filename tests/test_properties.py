@@ -86,3 +86,46 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             assert a == b, f"{k} differs between 3 and 200 shuffle partitions"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # user_id
+            st.integers(min_value=0, max_value=10_000),   # minutes offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionize_partitions_stream_with_bounded_gaps(spark, events):
+    """For ANY event stream: sessions partition each user's events exactly,
+    every between-session gap exceeds the threshold, and every session's
+    span is consistent with its event count (within-session consecutive
+    gaps ≤ threshold ⇒ span ≤ (n−1)·gap)."""
+    from parallel_mapreduce_wordcounting_spark.operators.staged import (
+        sessionize_events,
+    )
+
+    GAP_MIN = 30
+    gap_us = GAP_MIN * 60 * 1_000_000
+    rows = [
+        (user, i, minutes * 60 * 1_000_000)
+        for i, (user, minutes) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+    out = sessionize_events(df, gap_minutes=GAP_MIN).collect()
+
+    assert sum(r.n_events for r in out) == len(rows)  # exact partition
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, sess in by_user.items():
+        sess.sort(key=lambda r: r.session_id)
+        assert [r.session_id for r in sess] == list(range(1, len(sess) + 1))
+        for s in sess:
+            assert s.start_us <= s.end_us
+            assert s.end_us - s.start_us <= (s.n_events - 1) * gap_us
+        for a, b in zip(sess, sess[1:]):
+            assert b.start_us - a.end_us > gap_us
