@@ -56,6 +56,30 @@ def events_stream(
     return stream, stage
 
 
+def documents_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> tuple[DataFrame, str]:
+    """File-source stream over the documents table (the flagship word-count
+    input), chunked on ``doc_id % n_chunks`` — no event time, so chunk
+    order is irrelevant; each micro-batch is just more corpus."""
+    src = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="pmrwc_docstream_")
+    for i in range(n_chunks):
+        (
+            src.where(F.col("doc_id") % n_chunks == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{stage}/c{i}")
+        )
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    return stream, stage
+
+
 def run_to_batch(
     spark: SparkSession,
     stream_df: DataFrame,

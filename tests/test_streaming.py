@@ -198,3 +198,29 @@ def test_stream_win_topk_equals_batch(spark):
     batch = engine.REGISTRY["stream_win_topk"].fn(spark, SF_DIR)
     cols = ["w_start", "event_type", "cnt"]
     assert _normalize(result, cols) == _normalize(batch, cols)
+
+
+def test_streaming_word_count_equals_batch(spark):
+    """The flagship reference operator as a REAL stream: incremental word
+    counts over a documents file-stream (4 micro-batches, complete mode)
+    must equal the batch wc_counts operator exactly — Structured Streaming's
+    incremental hash aggregate is the MapReduce combine/reduce, maintained
+    across batches."""
+    from parallel_mapreduce_wordcounting_spark.streaming.runner import (
+        documents_stream,
+    )
+
+    stream, _ = documents_stream(spark, SF_DIR)
+    counts = (
+        stream.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    result = run_to_batch(spark, counts, output_mode="complete")
+
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    batch = engine.REGISTRY["wc_counts"].fn(spark, SF_DIR)
+    cols = ["word", "cnt"]
+    assert _normalize(result, cols) == _normalize(batch, cols)
