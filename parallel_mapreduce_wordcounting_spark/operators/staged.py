@@ -149,6 +149,52 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total).orderBy(F.col("day").asc_nulls_last())
 
 
+TEXT_UNIGRAM_LOGPROB_ORACLE = (
+    "WITH toks AS ("
+    "  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+    "  FROM documents"
+    "), freq AS ("
+    "  SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w"
+    "), tot AS (SELECT sum(c) AS n FROM freq) "
+    "SELECT t.doc_id, count(*) AS n_tokens, "
+    "round(sum(ln(f.c / (1.0 * tot.n))) / count(*), 6) AS avg_logprob "
+    "FROM toks t JOIN freq f ON t.w = f.w CROSS JOIN tot "
+    "WHERE t.w <> '' "
+    "GROUP BY t.doc_id"
+)
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average token log-likelihood under the corpus unigram
+    model — the classic cheap LM-quality proxy (documents full of rare
+    tokens score low; `text_entropy` measures WITHIN-doc diversity, this
+    measures typicality AGAINST the corpus). Used as a filter threshold in
+    pre-training pipelines where a real LM is too expensive to run on
+    everything.
+
+    Scale: the unigram table is vocabulary-sized → broadcast join onto the
+    token stream; the global total rides along as a one-row broadcast. One
+    shuffle for the frequency aggregate, one for the per-doc group.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(freq), "w")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("c") / (1.0 * F.col("n")))) / F.count("*"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 JOIN_SALTED_ORACLE = (
     "SELECT s.s_nationkey, "
     f"{money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue, "

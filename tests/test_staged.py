@@ -106,3 +106,27 @@ def test_agg_sketch_merge_is_exactly_mergeable(spark):
         r.d for r in e.select(F.date_trunc("day", "ts").alias("d")).distinct().collect()
     }
     assert days == want_days
+
+
+def test_text_unigram_logprob_matches_duckdb(spark, duck):
+    from parallel_mapreduce_wordcounting_spark.operators.staged import (
+        TEXT_UNIGRAM_LOGPROB_ORACLE,
+        text_unigram_logprob,
+    )
+
+    got = sorted(map(tuple, text_unigram_logprob(spark, SF).collect()))
+    want = sorted(map(tuple, duck.execute(TEXT_UNIGRAM_LOGPROB_ORACLE).fetchall()))
+    assert len(got) == 500  # every sf0.001 document scores
+    assert got == want
+
+
+def test_text_unigram_logprob_bounds(spark):
+    from parallel_mapreduce_wordcounting_spark.operators.staged import (
+        text_unigram_logprob,
+    )
+
+    rows = text_unigram_logprob(spark, SF).collect()
+    # log-likelihoods are strictly negative; a 31-word vocab bounds the
+    # worst case well above ln(1/total_tokens)
+    assert all(r.avg_logprob < 0 for r in rows)
+    assert all(r.avg_logprob > -20 for r in rows)
