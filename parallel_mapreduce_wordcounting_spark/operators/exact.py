@@ -9,14 +9,17 @@ engines, so the cents are identical), sum as 64-bit integers — exact and
 order-independent — and divide by 100 at the end. The result is
 bit-identical on any engine at any partition count.
 
-The per-term rounding is ``floor(x*100 + 0.5)`` — round-half-toward-+inf —
-on BOTH engines, not ``round()``: Spark's ``F.round`` routes every row
-through BigDecimal HALF_UP, which profiling showed doubles agg_basic's
-runtime at sf0.1 (597 ms → 304 ms with the floor form, identical output).
-floor+0.5 and round() agree everywhere except exactly-representable
-negative half-cent inputs, which stored 2-decimal columns cannot produce
-(they sit within 1 ulp of an integer cent count); mirroring floor on the
-DuckDB side makes the two engines identical by construction regardless.
+The per-term rounding is ``sign(x) * floor(abs(x)*100 + 0.5)`` — round half
+AWAY FROM ZERO (HALF_UP), matching ``F.round``'s BigDecimal convention on
+negative terms too (a bare ``floor(x*100 + 0.5)`` rounds half toward +inf,
+which diverges on exactly-representable negative half-cents; ADVICE r3).
+It avoids ``F.round`` itself because that routes every row through
+BigDecimal, which profiling showed doubles agg_basic's runtime at sf0.1
+(597 ms → 304 ms with the floor form, identical output). The sign/abs/floor
+composition stays inside whole-stage codegen; the product sign*floor is an
+integer-valued double well under 2^53, so the cast to long is exact.
+tests/test_types.py pins the negative-half-cent behavior against both
+``F.round`` and the DuckDB mirror.
 """
 
 from __future__ import annotations
@@ -25,15 +28,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def money_sum(expr: Column) -> Column:
-    """SUM of a money expression, exact to the cent in any summation order.
+def money_cents(expr: Column) -> Column:
+    """``expr`` rounded to integer cents, HALF_UP, as int64."""
+    return (F.signum(expr) * F.floor(F.abs(expr) * 100 + F.lit(0.5))).cast("long")
 
-    ``F.floor`` already returns LONG, so the sum is pure int64 arithmetic
-    inside whole-stage codegen — no BigDecimal, no extra cast.
-    """
-    return F.sum(F.floor(expr * 100 + F.lit(0.5))) / 100.0
+
+def money_sum(expr: Column) -> Column:
+    """SUM of a money expression, exact to the cent in any summation order."""
+    return F.sum(money_cents(expr)) / 100.0
+
+
+def money_cents_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`money_cents`."""
+    return f"CAST(sign(({expr})) * floor(abs(({expr})) * 100 + 0.5) AS BIGINT)"
 
 
 def money_sum_sql(expr: str) -> str:
     """DuckDB mirror of :func:`money_sum` (sum cast from HUGEINT first)."""
-    return f"CAST(sum(CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0"
+    return f"CAST(sum({money_cents_sql(expr)}) AS BIGINT) / 100.0"

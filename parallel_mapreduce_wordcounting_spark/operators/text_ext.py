@@ -112,7 +112,8 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bcnt AS (SELECT bg, count(*) AS c FROM big GROUP BY bg), "
         "nb AS (SELECT sum(c) AS n FROM bcnt) "
         "SELECT b.bg AS bigram, b.c AS cnt, "
-        "round(log2((b.c * nu.n * nu.n) / (1.0 * nb.n * u1.c * u2.c)), 6) AS pmi "
+        "round(log2(((1.0 * b.c) / nb.n) / "
+        "(((1.0 * u1.c) / nu.n) * ((1.0 * u2.c) / nu.n))), 6) AS pmi "
         "FROM bcnt b CROSS JOIN nu CROSS JOIN nb "
         "JOIN ucnt u1 ON string_split(b.bg, ' ')[1] = u1.w "
         "JOIN ucnt u2 ON string_split(b.bg, ' ')[2] = u2.w "
@@ -122,9 +123,13 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information of adjacent token pairs — collocation
-    mining. PMI = log2(p(xy) / (p(x)p(y))) evaluated as one integer product
-    ratio (c_xy·Nu² / (Nb·c_x·c_y), exact int64 well under overflow at this
-    vocabulary) so the double division is bit-identical cross-engine."""
+    mining. PMI = log2(p(xy) / (p(x)p(y))) evaluated over DOUBLE ratios —
+    p(xy) = c_xy/Nb and p(x) = c_x/Nu as explicit double divisions, mirrored
+    op-for-op in the oracle so both engines feed log2 the identical IEEE
+    value. (The previous single-ratio form multiplied c_xy·Nu² in int64,
+    which is exact at fixture scale but wraps silently at the ×10-×100
+    replication scales scale_up.py exercises while DuckDB widens to HUGEINT
+    — ADVICE r3. Ratios of counts can never overflow.)"""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(_tokens().alias("t"))
     ucnt = (
@@ -148,8 +153,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = F.split(F.col("bg"), " ")
     pmi = F.round(
         F.log2(
-            (F.col("cb") * F.col("nu") * F.col("nu"))
-            / (1.0 * F.col("nb") * F.col("c1") * F.col("c2"))
+            ((F.lit(1.0) * F.col("cb")) / F.col("nb"))
+            / (
+                ((F.lit(1.0) * F.col("c1")) / F.col("nu"))
+                * ((F.lit(1.0) * F.col("c2")) / F.col("nu"))
+            )
         ),
         6,
     )

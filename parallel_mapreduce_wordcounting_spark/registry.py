@@ -58,37 +58,86 @@ def register(
 # in a prior round sink to the back; never-verified keys float to the front
 # (alphabetical within each group, so the order is deterministic).
 #
-# The verified set is DERIVED from the checked-in CORRECTNESS_r*.json files
-# — any key with a driver verdict row (hash-match or the weaker rows-only
-# check) counts as verified.  Deriving instead of hand-transcribing means
-# the rotation resyncs automatically each round and a transcription typo
-# can't silently mis-rotate (round-2 lesson: a hand-kept list went stale
-# and an off-by-two left win_running/win_topn_group outside every window).
+# The verified set is DERIVED from the checked-in CORRECTNESS_r*.json files.
+# Deriving instead of hand-transcribing means the rotation resyncs
+# automatically each round and a transcription typo can't silently
+# mis-rotate (round-2 lesson: a hand-kept list went stale and an off-by-two
+# left win_running/win_topn_group outside every window).
+#
+# What counts as "verified" (round-4 tightening — previously ANY verdict
+# row did, which pinned rows-only and even hypothetical failing keys at the
+# back of the order forever):
+#
+# - a row with hash_match true  -> fully verified, sink to the back;
+# - a clean rows-only row (err == 'no_oracle') -> verified ONLY while the
+#   key still has no oracle registered. The moment an oracle is added, the
+#   key floats back to the front group for a real hash verdict;
+# - a failing row (rows_match false, or a real err) -> NOT verified; the
+#   key re-enters the front group so the driver re-presents it.
 DRIVER_WINDOW = 50  # operational invariant: the driver verifies 50 keys/round
 
 
-def _load_driver_verified() -> frozenset[str]:
+def _load_driver_verdicts() -> tuple[frozenset[str], frozenset[str]]:
+    """(hash-verified keys, clean-rows-only keys) from CORRECTNESS_r*.json."""
     import json
+    import logging
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
-    keys: set[str] = set()
+    hash_ok: set[str] = set()
+    rows_only_clean: set[str] = set()
+    n_files = 0
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(path.read_text())
         except (OSError, ValueError):  # unreadable/partial file: skip, stay safe
             continue
-        if isinstance(data, dict):
-            keys.update(k for k, v in data.items() if isinstance(v, dict))
-    return frozenset(keys)
+        if not isinstance(data, dict):
+            continue
+        n_files += 1
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            if v.get("hash_match"):
+                hash_ok.add(k)
+            elif v.get("err") == "no_oracle" and v.get("spark_rows") is not None:
+                rows_only_clean.add(k)
+            # anything else (real err, rows_match false) is not a verdict
+    if n_files == 0:
+        # Installed-package case: the verdict files only exist in a repo
+        # checkout. Degrading to alphabetical emission is harmless for
+        # query RESULTS but silently disables the rotation — say so.
+        logging.getLogger(__name__).warning(
+            "no CORRECTNESS_r*.json found under %s; driver-verified set is "
+            "empty and queries() emission order degrades to alphabetical",
+            root,
+        )
+    return frozenset(hash_ok), frozenset(rows_only_clean)
 
 
-_DRIVER_VERIFIED: frozenset[str] = _load_driver_verified()
+_HASH_VERIFIED, _ROWS_ONLY_CLEAN = _load_driver_verdicts()
+
+
+def driver_verified() -> frozenset[str]:
+    """Keys whose existing driver verdict is still the best obtainable one.
+
+    Evaluated lazily (not at import) because the rows-only rule needs to see
+    each key's CURRENT oracle in REGISTRY, which operator modules populate
+    after this module is imported.
+    """
+    return frozenset(
+        k
+        for k in REGISTRY
+        if k in _HASH_VERIFIED
+        or (REGISTRY[k].oracle is None and k in _ROWS_ONLY_CLEAN)
+    )
 
 
 def _emission_order() -> list[str]:
+    verified = driver_verified()
+
     def rank(key: str) -> tuple[int, str]:
-        return (1 if key in _DRIVER_VERIFIED else 0, key)
+        return (1 if key in verified else 0, key)
 
     return sorted(REGISTRY, key=rank)
 

@@ -3,7 +3,11 @@
 The driver only verifies the first DRIVER_WINDOW keys of queries() each
 round, so the emission order must put every never-driver-verified key inside
 that window — round 2's off-by-two (two contract keys pushed to positions
-51-52) is exactly the regression these tests pin down.
+51-52) is exactly the regression these tests pin down. Round 4 tightened
+what "verified" means: only hash-pass rows count for oracled keys, a clean
+rows-only row counts only while the key has no oracle, and failing rows
+never count — so a key that gains an oracle (or ever fails) re-enters the
+front group automatically.
 """
 
 from __future__ import annotations
@@ -11,8 +15,10 @@ from __future__ import annotations
 from parallel_mapreduce_wordcounting_spark.registry import (
     DRIVER_WINDOW,
     REGISTRY,
-    _DRIVER_VERIFIED,
+    _HASH_VERIFIED,
+    _ROWS_ONLY_CLEAN,
     _emission_order,
+    driver_verified,
     oracle_sql,
     queries,
 )
@@ -20,16 +26,17 @@ from parallel_mapreduce_wordcounting_spark.registry import (
 
 def test_unverified_keys_lead_the_emission_order():
     order = _emission_order()
-    unverified = sorted(set(REGISTRY) - _DRIVER_VERIFIED)
+    verified = driver_verified()
+    unverified = sorted(set(REGISTRY) - verified)
     assert order[: len(unverified)] == unverified, (
         "never-driver-verified keys must come first (alphabetical)"
     )
     # and the rest is the verified keys, alphabetical
-    assert order[len(unverified) :] == sorted(_DRIVER_VERIFIED & set(REGISTRY))
+    assert order[len(unverified) :] == sorted(verified & set(REGISTRY))
 
 
 def test_unverified_keys_fit_in_driver_window():
-    unverified = set(REGISTRY) - _DRIVER_VERIFIED
+    unverified = set(REGISTRY) - driver_verified()
     assert len(unverified) <= DRIVER_WINDOW, (
         f"{len(unverified)} unverified keys exceed the driver's "
         f"{DRIVER_WINDOW}-slot window; they cannot all get verdicts this "
@@ -40,11 +47,37 @@ def test_unverified_keys_fit_in_driver_window():
 
 
 def test_driver_verified_set_is_derived_and_nonempty():
-    # Two rounds of CORRECTNESS_r*.json are checked in; if the loader breaks
-    # (path change, JSON format drift) rotation silently degrades to
+    # Three rounds of CORRECTNESS_r*.json are checked in; if the loader
+    # breaks (path change, JSON format drift) rotation silently degrades to
     # alphabetical — fail loudly instead.
-    assert len(_DRIVER_VERIFIED) >= 90
-    assert "wc_topk" in _DRIVER_VERIFIED
+    assert len(driver_verified()) >= 90
+    assert "wc_topk" in driver_verified()
+
+
+def test_hash_pass_required_for_oracled_keys():
+    # ADVICE r3 (medium): a rows-only verdict must NOT pin an oracled key
+    # at the back of the order. Every verified key either hash-passed or is
+    # genuinely rows-only (no oracle registered).
+    for k in driver_verified():
+        assert k in _HASH_VERIFIED or REGISTRY[k].oracle is None, k
+
+
+def test_rows_only_keys_with_new_oracle_would_requeue():
+    # The mechanism the r3 ADVICE asked for: a key whose only verdicts are
+    # clean rows-only rows counts as verified solely BECAUSE it has no
+    # oracle; were an oracle added, driver_verified() would drop it into
+    # the front group. Checked structurally against the parsed verdict sets.
+    rows_only_now = {
+        k
+        for k in REGISTRY
+        if k in _ROWS_ONLY_CLEAN and k not in _HASH_VERIFIED
+    }
+    for k in rows_only_now:
+        if REGISTRY[k].oracle is not None:
+            assert k not in driver_verified(), (
+                f"{k} gained an oracle but a stale rows-only verdict still "
+                f"classes it verified"
+            )
 
 
 def test_oracle_sql_keys_subset_of_queries():

@@ -66,3 +66,47 @@ def test_output_types_match_oracle(spark, duck, key):
         for r in duck.execute(f"DESCRIBE SELECT * FROM ({spec.oracle})").fetchall()
     }
     assert stypes == dtypes, f"{key}: spark={stypes} duck={dtypes}"
+
+
+def test_money_sum_negative_half_up(spark, duck):
+    """ADVICE r3: pin money_sum's rounding convention on NEGATIVE terms.
+
+    The convention is HALF_UP (half away from zero), matching F.round /
+    BigDecimal: a term of -234.5 cents sums as -235, where the old bare
+    floor(x*100 + 0.5) form gave -234. Asserted three ways on the same
+    sign-symmetric value sweep (odd/200 doubles land exactly on half-cent
+    boundaries): Spark == DuckDB mirror == Decimal HALF_UP of the stored
+    doubles.
+    """
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_wordcounting_spark.operators.exact import (
+        money_sum,
+        money_sum_sql,
+    )
+
+    vals = [s * num / 200.0 for num in (1, 199, 200, 201, 469, 123456789)
+            for s in (1, -1)] + [0.0, -2.345, 2.345]
+    assert -469 / 200.0 == -2.345  # the -234.5-cent boundary case is exact
+
+    def half_up_cents(x: float) -> int:
+        return int(
+            decimal.Decimal(x).scaleb(2).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    expected = sum(half_up_cents(v) for v in vals) / 100.0
+
+    got_spark = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .agg(money_sum(F.col("x")).alias("s"))
+        .collect()[0]["s"]
+    )
+
+    placeholders = ", ".join(f"({v!r})" for v in vals)
+    got_duck = duck.execute(
+        f"SELECT {money_sum_sql('x')} AS s FROM (VALUES {placeholders}) t(x)"
+    ).fetchone()[0]
+
+    assert got_spark == got_duck == expected
