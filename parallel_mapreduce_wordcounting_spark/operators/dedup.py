@@ -82,10 +82,16 @@ _minhash_sig = _make_minhash_sig()
 
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct token trigrams per doc."""
-    d = load_table(spark, sf_dir, "documents")
+    return shingle_sets_of(load_table(spark, sf_dir, "documents"))
+
+
+def shingle_sets_of(docs: DataFrame) -> DataFrame:
+    """Shingle sets over an arbitrary ``(doc_id, text, ...)`` DataFrame — the
+    pipeline entry point (corpus curation shingles only its gate-surviving
+    subset, not the whole table)."""
     t = F.split(F.lower("text"), " ")
     return (
-        d.select("doc_id", t.alias("t"))
+        docs.select("doc_id", t.alias("t"))
         .where(F.size("t") >= 3)
         .select(
             "doc_id",
@@ -144,7 +150,14 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters the miss probability above threshold is < 1e-7, so the two
     sides agree. The Spark side never goes all-pairs.
     """
-    sh = shingle_sets(spark, sf_dir).cache()
+    return near_dup_pairs(shingle_sets(spark, sf_dir))
+
+
+def near_dup_pairs(sh: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup pairs over any ``(doc_id, shingles)`` DataFrame
+    (the reusable core of :func:`dedup_fuzzy_minhash`; corpus curation feeds
+    it the gate-surviving subset only)."""
+    sh = sh.cache()
 
     # Each shingle string is hashed to int64 ONCE, JVM-side. The 128 MinHash
     # functions are then derived from that long in a single Arrow-batched

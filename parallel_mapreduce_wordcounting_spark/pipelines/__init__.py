@@ -1,1 +1,7 @@
-from .corpus import curate, curation_flags, funnel  # noqa: F401
+from .corpus import (  # noqa: F401
+    curate,
+    curation_flags,
+    funnel,
+    funnel_df,
+    pipeline_curate,
+)

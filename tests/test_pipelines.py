@@ -6,8 +6,15 @@ semantics against the planted duplicate pair, and sample-gate arithmetic."""
 
 from __future__ import annotations
 
-from parallel_mapreduce_wordcounting_spark.operators.dedup import dedup_cluster
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_wordcounting_spark.operators.dedup import (
+    min_label_propagation,
+    near_dup_pairs,
+    shingle_sets_of,
+)
 from parallel_mapreduce_wordcounting_spark.pipelines import curate, funnel
+from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
 
 SF = "/root/testdata/sf0.001"
 
@@ -28,15 +35,40 @@ def test_curate_is_deterministic_and_matches_funnel(spark):
     assert len(a) == funnel(spark, SF)["sample"]
 
 
-def test_near_dup_cluster_keeps_exactly_the_min_label(spark):
-    """Every near-dup cluster contributes at most its canonical min doc_id
-    to the curated set — the planted sf0.001 near-dup pairs collapse."""
+def test_near_dup_cluster_keeps_exactly_the_min_gate_passing_label(spark):
+    """Keeper selection runs over the GATE-SURVIVING subset (ADVICE r3):
+    each near-dup cluster of the survivor graph contributes exactly its min
+    doc_id to the curated set — and no content is silently lost when a
+    full-corpus cluster's canonical doc fails a gate, because clustering
+    never sees the gate-failing doc in the first place."""
     curated = {r.doc_id for r in curate(spark, SF).collect()}
-    clusters = dedup_cluster(spark, SF).collect()
-    assert len(clusters) > 0  # fixture plants near-dups
+    # reproduce the pipeline's survivor set (default gates: en, 20 tokens,
+    # TTR >= 0.1) and its near-dup clusters
+    d = load_table(spark, SF, "documents")
+    toks = F.split(F.lower("text"), " ")
+    surv = d.where(
+        (F.size(toks) >= 20)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.1)
+        & (F.col("lang") == "en")
+    ).select("doc_id", "text")
+    pairs = near_dup_pairs(shingle_sets_of(surv)).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
+        )
+        .distinct()
+    )
+    clusters = min_label_propagation(edges).collect()
+    assert len(clusters) > 0  # fixture plants near-dups among survivors
     for row in clusters:
-        if row.doc_id != row.cluster_id:
-            assert row.doc_id not in curated
+        if row.u == row.label:
+            assert row.u in curated, "cluster canonical must survive"
+        else:
+            assert row.u not in curated, "non-canonical members must drop"
+    # and no two curated docs are near-duplicates of each other
+    curated_docs = surv.where(F.col("doc_id").isin(*curated))
+    assert near_dup_pairs(shingle_sets_of(curated_docs)).count() == 0
 
 
 def test_sample_mod_subsets_the_curated_corpus(spark):
