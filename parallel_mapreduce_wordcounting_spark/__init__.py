@@ -48,6 +48,7 @@ from .operators import (  # noqa: F401,E402
     text_ext,
     events_analytics,
     similarity_ext,
+    staged,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

@@ -72,13 +72,13 @@ def mm_binary_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm_embed", oracle=None, tier="B")
 def mm_embed(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
     """Binary payload → feature embedding (``array<float>``), the bridge
-    from the multimodal decode surface into the similarity/ANN operators.
-
-    NOT REGISTERED this round (the driver's 50-slot verification window is
-    full — COVERAGE.md); exercised by tests/test_pipelines.py's
-    multimodal→ANN composition test instead.
+    from the multimodal decode surface into the similarity/ANN operators
+    (rows-only: float vectors from a binary payload aren't SQL-oracled;
+    tests/test_pipelines.py's multimodal→ANN composition test recovers a
+    planted near-dup through it).
 
     Real part: the mapInPandas batch shape (binary in, fixed-width float
     vector out), L2 normalization so downstream cosine ≡ dot, and the

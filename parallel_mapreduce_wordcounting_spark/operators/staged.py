@@ -1,11 +1,10 @@
-"""Operators implemented and tested this round but NOT yet registered —
-the driver's 50-slot verification window is full (COVERAGE.md, "Driver
-verification budget"). Round 4 registers each with the oracle constant
-kept beside it; until then tests/test_staged.py compares them to DuckDB
-directly. (tpch_q20 in tpch_full.py is staged the same way.)
+"""Scale-pattern operators staged in round 3 (the driver's 50-slot
+verification window was full — COVERAGE.md) and REGISTERED in round 4, each
+with the oracle constant kept beside it; tests/test_staged.py additionally
+compares them to DuckDB directly. (tpch_q20 in tpch_full.py followed the
+same staging path.)
 
-Both operators here are scale patterns a 100 TB training-data pipeline
-needs and the registry does not yet carry:
+All are scale patterns a 100 TB training-data pipeline needs:
 
 - ``sample_stratified`` — per-stratum quota sampling (corpus balancing:
   "take N documents per language"). The pseudo-random order inside each
@@ -25,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..registry import register
 from ..sources.loader import load_table
 from .exact import money_sum, money_sum_sql
 
@@ -37,6 +37,7 @@ SAMPLE_STRATIFIED_ORACLE = (
 )
 
 
+@register("sample_stratified", oracle=SAMPLE_STRATIFIED_ORACLE, tier="B")
 def sample_stratified(
     spark: SparkSession, sf_dir: str, n_per_stratum: int = 40
 ) -> DataFrame:
@@ -79,6 +80,7 @@ EVENT_SESSIONIZE_ORACLE = (
 )
 
 
+@register("event_sessionize", oracle=EVENT_SESSIONIZE_ORACLE, tier="B")
 def event_sessionize(
     spark: SparkSession, sf_dir: str, gap_minutes: int = 30
 ) -> DataFrame:
@@ -123,6 +125,7 @@ def sessionize_events(e: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+@register("agg_sketch_merge", oracle=None, tier="B")
 def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting: one HLL sketch per day
     (``hll_sketch_agg``), then ``hll_union_agg`` folds the daily sketches
@@ -164,6 +167,7 @@ TEXT_UNIGRAM_LOGPROB_ORACLE = (
 )
 
 
+@register("text_unigram_logprob", oracle=TEXT_UNIGRAM_LOGPROB_ORACLE, tier="B")
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average token log-likelihood under the corpus unigram
     model — the classic cheap LM-quality proxy (documents full of rare
@@ -204,6 +208,7 @@ JOIN_SALTED_ORACLE = (
 )
 
 
+@register("join_salted", oracle=JOIN_SALTED_ORACLE, tier="C")
 def join_salted(
     spark: SparkSession, sf_dir: str, n_salt: int = 8
 ) -> DataFrame:

@@ -176,3 +176,34 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         money_sum(F.col("value")).alias("total_value"),
     )
+
+
+@register(
+    "stream_wc",
+    oracle=(
+        "SELECT w AS word, count(*) AS cnt FROM ("
+        "  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents"
+        ") WHERE w <> '' GROUP BY w"
+    ),
+    tier="A",
+)
+def stream_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship word count in its STREAMING shape — batch
+    form of the incremental query tests/test_streaming.py replays through a
+    real documents file-stream (4 micro-batches, complete mode) and proves
+    equal to this plan batch-for-batch. Structured Streaming maintains the
+    same hash aggregate incrementally: the partial (map-side) aggregate is
+    MapReduce's combiner, the state store holds the running reduce — so the
+    flagship operator's streaming deployment carries a driver verdict too.
+
+    Scale: unbounded-state complete-mode is the DEMO shape; a production
+    stream would window the counts (stream_tumbling) or emit update-mode
+    deltas. The batch plan is identical to wc_counts by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )

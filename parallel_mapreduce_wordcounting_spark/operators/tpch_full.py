@@ -292,6 +292,7 @@ TPCH_Q20_ORACLE = (
 )
 
 
+@register("tpch_q20", oracle=TPCH_Q20_ORACLE)
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 potential part promotion, adapted: MIDDLE EAST suppliers holding a
     part↔supplier pair (no partsupp — pairs come from lineitem) on a
@@ -301,9 +302,9 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipment history itself). Quantities are integral, summed as int64 —
     the 0.5× threshold compare is exact on both engines.
 
-    NOT YET REGISTERED: the driver's 50-slot verification window is full
-    this round; round 4 adds ``@register("tpch_q20", oracle=TPCH_Q20_ORACLE)``.
-    Until then tests/test_round3.py compares it to DuckDB directly.
+    Staged unregistered in round 3 (full driver window), registered in
+    round 4; tests/test_round3.py additionally compares it to DuckDB
+    directly. Completes 22/22 TPC-H coverage.
 
     Scale: one lineitem shuffle on (suppkey, partkey); part filter and the
     supplier→nation→region chain broadcast; DISTINCT runs on the tiny

@@ -39,9 +39,11 @@ def test_every_query_has_oracle_or_reason():
     assert rows_only <= {
         "sink_parquet",
         "agg_approx_distinct",
+        "agg_sketch_merge",
         "dedup_simhash",
         "sim_topk_blocked",
         "udtf_python",
         "mm_binary_surface",
+        "mm_embed",
         "mm_frame_sample",
     }
