@@ -286,27 +286,37 @@ def sim_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("sim_topk_blocked", oracle=None, tier="B")
-def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_topk_blocked(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 64, nprobe: int = 6
+) -> DataFrame:
     """IVF-style blocked top-k pairs — the 100 TB scale path (rows-only:
     blocking is approximate, there is no exact SQL oracle).
 
     Two vectorized stages, both numpy GEMMs inside Arrow-batched UDFs:
 
-    1. ASSIGN: the 16 lowest-vec_id vectors act as a deterministic coarse
-       quantizer. The 16×64 centroid matrix is a broadcast variable; one
-       mapInPandas pass computes each batch's n×16 similarity matrix and
-       argmax (ties → lowest centroid id). O(n·C), embarrassingly parallel.
+    1. ASSIGN: ``n_centroids`` vectors drawn by a HASHED SAMPLE (smallest
+       md5(vec_id) — deterministic, order-free, and unbiased, unlike the
+       first-k-ids quantizer this replaces) form the coarse quantizer. The
+       C×64 centroid matrix is a broadcast variable; one mapInPandas pass
+       computes each batch's n×C similarity matrix and its ``nprobe``
+       nearest centroids (multi-probe; ties → lowest centroid id via stable
+       argsort on the negated rounded sims). O(n·C), embarrassingly
+       parallel. At 100 TB the same hashed sample would instead seed a
+       k-means fit over ~1000·C sampled rows; the assignment plumbing is
+       unchanged.
     2. SEARCH: pairs are generated only within blocks — a groupBy(block)
        applyInPandas computes each block's similarity matrix and emits its
-       local top-20 under the global sort key. O(Σ blockᵢ²) ≪ O(n²).
+       local top-20 under the global sort key. Expected work is
+       C·(n·nprobe/C)² = n²·nprobe²/C — with the defaults, 0.56× the exact
+       grid's n², and the ratio improves as C grows ~√n with corpus size
+       while nprobe stays fixed.
 
-    Recall is partial by construction (pairs straddling blocks are missed) —
-    the standard IVF trade. With nprobe=2 (each vector probes its two
-    nearest centroids) measured recall@20 vs the exact path is 11/20 at
-    sf0.01 and 12/20 at sf0.1 on this near-uniform synthetic corpus; real
-    embedding corpora cluster far more strongly and recall rises
-    accordingly. Raise nprobe / centroid count for more recall, at
-    O(nprobe²) search cost.
+    Recall is partial by construction (pairs straddling all probed blocks
+    are missed) — the standard IVF trade. Measured recall@20 vs the exact
+    path with these defaults: 20/20 at sf0.01, 18/20 at sf0.1, on a
+    near-uniform synthetic corpus that is the ADVERSARIAL case for
+    clustering-based ANN (real embedding corpora cluster far more
+    strongly). tests/test_golden.py pins the sf0.01 floor at ≥ 0.75.
     """
     import numpy as np
     import pandas as pd
@@ -315,26 +325,23 @@ def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = np.stack(
         [
             np.asarray(r.embedding, dtype=np.float64)
-            for r in e.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+            for r in e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(n_centroids)
+            .collect()
         ]
-    )  # 16×64: quantizer metadata, not data — broadcast to every executor
+    )  # C×64: quantizer metadata, not data — broadcast to every executor
     bc = spark.sparkContext.broadcast(cent)
 
     def assign(batches):
-        # multi-probe (nprobe=2): each vector joins its two nearest centroid
-        # blocks, so pairs straddling a block boundary are found when the
-        # vectors share either probed block. Ties → lowest centroid id
-        # (stable argsort on the negated rounded sims).
+        # multi-probe: each vector joins its nprobe nearest centroid blocks,
+        # so a pair is found whenever the two vectors share ANY probed block.
         C = bc.value
         for pdf in batches:
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             sims = round_half_up(X @ C.T)
-            top2 = np.argsort(-sims, axis=1, kind="stable")[:, :2]
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             out = pd.concat(
-                [
-                    pdf.assign(block=top2[:, 0].astype(np.int32)),
-                    pdf.assign(block=top2[:, 1].astype(np.int32)),
-                ]
+                [pdf.assign(block=top[:, j].astype(np.int32)) for j in range(nprobe)]
             )
             yield out[["vec_id", "embedding", "block"]]
 
@@ -358,7 +365,7 @@ def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = assigned.groupBy("block").applyInPandas(
         block_topk, schema="vec_id_a long, vec_id_b long, cosine double"
     )
-    # a pair can surface in up to 2 shared blocks — dedupe before the final heap
+    # a pair can surface in up to nprobe shared blocks — dedupe before the final heap
     return (
         local.distinct()
         .orderBy(F.col("cosine").desc(), "vec_id_a", "vec_id_b")

@@ -60,18 +60,21 @@ def test_fuzzy_recall_vs_bruteforce_sf0001(spark):
 
 
 def test_blocked_ann_recall_floor(spark):
-    """The IVF path is approximate but deterministic: recall@20 against the
-    exact path must stay at/above its measured floor (10/20 at sf0.001 scale
-    of this corpus; regressions in assignment or probing would drop it)."""
-    exact = {
-        (r.vec_id_a, r.vec_id_b)
-        for r in engine.REGISTRY["sim_topk_cosine"].fn(spark, SF0001).collect()
-    }
-    approx = {
-        (r.vec_id_a, r.vec_id_b)
-        for r in engine.REGISTRY["sim_topk_blocked"].fn(spark, SF0001).collect()
-    }
-    assert len(exact & approx) >= 10
+    """The IVF path is approximate but deterministic. The ADVICE r3 contract:
+    recall@20 against the exact path ≥ 0.75 on the sf0.01 fixture with the
+    default hashed-sample quantizer (n_centroids=64, nprobe=6); measured
+    20/20 — regressions in sampling, assignment, or probing would drop it.
+    sf0.001 is additionally pinned (same defaults, smaller corpus)."""
+    for sf, floor in ((SF0001, 15), ("/root/testdata/sf0.01", 15)):
+        exact = {
+            (r.vec_id_a, r.vec_id_b)
+            for r in engine.REGISTRY["sim_topk_cosine"].fn(spark, sf).collect()
+        }
+        approx = {
+            (r.vec_id_a, r.vec_id_b)
+            for r in engine.REGISTRY["sim_topk_blocked"].fn(spark, sf).collect()
+        }
+        assert len(exact & approx) >= floor, (sf, len(exact & approx))
 
 
 def test_embedding_norms_are_one(spark):
