@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.loader import load_table
+from ..sources.loader import load_table, ts_us
 
 
 @register(
@@ -42,7 +42,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     event. Three min-aggregates chained by per-user joins — all three
     shuffle on user_id, so AQE coalesces them onto one exchange layout."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        "user_id", "event_type", ts_us("ts").alias("ts_us")
     )
     s = (
         e.where(F.col("event_type") == "signup")
@@ -87,7 +87,7 @@ def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted on each of their first 7 offset days. Day bucketing is integer
     µs // 86400e6 — exact, no timezone/calendar dependence."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+        "user_id", (ts_us("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
     )
     first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = (
@@ -120,7 +120,7 @@ def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap statistics per user (sessionization's raw material).
     Gaps are exact integer µs; the average is an exact-int division."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("ts_us")
+        "user_id", ts_us("ts").alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us")
     gaps = e.select(

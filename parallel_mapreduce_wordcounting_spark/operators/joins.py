@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.loader import load_table
+from ..sources.loader import load_table, ts_us
 
 from .exact import money_sum, money_sum_sql
 from .relational import ORACLE_TS  # noqa: F401 (shared µs conversion)
@@ -209,7 +209,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = (
         load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+        .select("event_id", "user_id", ts_us("ts").alias("ts_us"))
         .withColumn("bucket", (F.col("ts_us") / F.lit(US_PER_HOUR)).cast("long"))
     )
     a = e.select(

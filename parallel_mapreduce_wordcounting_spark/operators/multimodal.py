@@ -72,13 +72,11 @@ def mm_binary_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_embed", oracle=None, tier="B")
-def mm_embed(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+def mm_embed_vectors(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
     """Binary payload → feature embedding (``array<float>``), the bridge
-    from the multimodal decode surface into the similarity/ANN operators
-    (rows-only: float vectors from a binary payload aren't SQL-oracled;
-    tests/test_pipelines.py's multimodal→ANN composition test recovers a
-    planted near-dup through it).
+    from the multimodal decode surface into the similarity/ANN operators —
+    the LIBRARY form (tests/test_pipelines.py's multimodal→ANN composition
+    test recovers a planted near-dup through it).
 
     Real part: the mapInPandas batch shape (binary in, fixed-width float
     vector out), L2 normalization so downstream cosine ≡ dot, and the
@@ -106,6 +104,40 @@ def mm_embed(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
 
     return with_payload.mapInPandas(
         embed_batch, schema="vec_id long, embedding array<float>"
+    )
+
+
+@register("mm_embed", oracle=None, tier="B")
+def mm_embed(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """Registered (driver-facing) form of :func:`mm_embed_vectors`.
+
+    The driver's rows-only canonicalizer pandas-sorts every column, and an
+    ``array<float>`` column is unhashable there (round-4 failure) — so this
+    surface projects the vector to hashable scalars: its width, L2 norm,
+    and a sha256 digest of the comma-joined components rounded to 6 d.p.
+    (deterministic across Arrow batch boundaries). The array-returning
+    library form above is what pipelines compose with."""
+    emb = mm_embed_vectors(spark, sf_dir, dim)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.sha2(
+            F.array_join(
+                F.transform("embedding", lambda x: F.round(x.cast("double"), 6).cast("string")),
+                ",",
+            ),
+            256,
+        ).alias("vec_sha"),
     )
 
 

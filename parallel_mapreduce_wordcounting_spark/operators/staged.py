@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.loader import load_table
+from ..sources.loader import load_table, ts_us
 from .exact import money_sum, money_sum_sql
 
 SAMPLE_STRATIFIED_ORACLE = (
@@ -95,7 +95,7 @@ def event_sessionize(
     Catalyst keeps all three in the same user_id partitioning.
     """
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        "user_id", "event_id", ts_us("ts").alias("ts_us")
     )
     return sessionize_events(e, gap_minutes)
 

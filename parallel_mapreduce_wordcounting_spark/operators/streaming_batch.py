@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.loader import load_table
+from ..sources.loader import load_table, ts_us
 from .exact import money_sum, money_sum_sql
 
 US_15MIN = 900_000_000
@@ -116,7 +116,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     The real withWatermark drop behavior is exercised in tests/test_streaming.py.
     The global max rides along as a broadcast 1-row cross join — no collect."""
     e = load_table(spark, sf_dir, "events").select(
-        "event_type", F.unix_micros("ts").alias("ts_us")
+        "event_type", ts_us("ts").alias("ts_us")
     )
     mx = F.broadcast(e.agg(F.max("ts_us").alias("max_ts_us")))
     return (

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.loader import load_table
+from ..sources.loader import load_table, ts_us
 
 
 @register(
@@ -54,7 +54,7 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user previous/next event value and inter-event gap in µs."""
     e = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us")
+        "event_id", "user_id", "value", ts_us("ts").alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return e.select(

@@ -64,28 +64,35 @@ def register(
 # mis-rotate (round-2 lesson: a hand-kept list went stale and an off-by-two
 # left win_running/win_topn_group outside every window).
 #
-# What counts as "verified" (round-4 tightening — previously ANY verdict
-# row did, which pinned rows-only and even hypothetical failing keys at the
-# back of the order forever):
+# What counts as "verified" (round-5 fix — a key's verdict is now the one
+# from the LATEST round that mentions it; previously a pass in ANY round was
+# permanent and a later-round failure could never revoke it, so the round-4
+# environment regressions kept stale greens and never re-floated):
 #
-# - a row with hash_match true  -> fully verified, sink to the back;
-# - a clean rows-only row (err == 'no_oracle') -> verified ONLY while the
-#   key still has no oracle registered. The moment an oracle is added, the
-#   key floats back to the front group for a real hash verdict;
-# - a failing row (rows_match false, or a real err) -> NOT verified; the
-#   key re-enters the front group so the driver re-presents it.
+# - latest row has hash_match true  -> fully verified, sink to the back;
+# - latest row is clean rows-only (err == 'no_oracle', non-null spark_rows)
+#   -> verified ONLY while the key still has no oracle registered. The
+#   moment an oracle is added, the key floats back for a real hash verdict;
+# - latest row is a failure (real err, or rows/schema/hash mismatch) -> NOT
+#   verified; the key re-enters the front group even if an earlier round
+#   passed it.
 DRIVER_WINDOW = 50  # operational invariant: the driver verifies 50 keys/round
 
 
-def _load_driver_verdicts() -> tuple[frozenset[str], frozenset[str]]:
-    """(hash-verified keys, clean-rows-only keys) from CORRECTNESS_r*.json."""
+def _load_driver_verdicts(root=None) -> tuple[frozenset[str], frozenset[str]]:
+    """(hash-verified keys, clean-rows-only keys) from CORRECTNESS_r*.json.
+
+    Files are read in sorted (= round) order and later rounds OVERRIDE
+    earlier ones per key, so a fresh failure revokes an old pass. ``root``
+    is injectable for tests; defaults to the repo checkout root."""
     import json
     import logging
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[1]
-    hash_ok: set[str] = set()
-    rows_only_clean: set[str] = set()
+    if root is None:
+        root = Path(__file__).resolve().parents[1]
+    root = Path(root)
+    latest: dict[str, str] = {}  # key -> 'hash' | 'rows_only' | 'fail'
     n_files = 0
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -99,10 +106,13 @@ def _load_driver_verdicts() -> tuple[frozenset[str], frozenset[str]]:
             if not isinstance(v, dict):
                 continue
             if v.get("hash_match"):
-                hash_ok.add(k)
+                latest[k] = "hash"
             elif v.get("err") == "no_oracle" and v.get("spark_rows") is not None:
-                rows_only_clean.add(k)
-            # anything else (real err, rows_match false) is not a verdict
+                latest[k] = "rows_only"
+            else:
+                latest[k] = "fail"  # real err or rows/schema/hash mismatch
+    hash_ok = {k for k, s in latest.items() if s == "hash"}
+    rows_only_clean = {k for k, s in latest.items() if s == "rows_only"}
     if n_files == 0:
         # Installed-package case: the verdict files only exist in a repo
         # checkout. Degrading to alphabetical emission is harmless for

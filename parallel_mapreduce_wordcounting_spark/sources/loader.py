@@ -1,11 +1,20 @@
 """Table loader — the single entry point for reading the fixture tables.
 
 Hides the one real environment gotcha (SURVEY.md §7.0): ``events.parquet``
-stores ``ts`` as parquet ``INT64 (TIMESTAMP(NANOS,false))`` which stock
-``spark.read.parquet`` rejects with ``[PARQUET_TYPE_ILLEGAL]``. The verified
-fix is the legacy nanos-as-long conf plus an exact integer µs conversion
-(the fixture's ns values are always whole microseconds, so ``div 1000`` is
-lossless — probed 2026-08-13).
+stores ``ts`` as parquet ``INT64 (TIMESTAMP(NANOS,false))``, and how Spark
+surfaces that has CHANGED between sandbox rounds:
+
+- rounds 1–3: stock read rejected it (``[PARQUET_TYPE_ILLEGAL]``); the
+  legacy nanos-as-long conf yielded ``bigint`` ns values (``div 1000`` →
+  lossless µs, the fixture's ns are whole microseconds);
+- round 4+: the same read yields ``timestamp_ntz`` (the legacy conf no
+  longer applies); ``cast('timestamp')`` under the UTC session timezone is
+  value-preserving (probed 2026-08-13: ``unix_micros`` returns the exact µs).
+
+``load_table`` normalizes BOTH forms to a plain ``TimestampType`` so no
+downstream operator ever sees the environment difference; ``ts_us`` is the
+single µs-extraction choke point (round-4 lesson: 7 hand-written
+``unix_micros("ts")`` call sites all broke at once when the type shifted).
 
 At 100 TB the same loader is where partition-pruning-friendly layouts and
 schema enforcement would hook in: everything downstream goes through
@@ -71,18 +80,31 @@ def _ship_package(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with clean Spark types.
 
-    ``events.ts`` arrives as INT64 nanoseconds (legacy conf) and is converted
-    to a proper TimestampType via exact integer division — ``timestamp_micros``
-    keeps the arithmetic JVM-side and codegen-friendly.
+    ``events.ts`` is normalized to a plain ``TimestampType`` whatever form
+    the environment hands us: ns-longs (legacy conf, rounds 1–3), a
+    ``timestamp_ntz`` (round 4+), or an already-clean timestamp (re-written
+    test copies). All three conversions are exact under the UTC session tz
+    and stay JVM-side / codegen-friendly.
     """
     _configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # raw fixture layout: ts arrived as ns-longs via the legacy conf;
-        # re-written events (e.g. staged test copies) already carry a real
-        # TimestampType and must not be converted twice
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # ns-as-long form: exact integer µs (fixture ns are whole µs)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # value-preserving under the UTC session timezone set above
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def ts_us(col: str = "ts"):
+    """Microseconds-since-epoch as a long, whatever timestamp flavor ``col``
+    holds — THE choke point for event-time arithmetic. ``cast('timestamp')``
+    is a no-op on TimestampType and exact on TIMESTAMP_NTZ under the UTC
+    session tz, so this resolves for every form ``load_table`` can emit."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -92,10 +92,12 @@ def test_multimodal_embed_feeds_similarity_search(spark):
     first — the sf0.001 fixture plants doc 8 ≈ doc 12."""
     from pyspark.sql import functions as F
 
-    from parallel_mapreduce_wordcounting_spark.operators.multimodal import mm_embed
+    from parallel_mapreduce_wordcounting_spark.operators.multimodal import (
+        mm_embed_vectors,
+    )
     from parallel_mapreduce_wordcounting_spark.operators.similarity import dot
 
-    emb = mm_embed(spark, SF)
+    emb = mm_embed_vectors(spark, SF)
     # schema contract the similarity operators expect
     assert dict(emb.dtypes) == {"vec_id": "bigint", "embedding": "array<float>"}
     # L2-normalized: ||v|| == 1 for non-empty payloads

@@ -80,6 +80,37 @@ def test_rows_only_keys_with_new_oracle_would_requeue():
             )
 
 
+def test_later_round_failure_revokes_earlier_pass(tmp_path):
+    # Round-4 VERDICT item 3: a key that hash-passed in r(n-1) but FAILED in
+    # r(n) must lose its verified status (and re-float to the front group).
+    # Previously verdicts were unioned across rounds, so event_funnel's r4
+    # failure never revoked its r3 pass.
+    import json
+
+    from parallel_mapreduce_wordcounting_spark.registry import _load_driver_verdicts
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 5, "oracle_rows": 5, "err": None}
+    fail = {"rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": "AnalysisException: boom"}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 7, "oracle_rows": None, "err": "no_oracle"}
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": ok, "b": ok, "c": rows_only, "d": ok})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": fail, "c": fail, "d": rows_only})
+    )
+    hash_ok, rows_only_clean = _load_driver_verdicts(tmp_path)
+    assert "a" not in hash_ok  # r2 failure revokes the r1 pass
+    assert "b" in hash_ok  # untouched in r2: r1 verdict stands
+    assert "c" not in rows_only_clean  # rows-only clean revoked by failure
+    # a later rows-only row downgrades an earlier hash pass too: the newest
+    # driver observation wins in both directions
+    assert "d" not in hash_ok and "d" in rows_only_clean
+
+
 def test_oracle_sql_keys_subset_of_queries():
     q = queries()
     o = oracle_sql()
