@@ -273,17 +273,28 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 product-type profit, adapted: the fixture has no partsupp, so
     profit = discounted revenue − 0.6·extendedprice (a fixed 60% cost stand-in
     for ps_supplycost·l_quantity), for parts named like '%red%', grouped by
-    supplier nation × order year."""
+    supplier nation × order year.
+
+    Plan notes (round-5 audit of the r4 "+66%" bench regression): the same
+    committed code measured 0.93 / 1.31 / 1.72 s medians in three separate
+    processes at sf0.1 — the regression was JVM run-to-run variance, not a
+    plan flip (every process planned the same BHJ tree). What IS consistent
+    (~15% median, tighter spread) is projecting orders/supplier/part to the
+    joined columns before the join, which shrinks the broadcast builds.
+    Only part-filtered and nation are broadcast-HINTED; orders and supplier
+    stay AQE-decided so at 100 TB (where both dwarf any threshold) they
+    revert to shuffle joins on l_orderkey / l_suppkey with no code change."""
     l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     p = load_table(spark, sf_dir, "part")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     profit = _rev() - 0.6 * F.col("l_extendedprice")
+    pf = p.where(F.col("p_name").like("%red%")).select("p_partkey")
     return (
-        l.join(F.broadcast(p.where(F.col("p_name").like("%red%"))), l.l_partkey == p.p_partkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(s, l.l_suppkey == s.s_suppkey)
+        l.join(F.broadcast(pf), l.l_partkey == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(money_sum(profit).alias("sum_profit"))

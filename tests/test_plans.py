@@ -152,6 +152,24 @@ def test_tpch_q21_single_fact_pass_no_correlated_rescans(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_tpch_q9_plan_shape(spark):
+    """Q9 (round-4 bench flag): filtered part + nation broadcast-hinted, the
+    p_name predicate pushed to the part scan, lineitem pruned to the 5 join/
+    measure columns, and exactly one hash-partitioning exchange (the final
+    group-by; orders/supplier joins are AQE-decided and at sf0.001–0.1 plan
+    as broadcasts, never a cartesian)."""
+    p = _plan(spark, "tpch_q9")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "StringContains(p_name,red)" in p  # filter reached the part scan
+    li_schema = [
+        line for line in p.splitlines() if "ReadSchema" in line and "l_orderkey" in line
+    ][0]
+    assert "l_comment" not in li_schema and "l_shipdate" not in li_schema
+    simple = _plan_simple(spark, "tpch_q9")
+    assert simple.count("Exchange hashpartitioning") <= 1  # only the group-by
+
+
 def test_tpch_q12_date_range_pushed_to_scan(spark):
     p = _plan(spark, "tpch_q12")
     pushed = p.split("PushedFilters:")[1].split("]")[0]
