@@ -317,6 +317,17 @@ def sim_topk_blocked(
     near-uniform synthetic corpus that is the ADVERSARIAL case for
     clustering-based ANN (real embedding corpora cluster far more
     strongly). tests/test_golden.py pins the sf0.01 floor at ≥ 0.75.
+
+    Crossover vs the exact grid (measured, round 5): at sf0.1 (n=2000) the
+    exact path wins (0.71 s vs 1.01 s) because IVF's fixed overhead — the
+    centroid fetch, two Python stages, the block shuffle and the pair
+    distinct — floors at ~1 s regardless of parameters (medians were flat
+    across C∈{64..256}, nprobe∈{2..6}; only recall moved, down to 0.4).
+    At sf≈1 (n=20000, scripts/scale_up.py) IVF wins 4×: 3.2 s vs 13.2 s,
+    and the gap widens quadratically — the crossover sits near n≈5000.
+    The defaults therefore stay recall-first; shrinking the probe budget to
+    win a sub-crossover benchmark would be tuning the operator for exactly
+    the regime it exists to escape.
     """
     import numpy as np
     import pandas as pd

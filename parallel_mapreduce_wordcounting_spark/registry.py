@@ -78,6 +78,26 @@ def register(
 #   passed it.
 DRIVER_WINDOW = 50  # operational invariant: the driver verifies 50 keys/round
 
+# Keys whose implementation (or the environment underneath it) changed
+# MATERIALLY since their last hash-pass, so the old green verdict no longer
+# attests to the current code path. They rank between the never-verified/
+# failed front group and the verified back group: re-presented to the driver
+# while spare window slots exist, without displacing keys that have no
+# verdict at all. Round 5: the TIMESTAMP_NTZ environment change broke (and
+# the loader fix re-routed) every ts-consuming operator, but three of them
+# held stale r1/r2 greens and never re-floated; scan_events_ns now emits the
+# normalized TimestampType and hasn't been driver-checked since r2.
+REVERIFY_KEYS = frozenset(
+    {
+        "win_lag_lead",
+        "join_range",
+        "stream_watermark",
+        "scan_events_ns",
+        "stream_session",
+        "stream_dedup",
+    }
+)
+
 
 def _load_driver_verdicts(root=None) -> tuple[frozenset[str], frozenset[str]]:
     """(hash-verified keys, clean-rows-only keys) from CORRECTNESS_r*.json.
@@ -147,7 +167,11 @@ def _emission_order() -> list[str]:
     verified = driver_verified()
 
     def rank(key: str) -> tuple[int, str]:
-        return (1 if key in verified else 0, key)
+        if key not in verified:
+            return (0, key)  # no usable verdict: must be in the window
+        if key in REVERIFY_KEYS:
+            return (1, key)  # stale green: re-present while slots allow
+        return (2, key)
 
     return sorted(REGISTRY, key=rank)
 

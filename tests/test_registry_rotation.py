@@ -13,6 +13,7 @@ front group automatically.
 from __future__ import annotations
 
 from parallel_mapreduce_wordcounting_spark.registry import (
+    REVERIFY_KEYS,
     DRIVER_WINDOW,
     REGISTRY,
     _HASH_VERIFIED,
@@ -31,8 +32,21 @@ def test_unverified_keys_lead_the_emission_order():
     assert order[: len(unverified)] == unverified, (
         "never-driver-verified keys must come first (alphabetical)"
     )
-    # and the rest is the verified keys, alphabetical
-    assert order[len(unverified) :] == sorted(verified & set(REGISTRY))
+    # then the stale-green re-verify tier, then the rest — each alphabetical
+    reverify = sorted((verified & REVERIFY_KEYS) & set(REGISTRY))
+    assert order[len(unverified) : len(unverified) + len(reverify)] == reverify
+    assert order[len(unverified) + len(reverify) :] == sorted(
+        (verified - REVERIFY_KEYS) & set(REGISTRY)
+    )
+
+
+def test_reverify_keys_fit_in_driver_window():
+    # The re-verify tier must never displace a key with NO verdict: both
+    # tiers together have to fit inside the driver's 50-slot window.
+    order = _emission_order()
+    front = set(order[:DRIVER_WINDOW])
+    for k in (set(REGISTRY) - driver_verified()) | (REVERIFY_KEYS & set(REGISTRY)):
+        assert k in front, f"{k} fell outside the driver window"
 
 
 def test_unverified_keys_fit_in_driver_window():
