@@ -49,6 +49,7 @@ from .operators import (  # noqa: F401,E402
     events_analytics,
     similarity_ext,
     staged,
+    curation_ext,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

@@ -1,0 +1,115 @@
+"""Direct semantic + plan-shape tests for the round-5 curation operators
+(operators/curation_ext.py). Value parity vs DuckDB is already covered by the
+auto-parametrized tests/test_oracle_parity.py + test_types.py; these pin the
+behaviors and plan shapes the oracles can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import parallel_mapreduce_wordcounting_spark as engine
+from parallel_mapreduce_wordcounting_spark.plans import explain_str
+
+from .conftest import SF_DIR
+
+
+def test_pii_scrub_removes_what_it_counts(spark):
+    rows = engine.REGISTRY["text_pii_scrub"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # every doc got exactly the planted email+phone, both redacted
+        assert r.n_emails >= 1 and r.n_phones >= 1
+        assert "<EMAIL>" in r.scrubbed and "<PHONE>" in r.scrubbed
+        assert "@example.com" not in r.scrubbed
+        assert "+1-555-" not in r.scrubbed
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    p = explain_str(engine.REGISTRY["text_pii_scrub"].fn(spark, SF_DIR), "simple")
+    assert "Exchange" not in p
+
+
+def test_contamination_eval_docs_excluded_and_bounded(spark):
+    rows = engine.REGISTRY["text_contamination"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 50 != 0  # eval slice never scored as training
+        assert 0 <= r.n_contaminated <= r.n_grams
+        assert 0.0 <= r.score <= 1.0
+
+
+def test_repetition_bounds(spark):
+    rows = engine.REGISTRY["text_repetition"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_word_frac < 1.0
+
+
+def test_pack_sequences_conserves_tokens_and_bins_are_dense(spark):
+    d = engine.load_table(spark, SF_DIR, "documents")
+    total = d.select(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("t")
+    ).collect()[0].t
+    bins = engine.REGISTRY["pack_sequences"].fn(spark, SF_DIR).collect()
+    assert sum(r.n_seq_tokens for r in bins) == total  # every token packed once
+    ids = sorted(r.bin_id for r in bins)
+    assert ids == list(range(ids[0], ids[-1] + 1))  # no empty bins in range
+
+
+def test_pack_sequences_distributed_matches_window_form(spark):
+    """The two-pass prefix-sum rewrite must assign bin-for-bin identically
+    to the single-window oracle form."""
+    from parallel_mapreduce_wordcounting_spark.operators.curation_ext import (
+        pack_sequences_distributed,
+    )
+
+    def canon(df):
+        return sorted((r.bin_id, r.n_docs, r.n_seq_tokens) for r in df.collect())
+
+    window_form = engine.REGISTRY["pack_sequences"].fn(spark, SF_DIR)
+    dist_form = pack_sequences_distributed(spark, SF_DIR)
+    assert canon(window_form) == canon(dist_form)
+    # and the distributed form's data-sized window is bucket-parallel:
+    # no single-partition exchange feeding a window over the full doc set
+    p = explain_str(dist_form, "simple")
+    assert "Exchange hashpartitioning(bucket" in p
+
+
+def test_domain_mix_flattens_the_source_distribution(spark):
+    d = engine.load_table(spark, SF_DIR, "documents")
+    natural = {r.source: r.c for r in d.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    sample = engine.REGISTRY["sample_domain_mix"].fn(spark, SF_DIR).collect()
+    got = {}
+    for r in sample:
+        got[r.source] = got.get(r.source, 0) + 1
+    # temperature 0.5 compresses ratios: the sampled max/min ratio must be
+    # strictly smaller than the natural one (quota ∝ sqrt(count))
+    nat_ratio = max(natural.values()) / min(natural.values())
+    got_ratio = max(got.values()) / min(got.values())
+    assert set(got) == set(natural)  # every source represented
+    assert got_ratio < nat_ratio or nat_ratio == 1.0
+
+
+def test_dedup_incremental_semantics(spark):
+    d = engine.load_table(spark, SF_DIR, "documents")
+    kept = engine.REGISTRY["dedup_incremental"].fn(spark, SF_DIR)
+    prior_keys = {
+        r.k for r in d.where(F.col("doc_id") < 100).select(F.md5("text").alias("k")).collect()
+    }
+    rows = kept.collect()
+    assert all(r.content_key not in prior_keys for r in rows)
+    # and nothing eligible was dropped: kept == incoming minus prior-keyed
+    incoming = d.where(F.col("doc_id") >= 100).select(
+        "doc_id", F.md5("text").alias("k")
+    ).collect()
+    expect = {r.doc_id for r in incoming if r.k not in prior_keys}
+    assert {r.doc_id for r in rows} == expect
+
+
+def test_event_anomaly_zscores_standardized(spark):
+    rows = engine.REGISTRY["event_anomaly"].fn(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    zs = [r.z for r in rows]
+    # standardized: mean ≈ 0 (sample stddev normalization)
+    assert abs(sum(zs) / len(zs)) < 1e-3
