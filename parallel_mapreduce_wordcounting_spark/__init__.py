@@ -50,6 +50,7 @@ from .operators import (  # noqa: F401,E402
     similarity_ext,
     staged,
     curation_ext,
+    warehouse,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

@@ -198,3 +198,47 @@ def agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .withColumn("bucket_lo", F.round(F.col("bucket") * 500.0, 1))
     )
+
+
+AGG_HEAVY_HITTERS_ORACLE = (
+    "WITH w AS ("
+    "  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents"
+    "), c AS ("
+    "  SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word"
+    "), t AS (SELECT sum(cnt) AS total FROM c) "
+    "SELECT c.word, CAST(c.cnt AS BIGINT) AS cnt, "
+    "round(c.cnt / (1.0 * t.total), 6) AS frac "
+    "FROM c, t WHERE c.cnt * 50 > t.total"
+)
+
+
+@register("agg_heavy_hitters", oracle=AGG_HEAVY_HITTERS_ORACLE, tier="A")
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: tokens holding more than 1/50 of total token mass
+    (the φ=0.02 frequent-items problem). Exact form: one word-count shuffle
+    plus a 1-row broadcast total; the threshold compare is integer
+    (cnt·50 > total), so no float boundary can disagree between engines.
+
+    Scale: the exact form is already cheap because the compare runs on the
+    aggregated counts (vocabulary-sized, not corpus-sized). When even the
+    vocabulary doesn't fit — e.g. heavy hitters over raw n-grams or URLs —
+    the sketch form is Misra–Gries/SpaceSaving per partition merged at the
+    driver, or count-min with a candidate re-scan; φ-thresholds guarantee
+    at most 1/φ answers either way."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = F.broadcast(c.agg(F.sum("cnt").alias("total")))
+    return (
+        c.crossJoin(t)
+        .where(F.col("cnt") * 50 > F.col("total"))
+        .select(
+            "word",
+            "cnt",
+            F.round(F.col("cnt") / (1.0 * F.col("total")), 6).alias("frac"),
+        )
+    )

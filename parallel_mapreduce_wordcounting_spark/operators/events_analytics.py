@@ -162,3 +162,96 @@ def stream_win_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("w_start", "event_type", "cnt")
     )
+
+
+EVENT_TRANSITIONS_ORACLE = (
+    "WITH e AS ("
+    "  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id"
+    "  FROM events"
+    "), pairs AS ("
+    "  SELECT user_id, lag(event_type) OVER ("
+    "    PARTITION BY user_id ORDER BY ts_us, event_id"
+    "  ) AS prev_type, event_type AS next_type FROM e"
+    "), cnt AS ("
+    "  SELECT prev_type, next_type, count(*) AS n FROM pairs"
+    "  WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type"
+    "), tot AS (SELECT prev_type, sum(n) AS t FROM cnt GROUP BY prev_type) "
+    "SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n, "
+    "round(c.n / (1.0 * t.t), 6) AS p "
+    "FROM cnt c JOIN tot t ON c.prev_type = t.prev_type"
+)
+
+
+@register("event_transitions", oracle=EVENT_TRANSITIONS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    count and row-normalized probability for every (prev → next) event-type
+    pair — the behavioral fingerprint behind next-action prediction and
+    bot detection.
+
+    Scale: one user_id shuffle for the lag, then the pair counts collapse
+    to |types|² rows (tiny) — the per-prev totals join is between two
+    type-cardinality aggregates, broadcast territory."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cnt = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return cnt.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / (1.0 * F.col("t")), 6).alias("p"),
+    )
+
+
+EVENT_ACTIVE_USERS_ORACLE = (
+    "WITH du AS ("
+    "  SELECT DISTINCT (epoch_ns(ts) // 1000) // 86400000000 AS day, user_id"
+    "  FROM events"
+    "), days AS (SELECT DISTINCT day FROM du) "
+    "SELECT d.day, "
+    "CAST((SELECT count(DISTINCT u.user_id) FROM du u WHERE u.day = d.day) AS BIGINT) AS dau, "
+    "CAST((SELECT count(DISTINCT u.user_id) FROM du u"
+    "      WHERE u.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS wau "
+    "FROM days d"
+)
+
+
+@register("event_active_users", oracle=EVENT_ACTIVE_USERS_ORACLE)
+def event_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day active users per day — the canonical growth
+    metrics. Rolling COUNT(DISTINCT) can't be a window function, so the
+    trailing window is an explicit (day, user) × trailing-day equi-ish join
+    over the DISTINCT day-user pairs, which are already tiny (≤ days ×
+    users, after the events table collapses).
+
+    Scale: the expensive part — deduping events to day-user pairs — is one
+    map-side-combining aggregate over events; everything after runs on the
+    collapsed pairs. At extreme user counts the trailing distinct becomes
+    the HLL-sketch union of per-day sketches (agg_sketch_merge is exactly
+    that building block, registered separately)."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            (ts_us("ts") / F.lit(86_400_000_000)).cast("long").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    days = du.select("day").distinct()
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            (F.col("u.day") >= F.col("d.day") - 6) & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")

@@ -117,3 +117,46 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(angle), 6).alias("angle_deg"),
         F.round(F.radians(F.col("p_size").cast("double")), 6).alias("size_rad"),
     )
+
+
+FN_URL_ORACLE = (
+    "WITH u AS ("
+    "  SELECT doc_id, 'https://' || source || '.example.com/docs/' ||"
+    "         CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url"
+    "  FROM documents"
+    ") SELECT doc_id, url, "
+    "regexp_extract(url, 'https://([^/]+)/', 1) AS host, "
+    "regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path, "
+    "regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param "
+    "FROM u"
+)
+
+
+@register("fn_url", oracle=FN_URL_ORACLE)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (host / path / query-param extraction) — the
+    first step of every crawl-curation pipeline (domain blocklists, per-host
+    rate stats, URL dedup keys). URLs are synthesized deterministically
+    from the fixture so the oracle mirrors byte-for-byte; extraction uses
+    regexp groups (identical semantics both engines) rather than
+    Spark-only parse_url, and the whole op is codegen expressions with no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", "https://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", "lang=([a-z]+)", 1).alias("lang_param"),
+    )

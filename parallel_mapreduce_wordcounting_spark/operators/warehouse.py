@@ -1,0 +1,142 @@
+"""Warehouse-maintenance operators: MERGE-style upsert and SCD2 dimension
+history — the mutation patterns a lakehouse runs nightly, expressed as pure
+batch joins/windows so they stay oracle-checkable (a Delta/Iceberg MERGE is
+exactly this plan plus a transactional commit protocol underneath).
+
+The "source" (changed rows) is synthesized deterministically from the fixture
+itself so the oracle can mirror it: updates bump every 10th order's total by
+exactly +1.0 (an exact float op — no rounding divergence), inserts clone
+every 97th order under a shifted key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table, ts_us
+
+_INSERT_SHIFT = 10_000_000
+
+MERGE_UPSERT_ORACLE = (
+    "WITH src AS ("
+    "  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'update' AS op"
+    "  FROM orders WHERE o_orderkey % 10 = 0"
+    "  UNION ALL "
+    f"  SELECT o_orderkey + {_INSERT_SHIFT}, o_totalprice, 'insert'"
+    "  FROM orders WHERE o_orderkey % 97 = 0"
+    ") SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey, "
+    "coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice, "
+    "coalesce(s.op, 'keep') AS op "
+    "FROM (SELECT o_orderkey, o_totalprice FROM orders) t "
+    "FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey"
+)
+
+
+@register("merge_upsert", oracle=MERGE_UPSERT_ORACLE, tier="C")
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a full outer join: matched rows take the
+    source's values ('update'), unmatched source rows append ('insert'),
+    unmatched target rows pass through ('keep').
+
+    Scale: one shuffle on the merge key for each side — and in a real
+    deployment the target is bucketed on the key, so only the (much
+    smaller) source side shuffles per run; Delta/Iceberg add file-level
+    pruning so only touched files rewrite. The coalesce-based column
+    resolution is exactly how Spark's own MERGE compiles when both WHEN
+    MATCHED and WHEN NOT MATCHED update all columns."""
+    t = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = load_table(spark, sf_dir, "orders")
+    src = (
+        base.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+            F.lit("update").alias("op"),
+        )
+        .unionAll(
+            base.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + _INSERT_SHIFT).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("insert").alias("op"),
+            )
+        )
+    )
+    joined = t.alias("t").join(
+        src.alias("s"), F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce("s.o_orderkey", "t.o_orderkey").alias("o_orderkey"),
+        F.coalesce("s.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
+        F.coalesce("s.op", F.lit("keep")).alias("op"),
+    )
+
+
+SCD2_ORACLE = (
+    "WITH e AS ("
+    "  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id"
+    "  FROM events"
+    "), marked AS ("
+    "  SELECT user_id, event_type, ts_us, event_id, "
+    "    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type"
+    "         THEN 1 ELSE 0 END AS is_change"
+    "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    "), runs AS ("
+    "  SELECT user_id, event_type, ts_us, CAST(sum(is_change) OVER ("
+    "    PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING"
+    "  ) AS BIGINT) AS version FROM marked"
+    "), hist AS ("
+    "  SELECT user_id, version, min(event_type) AS state, "
+    "         min(ts_us) AS valid_from_us FROM runs GROUP BY user_id, version"
+    ") SELECT user_id, version, state, valid_from_us, "
+    "lead(valid_from_us) OVER ("
+    "  PARTITION BY user_id ORDER BY version) AS valid_to_us "
+    "FROM hist"
+)
+
+
+@register("scd2_build", oracle=SCD2_ORACLE, tier="C")
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event log: each run
+    of consecutive identical states per user becomes one version row with
+    [valid_from, valid_to) microsecond bounds (valid_to null = current) —
+    the standard gaps-and-islands change-capture that turns an append-only
+    log into a point-in-time joinable dimension.
+
+    Scale: everything is windows and aggregates over ONE user_id
+    partitioning — Catalyst keeps the lag, the running change-count, the
+    per-version aggregate and the lead on a single exchange layout."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("is_change"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = marked.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum("is_change").over(w_run).alias("version"),
+    )
+    hist = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"), F.min("ts_us").alias("valid_from_us")
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("version")
+    return hist.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w_ver).alias("valid_to_us"),
+    )

@@ -174,3 +174,27 @@ def test_tpch_q12_date_range_pushed_to_scan(spark):
     p = _plan(spark, "tpch_q12")
     pushed = p.split("PushedFilters:")[1].split("]")[0]
     assert "l_shipdate" in pushed
+
+
+def test_merge_upsert_is_single_key_join(spark):
+    """MERGE compiles to one full-outer equi-join on the merge key — never a
+    nested-loop, and both sides shuffle (or broadcast) on o_orderkey only."""
+    p = _plan_simple(spark, "merge_upsert")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "FullOuter" in p or "full_outer" in p.lower()
+
+
+def test_scd2_single_user_partitioning(spark):
+    """All four window/aggregate steps of the SCD2 build must share ONE
+    user_id exchange — Catalyst reuses the partitioning, so adding history
+    columns costs no extra shuffles."""
+    p = _plan_simple(spark, "scd2_build")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_heavy_hitters_broadcast_total(spark):
+    """The corpus total must ride along as a broadcast 1-row join, never a
+    recompute per row or a shuffle of the counts against themselves."""
+    p = _plan_simple(spark, "agg_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
