@@ -73,7 +73,12 @@ def test_results_invariant_to_shuffle_partition_count(spark):
 
     KEYS = ["agg_basic", "tpch_q1", "tpch_q10", "text_entropy",
             "event_gap_stats", "sim_centroid", "subq_scalar",
-            "tpch_q2", "tpch_q11"]  # q2: unit-price cents min; q11: cents>frac-of-total cut
+            "tpch_q2", "tpch_q11",  # q2: unit-price cents min; q11: cents>frac-of-total cut
+            # round-5 keys whose determinism is load-bearing: global-order
+            # packing bins, integer-quota mixing, windowed SCD versions,
+            # z-scores from a float mean/stddev, rounded contamination scores
+            "pack_sequences", "sample_domain_mix", "scd2_build",
+            "event_anomaly", "text_contamination"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
