@@ -414,3 +414,32 @@ def event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
     )
+
+
+SPLIT_TRAIN_VAL_ORACLE = (
+    "WITH b AS ("
+    "  SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 AS bucket"
+    "  FROM documents"
+    ") SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' "
+    "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"
+)
+
+
+@register("split_train_val", oracle=SPLIT_TRAIN_VAL_ORACLE, tier="B")
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment: the first 8 hex chars
+    of md5(doc_id || ':split') mod 100 pick the bucket. Hash-based (not
+    positional) so the split is stable under any repartitioning, insertion,
+    or re-run — the property a corpus split MUST have so documents never
+    migrate between train and eval across pipeline versions. The salt
+    string namespaces this split decision from any other hash use of
+    doc_id. Zero shuffle, pure codegen expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )

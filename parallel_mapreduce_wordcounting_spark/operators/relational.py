@@ -248,3 +248,22 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip: write documents metadata as ORC, read it
+    back — the read-back must be value-identical to the source table (the
+    oracle compares against the original documents, so any serialization
+    loss in either direction fails the hash). ORC is Spark-native columnar
+    with the same pushdown/pruning surface as parquet; a warehouse migrating
+    formats needs exactly this round-trip guarantee."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="pmrwc_orc_") + "/docs"
+    d.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
