@@ -425,3 +425,34 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import grid_pair_sims_above
 
     return grid_pair_sims_above(spark, sf_dir, 0.45)
+
+
+DEDUP_CANONICAL_ORACLE = (
+    "WITH k AS ("
+    "  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS canon_key"
+    "  FROM documents"
+    ") SELECT canon_key, min(doc_id) AS keep_doc_id, "
+    "CAST(count(*) AS BIGINT) AS n_members "
+    "FROM k GROUP BY canon_key"
+)
+
+
+@register("dedup_canonical", oracle=DEDUP_CANONICAL_ORACLE, tier="B")
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization dedup: documents equal after lowercase + trim +
+    whitespace collapse share one canonical key; keep the min doc_id per
+    key. Catches the near-trivial duplicate class exact dedup misses
+    (case/spacing variants of the same page — extend the normalizer with
+    punctuation/URL stripping without changing the plan).
+
+    Scale: identical plan family to dedup_exact — one map-side-combining
+    aggregate on a 16-byte hash key; the shuffle never carries text."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.regexp_replace(F.trim(F.lower("text")), "\\s+", " ")
+    ).alias("canon_key")
+    return (
+        d.select("doc_id", key)
+        .groupBy("canon_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_members"))
+    )

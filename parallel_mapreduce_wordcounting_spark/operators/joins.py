@@ -352,3 +352,47 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.o_orderdate").alias("asof_date"),
         )
     )
+
+
+JOIN_INTERVAL_ORACLE = (
+    "WITH o AS ("
+    "  SELECT o_custkey, o_orderkey, o_orderdate, o_orderdate + INTERVAL 7 DAY AS o_end"
+    "  FROM orders"
+    ") SELECT a.o_custkey AS custkey, a.o_orderkey AS orderkey_a, "
+    "b.o_orderkey AS orderkey_b "
+    "FROM o a JOIN o b ON a.o_custkey = b.o_custkey "
+    "AND a.o_orderkey < b.o_orderkey "
+    "AND a.o_orderdate < b.o_end AND b.o_orderdate < a.o_end"
+)
+
+
+@register("join_interval", oracle=JOIN_INTERVAL_ORACLE)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of a customer's orders whose
+    7-day activity windows [orderdate, orderdate+7d) overlap — the general
+    interval join (join_range is its point-probe special case).
+
+    Scale: the equi-key (custkey) carries the shuffle; the overlap
+    inequality evaluates inside the per-key hash match, so fan-out is
+    bounded by per-customer order counts, never a cartesian. For
+    interval joins with NO equi-key, bucketize time into interval-length
+    buckets exactly as join_range does."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.date_add("o_orderdate", 7).alias("o_end"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.o_orderdate") < F.col("b.o_end"))
+            & (F.col("b.o_orderdate") < F.col("a.o_end")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+        )
+    )

