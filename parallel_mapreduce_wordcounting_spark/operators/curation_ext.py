@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.loader import load_table, ts_us
+from ..sources.loader import load_table, ts_day, ts_us
 
 # --- PII scrubbing -----------------------------------------------------------
 
@@ -262,7 +262,7 @@ def pack_sequences_distributed(
     t = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / bucket_width).cast("long").alias("bucket"),
+        F.expr(f"doc_id div {bucket_width}").alias("bucket"),
     )
     w_local = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
@@ -402,7 +402,7 @@ def event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect, no second pass over events."""
     e = load_table(spark, sf_dir, "events")
     daily = (
-        e.select((ts_us("ts") / F.lit(86_400_000_000)).cast("long").alias("day"))
+        e.select(ts_day("ts").alias("day"))
         .groupBy("day")
         .agg(F.count("*").alias("n_events"))
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.loader import load_table, ts_us
+from ..sources.loader import load_table, ts_day, ts_us
 
 
 @register(
@@ -87,7 +87,7 @@ def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted on each of their first 7 offset days. Day bucketing is integer
     µs // 86400e6 — exact, no timezone/calendar dependence."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", (ts_us("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+        "user_id", ts_day("ts").alias("day")
     )
     first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = (
@@ -238,9 +238,7 @@ def event_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     that building block, registered separately)."""
     e = load_table(spark, sf_dir, "events")
     du = (
-        e.select(
-            (ts_us("ts") / F.lit(86_400_000_000)).cast("long").alias("day"), "user_id"
-        )
+        e.select(ts_day("ts").alias("day"), "user_id")
         .distinct()
     )
     dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))

@@ -291,10 +291,11 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-1 window runs over per-source prefix counts (vocabulary-sized,
     not corpus-sized)."""
     d = load_table(spark, sf_dir, "documents")
-    pre = d.select(
-        "source",
-        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 5), " ").alias("prefix"),
-    ).where(F.size(F.split(F.lower("text"), " ")) >= 5)
+    pre = (
+        d.select("source", F.split(F.lower("text"), " ").alias("w"))
+        .where(F.size("w") >= 5)
+        .select("source", F.array_join(F.slice("w", 1, 5), " ").alias("prefix"))
+    )
     cnt = pre.groupBy("source", "prefix").agg(F.count("*").alias("n"))
     tot = cnt.groupBy("source").agg(F.sum("n").alias("docs"))
     w = Window.partitionBy("source").orderBy(F.col("n").desc(), "prefix")

@@ -46,8 +46,8 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning so only touched files rewrite. The coalesce-based column
     resolution is exactly how Spark's own MERGE compiles when both WHEN
     MATCHED and WHEN NOT MATCHED update all columns."""
-    t = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = load_table(spark, sf_dir, "orders")
+    t = base.select("o_orderkey", "o_totalprice")
     src = (
         base.where(F.col("o_orderkey") % 10 == 0)
         .select(

@@ -83,10 +83,16 @@ DRIVER_WINDOW = 50  # operational invariant: the driver verifies 50 keys/round
 # attests to the current code path. They rank between the never-verified/
 # failed front group and the verified back group: re-presented to the driver
 # while spare window slots exist, without displacing keys that have no
-# verdict at all. Round 5: the TIMESTAMP_NTZ environment change broke (and
-# the loader fix re-routed) every ts-consuming operator, but three of them
-# held stale r1/r2 greens and never re-floated; scan_events_ns now emits the
-# normalized TimestampType and hasn't been driver-checked since r2.
+# verdict at all. The request EXPIRES by construction: a key only ranks in
+# the re-verify tier while its newest verdict is from a round BEFORE the
+# stamp below — once the driver lands a fresh verdict, the key returns to
+# the normal rotation with no hand-editing (the round-2 lesson: hand-kept
+# rotation state goes stale). Round 5: the TIMESTAMP_NTZ environment change
+# broke (and the loader fix re-routed) every ts-consuming operator, but
+# three of them held stale r1/r2 greens and never re-floated;
+# scan_events_ns now emits the normalized TimestampType and hasn't been
+# driver-checked since r2.
+REVERIFY_MIN_ROUND = 5  # verdicts from rounds < this don't cover the change
 REVERIFY_KEYS = frozenset(
     {
         "win_lag_lead",
@@ -99,20 +105,25 @@ REVERIFY_KEYS = frozenset(
 )
 
 
-def _load_driver_verdicts(root=None) -> tuple[frozenset[str], frozenset[str]]:
-    """(hash-verified keys, clean-rows-only keys) from CORRECTNESS_r*.json.
+def _load_driver_verdicts(
+    root=None,
+) -> tuple[frozenset[str], frozenset[str], dict[str, int]]:
+    """(hash-verified keys, clean-rows-only keys, latest verdict round per
+    key) from CORRECTNESS_r*.json.
 
     Files are read in sorted (= round) order and later rounds OVERRIDE
     earlier ones per key, so a fresh failure revokes an old pass. ``root``
     is injectable for tests; defaults to the repo checkout root."""
     import json
     import logging
+    import re
     from pathlib import Path
 
     if root is None:
         root = Path(__file__).resolve().parents[1]
     root = Path(root)
     latest: dict[str, str] = {}  # key -> 'hash' | 'rows_only' | 'fail'
+    latest_round: dict[str, int] = {}  # key -> newest round mentioning it
     n_files = 0
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -122,9 +133,12 @@ def _load_driver_verdicts(root=None) -> tuple[frozenset[str], frozenset[str]]:
         if not isinstance(data, dict):
             continue
         n_files += 1
+        m = re.search(r"r(\d+)", path.stem)
+        round_no = int(m.group(1)) if m else 0
         for k, v in data.items():
             if not isinstance(v, dict):
                 continue
+            latest_round[k] = max(latest_round.get(k, 0), round_no)
             if v.get("hash_match"):
                 latest[k] = "hash"
             elif v.get("err") == "no_oracle" and v.get("spark_rows") is not None:
@@ -142,10 +156,10 @@ def _load_driver_verdicts(root=None) -> tuple[frozenset[str], frozenset[str]]:
             "empty and queries() emission order degrades to alphabetical",
             root,
         )
-    return frozenset(hash_ok), frozenset(rows_only_clean)
+    return frozenset(hash_ok), frozenset(rows_only_clean), latest_round
 
 
-_HASH_VERIFIED, _ROWS_ONLY_CLEAN = _load_driver_verdicts()
+_HASH_VERIFIED, _ROWS_ONLY_CLEAN, _LATEST_ROUND = _load_driver_verdicts()
 
 
 def driver_verified() -> frozenset[str]:
@@ -169,8 +183,8 @@ def _emission_order() -> list[str]:
     def rank(key: str) -> tuple[int, str]:
         if key not in verified:
             return (0, key)  # no usable verdict: must be in the window
-        if key in REVERIFY_KEYS:
-            return (1, key)  # stale green: re-present while slots allow
+        if key in REVERIFY_KEYS and _LATEST_ROUND.get(key, 0) < REVERIFY_MIN_ROUND:
+            return (1, key)  # stale green: re-present until a fresh verdict lands
         return (2, key)
 
     return sorted(REGISTRY, key=rank)

@@ -107,6 +107,17 @@ def ts_us(col: str = "ts"):
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
+def ts_day(col: str = "ts", us_per_day: int = 86_400_000_000):
+    """FLOOR day bucket from event time — the single day-bucketing choke
+    point. ``(us - pmod(us, d)) / d`` floors for negative (pre-epoch)
+    microseconds too, matching the oracles' integer ``//``; a bare
+    ``(us / d).cast('long')`` truncates toward zero and shifts pre-epoch
+    days by one. The subtraction makes the numerator an exact multiple of
+    ``d``, so the double division is exact for |us| < 2⁵³ (~year 2255)."""
+    us = ts_us(col)
+    return ((us - F.pmod(us, F.lit(us_per_day))) / F.lit(us_per_day)).cast("long")
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view so users can run plain
     SQL (``spark.sql(...)``) against the engine — the same table names the

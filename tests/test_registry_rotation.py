@@ -32,11 +32,21 @@ def test_unverified_keys_lead_the_emission_order():
     assert order[: len(unverified)] == unverified, (
         "never-driver-verified keys must come first (alphabetical)"
     )
-    # then the stale-green re-verify tier, then the rest — each alphabetical
-    reverify = sorted((verified & REVERIFY_KEYS) & set(REGISTRY))
+    # then the stale-green re-verify tier (only keys whose newest verdict
+    # predates the change stamp), then the rest — each alphabetical
+    from parallel_mapreduce_wordcounting_spark.registry import (
+        _LATEST_ROUND,
+        REVERIFY_MIN_ROUND,
+    )
+
+    reverify = sorted(
+        k
+        for k in (verified & REVERIFY_KEYS) & set(REGISTRY)
+        if _LATEST_ROUND.get(k, 0) < REVERIFY_MIN_ROUND
+    )
     assert order[len(unverified) : len(unverified) + len(reverify)] == reverify
     assert order[len(unverified) + len(reverify) :] == sorted(
-        (verified - REVERIFY_KEYS) & set(REGISTRY)
+        (verified & set(REGISTRY)) - set(reverify)
     )
 
 
@@ -116,13 +126,34 @@ def test_later_round_failure_revokes_earlier_pass(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({"a": fail, "c": fail, "d": rows_only})
     )
-    hash_ok, rows_only_clean = _load_driver_verdicts(tmp_path)
+    hash_ok, rows_only_clean, latest_round = _load_driver_verdicts(tmp_path)
     assert "a" not in hash_ok  # r2 failure revokes the r1 pass
     assert "b" in hash_ok  # untouched in r2: r1 verdict stands
     assert "c" not in rows_only_clean  # rows-only clean revoked by failure
     # a later rows-only row downgrades an earlier hash pass too: the newest
     # driver observation wins in both directions
     assert "d" not in hash_ok and "d" in rows_only_clean
+    # latest-round bookkeeping (feeds the re-verify tier's expiry)
+    assert latest_round == {"a": 2, "b": 1, "c": 2, "d": 2}
+
+
+def test_reverify_tier_expires_after_fresh_verdict():
+    # A REVERIFY key whose newest verdict is >= REVERIFY_MIN_ROUND must NOT
+    # occupy a re-verify slot — the request expires on its own once the
+    # driver lands a fresh verdict, no hand-editing of the set required.
+    from parallel_mapreduce_wordcounting_spark.registry import (
+        _LATEST_ROUND,
+        REVERIFY_MIN_ROUND,
+        _emission_order,
+    )
+
+    order = _emission_order()
+    verified = driver_verified()
+    unverified = sorted(set(REGISTRY) - verified)
+    tier1 = order[len(unverified) :][: len(REVERIFY_KEYS)]
+    for k in REVERIFY_KEYS & verified:
+        if _LATEST_ROUND.get(k, 0) >= REVERIFY_MIN_ROUND:
+            assert k not in tier1, f"{k} has a fresh verdict but still re-floats"
 
 
 def test_oracle_sql_keys_subset_of_queries():
