@@ -160,3 +160,33 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", "https://[^/]+(/[^?]*)", 1).alias("path"),
         F.regexp_extract("url", "lang=([a-z]+)", 1).alias("lang_param"),
     )
+
+
+FN_UUID_STABLE_ORACLE = (
+    "WITH h AS (SELECT doc_id, md5(text) AS x FROM documents) "
+    "SELECT doc_id, substr(x,1,8) || '-' || substr(x,9,4) || '-' || "
+    "substr(x,13,4) || '-' || substr(x,17,4) || '-' || substr(x,21,12) "
+    "AS content_uuid FROM h"
+)
+
+
+@register("fn_uuid_stable", oracle=FN_UUID_STABLE_ORACLE)
+def fn_uuid_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed stable IDs: a UUID-shaped identifier derived from
+    md5(text), identical across runs, partitionings, and engines — what a
+    training-data lake uses as the record key so re-crawls of the same
+    content collide instead of duplicating (Spark's builtin uuid() is
+    random per run and unusable as a stable key). Zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    x = F.md5(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "-",
+            F.substring(x, 1, 8),
+            F.substring(x, 9, 4),
+            F.substring(x, 13, 4),
+            F.substring(x, 17, 4),
+            F.substring(x, 21, 12),
+        ).alias("content_uuid"),
+    )

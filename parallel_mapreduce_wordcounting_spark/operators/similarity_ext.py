@@ -11,7 +11,7 @@ similarity.grid_pair_sims_above feeding the same bucketing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -74,4 +74,57 @@ def sim_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .withColumn("bucket_lo", F.round(F.col("bucket") / 20.0, 2))
         .select("bucket", "bucket_lo", "n_pairs")
+    )
+
+
+SIM_HARD_NEGATIVES_ORACLE = (
+    "WITH sims AS ("
+    "  SELECT a.vec_id AS query_id, a.label AS query_label, b.vec_id AS neg_id, "
+    "  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+    "  FROM embeddings a JOIN embeddings b"
+    "  ON a.vec_id < 20 AND b.vec_id >= 20 AND a.label <> b.label"
+    ") SELECT query_id, neg_id, cosine FROM ("
+    "  SELECT query_id, neg_id, cosine, row_number() OVER ("
+    "    PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rk FROM sims"
+    ") WHERE rk <= 3"
+)
+
+
+@register("sim_hard_negatives", oracle=SIM_HARD_NEGATIVES_ORACLE, tier="B")
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector
+    (vec_id < 20), the 3 most-similar corpus vectors carrying a DIFFERENT
+    label — the near-misses a triplet/InfoNCE loss learns most from.
+
+    Scale: same broadcast-query shape as sim_knn_query (the query batch is
+    small by construction — a training step's worth); the corpus side
+    streams through one pass with a per-query top-k window over the
+    (tiny) query×k candidate set. For corpus-scale query sets, swap the
+    broadcast for the IVF-blocked path (sim_topk_blocked) and keep the
+    label-mismatch filter inside the block kernel."""
+    from .similarity import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    corpus = e.where(F.col("vec_id") >= 20)
+    sims = (
+        corpus.crossJoin(q)
+        .where(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neg_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "neg_id", "cosine")
     )
