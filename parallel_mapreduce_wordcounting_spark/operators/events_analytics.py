@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.loader import load_table, ts_day, ts_us
+from .exact import floor_day_us_sql
 
 
 @register(
@@ -74,7 +75,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_retention",
     oracle=(
         "WITH e AS (SELECT user_id, "
-        "CAST((epoch_ns(ts) // 1000) // 86400000000 AS BIGINT) AS day FROM events), "
+        f"{floor_day_us_sql()} AS day FROM events), "
         "first AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id), "
         "activity AS (SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset "
         "FROM e JOIN first f ON e.user_id = f.user_id) "
@@ -212,7 +213,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENT_ACTIVE_USERS_ORACLE = (
     "WITH du AS ("
-    "  SELECT DISTINCT (epoch_ns(ts) // 1000) // 86400000000 AS day, user_id"
+    f"  SELECT DISTINCT {floor_day_us_sql()} AS day, user_id"
     "  FROM events"
     "), days AS (SELECT DISTINCT day FROM du) "
     "SELECT d.day, "

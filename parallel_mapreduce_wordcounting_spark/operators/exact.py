@@ -46,3 +46,23 @@ def money_cents_sql(expr: str) -> str:
 def money_sum_sql(expr: str) -> str:
     """DuckDB mirror of :func:`money_sum` (sum cast from HUGEINT first)."""
     return f"CAST(sum({money_cents_sql(expr)}) AS BIGINT) / 100.0"
+
+
+def floor_div_sql(num: str, den: int) -> str:
+    """DuckDB FLOOR division of an integer expression by a positive constant.
+
+    DuckDB's ``//`` truncates toward zero (probed: ``-7 // 2`` → -3, where a
+    floor gives -4), but Spark-side day bucketing (``sources.loader.ts_day``)
+    floors, so oracles bucketing pre-epoch timestamps with a bare ``//``
+    would land one day late (ADVICE r5, medium). Subtracting the
+    non-negative guarded modulo first makes the numerator an exact multiple
+    of ``den``, where truncation and floor coincide — all-integer, exact for
+    any int64 input, no float round-trip."""
+    return f"((({num}) - (((({num}) % {den}) + {den}) % {den})) // {den})"
+
+
+def floor_day_us_sql(us_expr: str = "epoch_ns(ts) // 1000") -> str:
+    """DuckDB mirror of :func:`...sources.loader.ts_day`: FLOOR epoch-day
+    from an integer-µs expression (the default reads the fixture's
+    TIMESTAMP_NS column; ns are whole µs so that inner ``//`` is exact)."""
+    return f"CAST({floor_div_sql(us_expr, 86_400_000_000)} AS BIGINT)"

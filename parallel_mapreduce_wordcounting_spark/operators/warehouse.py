@@ -17,14 +17,18 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.loader import load_table, ts_us
 
-_INSERT_SHIFT = 10_000_000
+# Insert-clone keys are shifted ABOVE the live key space by max(key)+1,
+# derived from the data on both engines (ADVICE r5: a fixed 10M constant
+# collides with real TPC-H orderkeys — they reach 6M·SF — from SF≈1.7,
+# silently turning inserts into spurious matches).
 
 MERGE_UPSERT_ORACLE = (
-    "WITH src AS ("
+    "WITH shift AS (SELECT max(o_orderkey) + 1 AS s FROM orders), "
+    "src AS ("
     "  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'update' AS op"
     "  FROM orders WHERE o_orderkey % 10 = 0"
     "  UNION ALL "
-    f"  SELECT o_orderkey + {_INSERT_SHIFT}, o_totalprice, 'insert'"
+    "  SELECT o_orderkey + (SELECT s FROM shift), o_totalprice, 'insert'"
     "  FROM orders WHERE o_orderkey % 97 = 0"
     ") SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey, "
     "coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice, "
@@ -45,9 +49,13 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller) source side shuffles per run; Delta/Iceberg add file-level
     pruning so only touched files rewrite. The coalesce-based column
     resolution is exactly how Spark's own MERGE compiles when both WHEN
-    MATCHED and WHEN NOT MATCHED update all columns."""
+    MATCHED and WHEN NOT MATCHED update all columns. The insert-key shift
+    is max(o_orderkey)+1 computed IN the plan (broadcast 1-row aggregate,
+    no collect) so synthetic inserts can never collide with live keys at
+    any SF; the oracle derives the identical scalar via a subquery."""
     base = load_table(spark, sf_dir, "orders")
     t = base.select("o_orderkey", "o_totalprice")
+    shift = F.broadcast(base.agg((F.max("o_orderkey") + 1).alias("s")))
     src = (
         base.where(F.col("o_orderkey") % 10 == 0)
         .select(
@@ -56,8 +64,10 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("update").alias("op"),
         )
         .unionAll(
-            base.where(F.col("o_orderkey") % 97 == 0).select(
-                (F.col("o_orderkey") + _INSERT_SHIFT).alias("o_orderkey"),
+            base.where(F.col("o_orderkey") % 97 == 0)
+            .crossJoin(shift)
+            .select(
+                (F.col("o_orderkey") + F.col("s")).alias("o_orderkey"),
                 "o_totalprice",
                 F.lit("insert").alias("op"),
             )

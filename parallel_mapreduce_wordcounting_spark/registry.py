@@ -180,12 +180,19 @@ def driver_verified() -> frozenset[str]:
 def _emission_order() -> list[str]:
     verified = driver_verified()
 
-    def rank(key: str) -> tuple[int, str]:
+    def rank(key: str) -> tuple[int, int, str]:
         if key not in verified:
-            return (0, key)  # no usable verdict: must be in the window
+            return (0, 0, key)  # no usable verdict: must be in the window
         if key in REVERIFY_KEYS and _LATEST_ROUND.get(key, 0) < REVERIFY_MIN_ROUND:
-            return (1, key)  # stale green: re-present until a fresh verdict lands
-        return (2, key)
+            return (1, 0, key)  # stale green: re-present until a fresh verdict lands
+        # Verified keys drain stalest-first: whatever window slots the two
+        # front tiers leave spare go to the keys whose verdicts are oldest
+        # (round-5 verdict item 4 — with ~0 unverified keys the 50-slot
+        # window was re-checking the same fresh greens while 63 r1/r2
+        # verdicts predating the TIMESTAMP_NTZ environment change never
+        # rotated back in). Self-maintaining: a fresh verdict bumps the
+        # key's round and it sinks behind every staler one.
+        return (2, _LATEST_ROUND.get(key, 0), key)
 
     return sorted(REGISTRY, key=rank)
 

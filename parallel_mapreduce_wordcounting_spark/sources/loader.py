@@ -110,10 +110,13 @@ def ts_us(col: str = "ts"):
 def ts_day(col: str = "ts", us_per_day: int = 86_400_000_000):
     """FLOOR day bucket from event time — the single day-bucketing choke
     point. ``(us - pmod(us, d)) / d`` floors for negative (pre-epoch)
-    microseconds too, matching the oracles' integer ``//``; a bare
-    ``(us / d).cast('long')`` truncates toward zero and shifts pre-epoch
-    days by one. The subtraction makes the numerator an exact multiple of
-    ``d``, so the double division is exact for |us| < 2⁵³ (~year 2255)."""
+    microseconds too; a bare ``(us / d).cast('long')`` truncates toward
+    zero and shifts pre-epoch days by one. NOTE DuckDB's ``//`` ALSO
+    truncates toward zero (``-7 // 2`` → -3; ADVICE r5), so day-bucketing
+    oracles must mirror this with ``operators.exact.floor_day_us_sql`` —
+    the guarded-modulo floor — never a bare ``// 86400000000``. The
+    subtraction makes the numerator an exact multiple of ``d``, so the
+    double division is exact for |us| < 2⁵³ (~year 2255)."""
     us = ts_us(col)
     return ((us - F.pmod(us, F.lit(us_per_day))) / F.lit(us_per_day)).cast("long")
 

@@ -58,19 +58,22 @@ def test_pack_sequences_conserves_tokens_and_bins_are_dense(spark):
 
 
 def test_pack_sequences_distributed_matches_window_form(spark):
-    """The two-pass prefix-sum rewrite must assign bin-for-bin identically
-    to the single-window oracle form."""
+    """The registered (two-pass prefix-sum) form must assign bin-for-bin
+    identically to the single-window reference form, and the registered key
+    must BE the distributed form (round-5 verdict item 3)."""
     from parallel_mapreduce_wordcounting_spark.operators.curation_ext import (
         pack_sequences_distributed,
+        pack_sequences_global_window,
     )
 
     def canon(df):
         return sorted((r.bin_id, r.n_docs, r.n_seq_tokens) for r in df.collect())
 
-    window_form = engine.REGISTRY["pack_sequences"].fn(spark, SF_DIR)
-    dist_form = pack_sequences_distributed(spark, SF_DIR)
+    assert engine.REGISTRY["pack_sequences"].fn is pack_sequences_distributed
+    window_form = pack_sequences_global_window(spark, SF_DIR)
+    dist_form = engine.REGISTRY["pack_sequences"].fn(spark, SF_DIR)
     assert canon(window_form) == canon(dist_form)
-    # and the distributed form's data-sized window is bucket-parallel:
+    # and the registered form's data-sized window is bucket-parallel:
     # no single-partition exchange feeding a window over the full doc set
     p = explain_str(dist_form, "simple")
     assert "Exchange hashpartitioning(bucket" in p
@@ -113,3 +116,44 @@ def test_event_anomaly_zscores_standardized(spark):
     zs = [r.z for r in rows]
     # standardized: mean ≈ 0 (sample stddev normalization)
     assert abs(sum(zs) / len(zs)) < 1e-3
+
+
+def test_domain_mix_temperature_is_honored(spark, tmp_path):
+    """ADVICE r5: ``temperature`` was declared but ignored (weight hardcoded
+    sqrt(n)), so any α silently returned the 0.5 mixture. On a skewed corpus
+    α=1.0 (proportional) and α=0.5 (flattened) must allocate different
+    quotas; each must equal the integer quota math computed independently
+    here. The fixture's sources are uniform (quotas α-invariant there), so
+    this runs on a synthetic skewed table."""
+    import math
+
+    from parallel_mapreduce_wordcounting_spark.operators.curation_ext import (
+        sample_domain_mix,
+    )
+
+    counts = {"big": 160, "mid": 40, "small": 10}
+    base = {"big": 0, "mid": 1000, "small": 2000}
+    rows = [
+        (base[src] + i, f"doc {base[src] + i}", "en", src, 10)
+        for src, n in counts.items()
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    def quota(alpha: float) -> dict[str, int]:
+        w = {s: math.floor(n**alpha * 1_000_000) for s, n in counts.items()}
+        tw = sum(w.values())
+        # a quota can exceed the source's size (flattening upsamples small
+        # domains); the sample is then capped at every available doc
+        return {s: min(counts[s], (200 * wv) // tw) for s, wv in w.items()}
+
+    for alpha in (0.5, 1.0):
+        sample = sample_domain_mix(spark, str(tmp_path), temperature=alpha).collect()
+        got: dict[str, int] = {}
+        for r in sample:
+            got[r.source] = got.get(r.source, 0) + 1
+        assert got == quota(alpha), f"alpha={alpha}"
+    # and the two mixtures genuinely differ on a skewed corpus
+    assert quota(0.5) != quota(1.0)

@@ -68,3 +68,32 @@ def test_ts_us_handles_every_flavor(spark):
     for name, df in flavors.items():
         [row] = df.select(ts_us("ts").alias("us")).collect()
         assert row.us == 1_704_067_200_000_000, name
+
+
+def test_ts_day_floors_pre_epoch_and_matches_oracle_form(spark, duck):
+    """Spark's ts_day FLOORS; DuckDB's ``//`` truncates toward zero (ADVICE
+    r5: -7 // 2 is -3 there). Pin that ts_day and the shared oracle mirror
+    floor_day_us_sql agree on pre-epoch, boundary, and post-epoch
+    microseconds — a bare ``// 86400000000`` oracle would be one day late
+    for every pre-epoch row."""
+    from parallel_mapreduce_wordcounting_spark.operators.exact import (
+        floor_day_us_sql,
+    )
+    from parallel_mapreduce_wordcounting_spark.sources.loader import ts_day
+
+    d = 86_400_000_000
+    probes = [-2 * d - 1, -d - 1, -d, -d + 1, -1, 0, 1, d - 1, d, d + 1]
+    df = spark.createDataFrame([(us,) for us in probes], "us long").select(
+        "us", F.timestamp_micros("us").alias("ts")
+    )
+    got = {r.us: r.day for r in df.select("us", ts_day("ts").alias("day")).collect()}
+    want_sql = {
+        us: day
+        for us, day in duck.execute(
+            f"SELECT us, {floor_day_us_sql('us')} FROM "
+            f"(SELECT unnest({probes}::BIGINT[]) AS us)"
+        ).fetchall()
+    }
+    want = {us: us // d for us in probes}  # python // floors
+    assert got == want
+    assert want_sql == want

@@ -45,17 +45,35 @@ def test_unverified_keys_lead_the_emission_order():
         if _LATEST_ROUND.get(k, 0) < REVERIFY_MIN_ROUND
     )
     assert order[len(unverified) : len(unverified) + len(reverify)] == reverify
-    assert order[len(unverified) + len(reverify) :] == sorted(
-        (verified & set(REGISTRY)) - set(reverify)
+    # the verified back tier drains stalest-first (oldest verdict round,
+    # then key) so spare window slots always go to the stalest greens
+    rest = order[len(unverified) + len(reverify) :]
+    assert rest == sorted(
+        (verified & set(REGISTRY)) - set(reverify),
+        key=lambda k: (_LATEST_ROUND.get(k, 0), k),
     )
 
 
 def test_reverify_keys_fit_in_driver_window():
     # The re-verify tier must never displace a key with NO verdict: both
-    # tiers together have to fit inside the driver's 50-slot window.
+    # tiers together have to fit inside the driver's 50-slot window. A
+    # REVERIFY key whose newest verdict is already >= REVERIFY_MIN_ROUND has
+    # expired out of the tier (round-5 verdict item 1: the unfiltered loop
+    # re-asserted window membership for keys the driver had just re-verified)
+    # and makes no window claim here.
+    from parallel_mapreduce_wordcounting_spark.registry import (
+        _LATEST_ROUND,
+        REVERIFY_MIN_ROUND,
+    )
+
     order = _emission_order()
     front = set(order[:DRIVER_WINDOW])
-    for k in (set(REGISTRY) - driver_verified()) | (REVERIFY_KEYS & set(REGISTRY)):
+    live_reverify = {
+        k
+        for k in REVERIFY_KEYS & set(REGISTRY)
+        if _LATEST_ROUND.get(k, 0) < REVERIFY_MIN_ROUND
+    }
+    for k in (set(REGISTRY) - driver_verified()) | live_reverify:
         assert k in front, f"{k} fell outside the driver window"
 
 
