@@ -222,9 +222,9 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the exact form is already cheap because the compare runs on the
     aggregated counts (vocabulary-sized, not corpus-sized). When even the
     vocabulary doesn't fit — e.g. heavy hitters over raw n-grams or URLs —
-    the sketch form is Misra–Gries/SpaceSaving per partition merged at the
-    driver, or count-min with a candidate re-scan; φ-thresholds guarantee
-    at most 1/φ answers either way."""
+    use :func:`agg_heavy_hitters_sketch` (same answer set, same oracle):
+    per-partition Misra–Gries summaries + a candidate-restricted exact
+    re-scan, no vocabulary-sized shuffle anywhere."""
     d = load_table(spark, sf_dir, "documents")
     c = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -235,6 +235,75 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.broadcast(c.agg(F.sum("cnt").alias("total")))
     return (
         c.crossJoin(t)
+        .where(F.col("cnt") * 50 > F.col("total"))
+        .select(
+            "word",
+            "cnt",
+            F.round(F.col("cnt") / (1.0 * F.col("total")), 6).alias("frac"),
+        )
+    )
+
+
+@register("agg_heavy_hitters_sketch", oracle=AGG_HEAVY_HITTERS_ORACLE, tier="A")
+def agg_heavy_hitters_sketch(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """φ=0.02 heavy hitters via the Misra–Gries sketch (Misra & Gries 1982;
+    mergeability per Agarwal et al., "Mergeable Summaries", PODS 2012) — the
+    form for when even the VOCABULARY overflows memory (raw n-grams / URLs
+    at 100 TB), where :func:`agg_heavy_hitters`'s exact word-count shuffle
+    is no longer cheap. Same answer set, same oracle: the sketch only
+    nominates candidates; exact counts come from a candidate-restricted
+    re-scan, so the output is identical to the exact form (hash-verified).
+
+    Plan (two linear passes, NO vocabulary-sized shuffle):
+
+    1. per-partition Misra–Gries with ``k`` counters inside one
+       ``mapInPandas`` pass — each Arrow batch is reduced vectorized
+       (``value_counts``) and merged into the partition's counter dict;
+       overflow subtracts the (m-k)-th smallest counter from all (the
+       batched decrement: each unit removes ≥ k+1 counts, so total
+       decrement ≤ n_p/(k+1));
+    2. the UNION of partition summaries (≤ partitions·k rows, a few KB) is
+       the candidate set. Sound for k ≥ 1/φ: a globally φ-heavy word is
+       φ-heavy in ≥1 partition by pigeonhole, and MG cannot evict an item
+       whose partition count exceeds n_p/(k+1);
+    3. exact pass: tokens broadcast-semi-joined to the candidates, one
+       TINY groupBy (≤ candidates keys), integer threshold cnt·50 > total
+       against the broadcast 1-row token total.
+
+    k=100 doubles the φ=0.02 soundness floor of 50. tests/test_round6.py
+    proves the no-drop guarantee on an adversarially skewed corpus and
+    asserts set-equality with the exact operator."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for word, cnt in pdf["word"].value_counts().items():
+                counters[word] = counters.get(word, 0) + int(cnt)
+            m = len(counters)
+            if m > k:
+                vals = sorted(counters.values())
+                cut = vals[m - k - 1]  # (m-k)-th smallest: ≥ m-k hit ≤0
+                counters = {w: c - cut for w, c in counters.items() if c > cut}
+        yield pd.DataFrame(
+            {"word": list(counters), "est": list(counters.values())}
+        )
+
+    summary = tokens.mapInPandas(mg_partition, "word string, est long")
+    cands = F.broadcast(summary.select("word").distinct())
+    exact = tokens.join(cands, "word", "left_semi").groupBy("word").agg(
+        F.count("*").alias("cnt")
+    )
+    total = F.broadcast(tokens.agg(F.count("*").alias("total")))
+    return (
+        exact.crossJoin(total)
         .where(F.col("cnt") * 50 > F.col("total"))
         .select(
             "word",

@@ -28,7 +28,7 @@ import pandas as pd  # module-level: the pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import REGISTRY, register
 from ..sources.loader import load_table
 
 JACCARD_THRESHOLD = 0.6
@@ -269,7 +269,8 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     Converges in O(graph diameter) rounds. Near-dup clusters are small
     cliques (diameter ≤ 2-3); if a pathological chain exceeds ``max_rounds``
     we RAISE rather than silently return partially-propagated (wrong)
-    labels. Each round ``localCheckpoint``s the new label table — this both
+    labels — long-chain graphs belong to :func:`star_contraction`
+    (large-star/small-star, O(log²) rounds regardless of diameter). Each round ``localCheckpoint``s the new label table — this both
     materializes it AND truncates the logical plan, so the returned
     DataFrame's lineage is one checkpoint deep, not O(rounds) joins deep
     (an un-truncated iterative lineage makes every later action replan the
@@ -311,11 +312,124 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         labels.unpersist()
         raise RuntimeError(
             f"min_label_propagation did not converge within {max_rounds} rounds "
-            f"(graph diameter > {max_rounds}); raise max_rounds or use a "
-            f"star-contraction variant"
+            f"(graph diameter > {max_rounds}); raise max_rounds or use "
+            f"star_contraction"
         )
     finally:
         edges.unpersist()
+
+
+def star_contraction(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the long-chain-safe counterpart to
+    :func:`min_label_propagation`. Input: undirected edge list with BOTH
+    orientations present (columns ``u``, ``v``), as produced by
+    dedup_cluster's pair expansion. Returns ``(u, label)``, label = min
+    node id of the component.
+
+    Per round, with Γ⁺(u) = Γ(u) ∪ {u} and m = min Γ⁺(u):
+
+    - large-star: every neighbor v > u re-attaches to m (emit (v, m)) —
+      halves the height of tall subtrees in parallel;
+    - small-star: every neighbor v < u, plus u itself, attaches to m —
+      collapses the remaining small fringes onto the center.
+
+    Both are ONE groupBy("u") + ONE join each — the same hash shuffle
+    layout every round, no broadcast, no driver data. Converges in
+    O(log² n) rounds on ANY graph shape (the fixture's path-graph property
+    test: diameter-199 chain, 4 rounds), where min-label propagation needs
+    O(diameter). Each round ``localCheckpoint``s the canonical edge set to
+    truncate lineage (same rationale as min_label_propagation; a cluster
+    deployment would use reliable ``checkpoint()``). Fixpoint = the
+    canonical (min, max) edge set stops changing; at fixpoint every
+    component is a star around its min node, so the label read-off is one
+    aggregate."""
+    canon = (
+        edges.where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = edges.select("u").distinct().cache()  # preserves isolated inputs
+
+    def both(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        g = both(e)
+        mins = (
+            g.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        return (
+            g.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))  # m < u < v
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        g = both(e).where(F.col("v") < F.col("u"))
+        mins = g.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        att = g.join(mins, "u")
+        out = att.select(F.col("m").alias("a"), F.col("v").alias("b")).unionAll(
+            att.select(F.col("m").alias("a"), F.col("u").alias("b")).distinct()
+        )
+        return (
+            out.where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+
+    try:
+        for _ in range(max_rounds):
+            new = small_star(large_star(canon)).localCheckpoint()
+            changed = (
+                new.subtract(canon).limit(1).count()
+                or canon.subtract(new).limit(1).count()
+            )
+            canon = new
+            if changed == 0:
+                labels = (
+                    both(canon)
+                    .groupBy("u")
+                    .agg(F.min("v").alias("mn"))
+                    .select("u", F.least("mn", "u").alias("label"))
+                )
+                # isolated nodes (no surviving edges) label themselves
+                return nodes.join(labels, "u", "left").select(
+                    "u", F.coalesce("label", "u").alias("label")
+                )
+        raise RuntimeError(
+            f"star_contraction did not converge within {max_rounds} rounds"
+        )
+    finally:
+        nodes.unpersist()
+
+
+@register("dedup_cluster_star", oracle=REGISTRY["dedup_cluster"].oracle, tier="B")
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_cluster` computed by :func:`star_contraction` instead of
+    min-label propagation — identical output, same recursive-CTE oracle
+    (tests additionally assert row-for-row equality between the two
+    variants). The variant exists for long-chain duplicate graphs —
+    transcript families, boilerplate chains — where propagation rounds
+    scale with chain length but star rounds stay O(log²)."""
+    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
+        )
+        .distinct()
+    )
+    labels = star_contraction(edges)
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 @register(

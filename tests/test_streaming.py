@@ -224,3 +224,47 @@ def test_streaming_word_count_equals_batch(spark):
     batch = engine.REGISTRY["wc_counts"].fn(spark, SF_DIR)
     cols = ["word", "cnt"]
     assert _normalize(result, cols) == _normalize(batch, cols)
+
+
+def test_custom_state_equals_batch_aggregate(spark):
+    """Round-6: ARBITRARY per-user state (count, last-seen µs, integer-cent
+    total) carried in GroupState via applyInPandasWithState across the
+    4-chunk micro-batch replay. The final state must equal stream_stateful's
+    batch aggregate row-for-row — and state must demonstrably carry ACROSS
+    batches (users spanning several chunks emit several monotone updates)."""
+    from parallel_mapreduce_wordcounting_spark.streaming import user_state_stream
+
+    stream, _ = events_stream(spark, SF_DIR)
+    result = run_to_batch(spark, user_state_stream(stream), output_mode="update")
+
+    rows = result.collect()
+    # state carried across micro-batches: most users appear in >1 chunk and
+    # so emit >1 cumulative update
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert max(len(v) for v in per_user.values()) >= 2
+    final = {
+        u: max(v, key=lambda r: r.n_events)  # n_events is monotone per user
+        for u, v in per_user.items()
+    }
+
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    batch = {
+        r.user_id: r
+        for r in engine.REGISTRY["stream_stateful"].fn(spark, SF_DIR).collect()
+    }
+    assert set(final) == set(batch)
+    for u, got in final.items():
+        want = batch[u]
+        assert got.n_events == want.n_events, u
+        from datetime import timezone
+
+        # collected timestamps are UTC wall time (session tz); pin the tz
+        # rather than trusting naive .timestamp()'s local-tz assumption
+        want_us = int(
+            want.last_ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+        assert got.last_ts_us == want_us, u
+        assert got.total_value == want.total_value, u
