@@ -85,6 +85,48 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_dpp",
+    oracle=(
+        "WITH dim AS (SELECT lang, count(*) AS lang_docs FROM documents "
+        "GROUP BY lang HAVING count(*) > 100) "
+        "SELECT d.lang, count(*) AS n_docs, "
+        "CAST(sum(d.n_chars) AS BIGINT) AS total_chars "
+        "FROM documents d JOIN dim USING (lang) GROUP BY d.lang"
+    ),
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the Hive-partitioned sink: the fact
+    side (documents re-written ``partitionBy(lang)``) joins a dim whose
+    surviving keys exist only at RUNTIME (langs with >100 docs — a filter
+    over an aggregate, so no static partition filter is possible). Spark
+    plans the broadcast build as a reusable pruning subquery:
+    ``PartitionFilters: [... dynamicpruningexpression(lang IN
+    dynamicpruning#N)]`` — the fact scan lists ONLY the partition
+    directories whose keys the dim produced (asserted in
+    tests/test_plans.py::test_join_dpp_prunes_partitions_dynamically).
+
+    At 100 TB this is THE date/tenant-partitioned fact⋈filtered-dim plan:
+    static pruning can't see through the dim computation, so without DPP
+    the scan reads every partition; with it, scan IO tracks the dim's
+    selectivity. Fixture-selective: only 'en' clears the 100-doc bar at
+    the test SFs, so 4 of 5 lang directories are skipped."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="pmrwc_dpp_") + "/docs"
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("lang_docs"))
+        .where(F.col("lang_docs") > 100)
+    )
+    return (
+        fact.join(F.broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
     "scan_csv",
     oracle="SELECT doc_id, lang, n_chars FROM documents",
 )

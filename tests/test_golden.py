@@ -61,11 +61,18 @@ def test_fuzzy_recall_vs_bruteforce_sf0001(spark):
 
 def test_blocked_ann_recall_floor(spark):
     """The IVF path is approximate but deterministic. The ADVICE r3 contract:
-    recall@20 against the exact path ≥ 0.75 on the sf0.01 fixture with the
-    default hashed-sample quantizer (n_centroids=64, nprobe=6); measured
-    20/20 — regressions in sampling, assignment, or probing would drop it.
-    sf0.001 is additionally pinned (same defaults, smaller corpus)."""
-    for sf, floor in ((SF0001, 15), ("/root/testdata/sf0.01", 15)):
+    recall@20 against the exact path ≥ 0.75 on the sf0.01 fixture
+    (n_centroids=64, nprobe=6); measured 20/20 — regressions in sampling,
+    fitting, assignment, or probing would drop it. Round 6 swapped the raw
+    hashed-sample quantizer for a spherical k-means fit over the hashed
+    sample, lifting sf0.1 recall 18→19/20 (pinned at ≥18 here; the corpus
+    is near-uniform, the adversarial case for clustering ANN). sf0.001 is
+    additionally pinned (same defaults, smaller corpus)."""
+    for sf, floor in (
+        (SF0001, 15),
+        ("/root/testdata/sf0.01", 15),
+        ("/root/testdata/sf0.1", 18),
+    ):
         exact = {
             (r.vec_id_a, r.vec_id_b)
             for r in engine.REGISTRY["sim_topk_cosine"].fn(spark, sf).collect()

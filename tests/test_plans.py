@@ -198,3 +198,14 @@ def test_heavy_hitters_broadcast_total(spark):
     p = _plan_simple(spark, "agg_heavy_hitters")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_join_dpp_prunes_partitions_dynamically(spark):
+    """join_dpp's fact scan must carry a dynamicpruningexpression partition
+    filter — proof the partitioned scan is pruned by the dim's RUNTIME key
+    set, not read in full (the 100 TB date/tenant-pruning story)."""
+    df = engine.REGISTRY["join_dpp"].fn(spark, SF_DIR)
+    p = explain_str(df)
+    assert "dynamicpruningexpression" in p, p[:2000]
+    # and the pruning subquery is hosted on the scan's PartitionFilters
+    assert "PartitionFilters" in p
