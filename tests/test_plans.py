@@ -178,10 +178,19 @@ def test_tpch_q12_date_range_pushed_to_scan(spark):
 
 def test_merge_upsert_is_single_key_join(spark):
     """MERGE compiles to one full-outer equi-join on the merge key — never a
-    nested-loop, and both sides shuffle (or broadcast) on o_orderkey only."""
+    nested-loop or cartesian. The ONLY nested-loop allowed is the broadcast
+    of the 1-row max(key)+1 shift aggregate onto the insert branch (the
+    scalar-broadcast pattern used repo-wide; it builds against exactly one
+    row, so it is O(n) regardless of SF)."""
     p = _plan_simple(spark, "merge_upsert")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row shift only
     assert "FullOuter" in p or "full_outer" in p.lower()
+    # the merge join itself must be a key-based equi-join, not the NLJ
+    full_outer_lines = [ln for ln in p.splitlines() if "FullOuter" in ln]
+    assert full_outer_lines and all(
+        "NestedLoop" not in ln and "Cartesian" not in ln for ln in full_outer_lines
+    )
 
 
 def test_scd2_single_user_partitioning(spark):
