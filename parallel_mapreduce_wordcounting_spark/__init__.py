@@ -51,6 +51,8 @@ from .operators import (  # noqa: F401,E402
     staged,
     curation_ext,
     warehouse,
+    chunking,
+    scale_ops,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

@@ -128,3 +128,58 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("query_id", "neg_id", "cosine")
     )
+
+
+# --- int8 embedding quantization --------------------------------------------
+
+SIM_QUANTIZE_ORACLE = (
+    "WITH v AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+    "s AS (SELECT vec_id, e, "
+    "  greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale FROM v), "
+    "q AS (SELECT vec_id, e, scale, "
+    "  list_transform(e, x -> CAST(round(x / scale) AS INTEGER)) AS qvec FROM s) "
+    "SELECT vec_id, qvec, round(scale, 9) AS scale_r, "
+    "round(list_sum(list_transform(e, (x, i) -> pow(x - qvec[i] * scale, 2))) / len(e), 9) "
+    "AS mse_r FROM q"
+)
+
+
+@register("sim_quantize_int8", oracle=SIM_QUANTIZE_ORACLE, tier="B")
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column:
+    scale = max|x|/127, q = round(x/scale), plus the reconstruction MSE —
+    the 4x storage/bandwidth compression every 100 TB embedding store
+    applies before ANN serving (IVF/PQ systems re-rank against these
+    int8 codes and only fetch float vectors for the final top-k).
+
+    Scale: pure array-lambda expressions (transform/aggregate/zip_with),
+    zero shuffles, linear. The float32 -> float64 casts are exact, scale is
+    the same double on both engines, and round() ties (x/scale landing on
+    exactly k + 0.5) cannot occur for these irrational ratios — so qvec is
+    bit-identical cross-engine and the 9-decimal rounds on scale/MSE only
+    absorb summation-order noise below 1e-15."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    e = e.withColumn(
+        "scale",
+        F.greatest(F.array_max(F.transform("e", F.abs)), F.lit(1e-30)) / 127.0,
+    )
+    e = e.withColumn(
+        "qvec",
+        F.transform("e", lambda x: F.round(x / F.col("scale")).cast("int")),
+    )
+    sq_err = F.zip_with(
+        "e", "qvec", lambda x, q: F.pow(x - q.cast("double") * F.col("scale"), 2)
+    )
+    return e.select(
+        "vec_id",
+        "qvec",
+        F.round("scale", 9).alias("scale_r"),
+        F.round(
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, t: acc + t)
+            / F.size("e"),
+            9,
+        ).alias("mse_r"),
+    )

@@ -218,3 +218,20 @@ def test_join_dpp_prunes_partitions_dynamically(spark):
     assert "dynamicpruningexpression" in p, p[:2000]
     # and the pruning subquery is hosted on the scan's PartitionFilters
     assert "PartitionFilters" in p
+
+
+def test_text_chunk_zero_shuffle(spark):
+    """Chunking must be embarrassingly parallel: no exchange anywhere."""
+    assert "Exchange" not in _plan_simple(spark, "text_chunk")
+
+
+def test_layout_zorder_single_range_exchange(spark):
+    """The layout pass pays exactly one range shuffle; the 64-bit-op Morton
+    interleave stays inside codegen (no Python, no extra exchange)."""
+    p = _plan_simple(spark, "layout_zorder")
+    assert p.count("Exchange rangepartitioning") == 1
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_quantize_int8_zero_shuffle(spark):
+    assert "Exchange" not in _plan_simple(spark, "sim_quantize_int8")

@@ -149,3 +149,129 @@ def test_star_contraction_agrees_with_propagation_on_fixture(spark):
     a = sorted((r.u, r.label) for r in star_contraction(edges).collect())
     b = sorted((r.u, r.label) for r in min_label_propagation(edges).collect())
     assert a == b
+
+
+# --- round-6b: chunking / block dedup / int8 quantization / z-order ----------
+
+
+def test_text_chunk_reconstructs_documents(spark):
+    """Stride-prefix concatenation invariant: taking the first STRIDE tokens
+    of every chunk except the last, then the whole last chunk, must rebuild
+    each document exactly — i.e. chunking loses no tokens and overlaps are
+    exactly SIZE-STRIDE. (The oracle checks values; this pins the windowing
+    geometry.)"""
+    from parallel_mapreduce_wordcounting_spark.operators.chunking import (
+        CHUNK_STRIDE,
+        text_chunk,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in engine.load_table(spark, SF_DIR, "documents").collect()
+    }
+    chunks = {}
+    for r in text_chunk(spark, SF_DIR).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+    assert set(chunks) == set(docs)
+    for doc_id, by_id in chunks.items():
+        parts = [by_id[i] for i in sorted(by_id)]
+        toks = []
+        for p in parts[:-1]:
+            toks.extend(p.split(" ")[:CHUNK_STRIDE])
+        toks.extend(parts[-1].split(" "))
+        assert " ".join(toks) == docs[doc_id], doc_id
+
+
+def test_dedup_lines_removes_exactly_corpus_heavy_blocks(spark):
+    """Every surviving block occurs < LINE_DUP_MIN times corpus-wide, every
+    removed block >= LINE_DUP_MIN; reconstruction preserves within-doc block
+    order; and the rule actually fires on the fixture (non-vacuous)."""
+    from parallel_mapreduce_wordcounting_spark.operators.chunking import (
+        BLOCK,
+        LINE_DUP_MIN,
+        dedup_lines,
+    )
+    from collections import Counter
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in engine.load_table(spark, SF_DIR, "documents").collect()
+    }
+    freq = Counter()
+    doc_blocks = {}
+    for doc_id, toks in docs.items():
+        blocks = [
+            " ".join(toks[i : i + BLOCK]) for i in range(0, len(toks), BLOCK)
+        ]
+        doc_blocks[doc_id] = blocks
+        freq.update(blocks)
+    out = {r.doc_id: r for r in dedup_lines(spark, SF_DIR).collect()}
+    assert set(out) == set(docs)
+    total_removed = 0
+    for doc_id, blocks in doc_blocks.items():
+        expect_kept = [b for b in blocks if freq[b] < LINE_DUP_MIN]
+        r = out[doc_id]
+        assert r.n_blocks == len(blocks)
+        assert r.n_removed == len(blocks) - len(expect_kept)
+        assert r.cleaned_text == " ".join(expect_kept)
+        total_removed += r.n_removed
+    assert total_removed > 0  # the C4 rule fires on this fixture
+
+
+def test_quantize_int8_codes_bounded_and_tight(spark):
+    """|q| <= 127 with the max-magnitude coordinate hitting exactly +-127,
+    and the reconstruction MSE within the uniform-quantizer bound
+    (scale/2)^2 — i.e. the codes actually use the full int8 range and the
+    error is rounding error, not a scaling bug."""
+    from parallel_mapreduce_wordcounting_spark.operators.similarity_ext import (
+        sim_quantize_int8,
+    )
+
+    rows = sim_quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        amax_q = max(abs(v) for v in r.qvec)
+        assert amax_q == 127  # scale = max|x|/127 maps the peak to the edge
+        assert all(-127 <= v <= 127 for v in r.qvec)
+        scale = r.scale_r
+        assert r.mse_r <= (scale / 2) ** 2 + 1e-12
+
+
+def test_layout_zorder_narrows_partition_boxes(spark):
+    """After repartitionByRange on the z-value, each partition's bounding
+    box over (custkey, order-day) must be far smaller than the global box —
+    the property that makes parquet min/max stats prune scans on EITHER
+    dimension. A single-dimension sort (by custkey) leaves the day range
+    per partition at ~100% of global; z-order shrinks the average box area
+    by an order of magnitude."""
+    from pyspark.sql import functions as F
+
+    z = engine.REGISTRY["layout_zorder"].fn(spark, SF_DIR)
+    o = engine.load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
+    )
+    with_pid = (
+        z.withColumn("pid", F.spark_partition_id())
+        .join(F.broadcast(o), "o_orderkey")
+    )
+    boxes = (
+        with_pid.groupBy("pid")
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("ck_range"),
+            (F.max("day") - F.min("day")).alias("day_range"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(boxes) >= 4  # range partitioner actually spread the data
+    glob = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("day") - F.min("day")).alias("dy"),
+    ).collect()[0]
+    global_area = glob.ck * glob.dy
+    weighted_area = sum(b.ck_range * b.day_range * b.n for b in boxes) / sum(
+        b.n for b in boxes
+    )
+    assert weighted_area < 0.5 * global_area
