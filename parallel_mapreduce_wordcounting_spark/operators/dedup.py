@@ -570,3 +570,54 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canon_key")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_members"))
     )
+
+
+DEDUP_SEMANTIC_ORACLE = (
+    "WITH RECURSIVE pairs AS ("
+    "  SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a "
+    "  JOIN embeddings b ON a.vec_id < b.vec_id "
+    "  WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+    "        CAST(b.embedding AS DOUBLE[])), 6) >= 0.45), "  # dedup_embedding's threshold
+    "edges AS (SELECT va AS u, vb AS v FROM pairs UNION SELECT vb, va FROM pairs), "
+    "reach AS ("
+    "  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) "
+    "  UNION "
+    "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+    "lbl AS (SELECT u AS vec_id, min(v) AS rep_id FROM reach GROUP BY u) "
+    "SELECT e.vec_id, coalesce(l.rep_id, e.vec_id) AS rep_id, "
+    "(coalesce(l.rep_id, e.vec_id) = e.vec_id) AS keep "
+    "FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id"
+)
+
+
+@register("dedup_semantic", oracle=DEDUP_SEMANTIC_ORACLE, tier="B")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication over the EMBEDDING space — cluster vectors whose cosine
+    exceeds the near-dup threshold into connected components and keep one
+    representative (min vec_id) per component. Text-level dedup
+    (dedup_fuzzy_minhash et al.) misses paraphrases and translations; this
+    catches them, which is why modern pretraining pipelines run both.
+
+    Composition of two already-scale-safe stages: candidate pairs from the
+    block-grid GEMM with in-kernel thresholding (dedup_embedding — output
+    is proportional to matches, never n²), then components via min-label
+    propagation with per-round lineage truncation (swap in
+    star_contraction for long-chain graphs). Every vector appears in the
+    output exactly once with its keeper verdict, so the downstream filter
+    is a trivial ``WHERE keep``."""
+    pairs = dedup_embedding(spark, sf_dir).select("vec_id_a", "vec_id_b")
+    edges = (
+        pairs.select(F.col("vec_id_a").alias("u"), F.col("vec_id_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("vec_id_b").alias("u"), F.col("vec_id_a").alias("v"))
+        )
+        .distinct()
+    )
+    labels = min_label_propagation(edges).withColumnRenamed("u", "vec_id")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        e.join(labels, "vec_id", "left")
+        .select("vec_id", F.coalesce("label", "vec_id").alias("rep_id"))
+        .withColumn("keep", F.col("rep_id") == F.col("vec_id"))
+    )

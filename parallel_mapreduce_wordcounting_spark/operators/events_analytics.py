@@ -254,3 +254,41 @@ def event_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("u.user_id").alias("wau"))
     )
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+EVENT_PATHS_ORACLE = (
+    "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, "
+    "event_id FROM events), "
+    "s AS (SELECT event_type AS e1, "
+    "lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) "
+    "SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt FROM s "
+    "WHERE e3 IS NOT NULL GROUP BY e1, e2, e3 "
+    "ORDER BY cnt DESC, e1, e2, e3 LIMIT 20"
+)
+
+
+@register("event_paths", oracle=EVENT_PATHS_ORACLE)
+def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral trigrams: the most common 3-step event-type
+    sequences users actually walk (the path-analysis complement of
+    ``event_transitions``' 2-step Markov matrix — funnels you DIDN'T
+    design show up here first).
+
+    Plan: one user_id shuffle for the ordered window (lead x2 share one
+    sort), one map-side-combined aggregate on the trigram, and the top-20
+    as a TakeOrderedAndProject heap with full-column tiebreak — no global
+    sort, deterministic under any partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(ts_us(), "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        s.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )

@@ -207,3 +207,34 @@ def stream_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+STREAM_STATIC_JOIN_ORACLE = (
+    "SELECT c.c_nationkey, count(*) AS cnt, round(avg(e.value), 6) AS avg_value "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "GROUP BY c.c_nationkey"
+)
+
+
+@register("stream_static_join", oracle=STREAM_STATIC_JOIN_ORACLE)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + aggregate, batch-equivalent form:
+    events (the stream side) joined to the customer dimension (the static
+    side) on user_id = c_custkey, rolled up per nation. In the streaming
+    form the static side is broadcast to every micro-batch and needs no
+    state at all — stream-static inner joins are stateless by construction
+    (each input row joins a fixed table and leaves), which is why dimension
+    enrichment is the one join every production stream runs first.
+    tests/test_streaming.py replays this exact plan through readStream
+    micro-batches and asserts the sink equals this batch result.
+
+    Scale: the stream side never shuffles for the join (broadcast);
+    the only stateful shuffle is the final per-nation aggregate, keyed on
+    25 nations — trivially bounded state."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )

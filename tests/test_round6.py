@@ -275,3 +275,24 @@ def test_layout_zorder_narrows_partition_boxes(spark):
         b.n for b in boxes
     )
     assert weighted_area < 0.5 * global_area
+
+
+def test_dedup_semantic_components_are_consistent(spark):
+    """Every vector appears exactly once; representatives are fixpoints
+    (rep of a rep is itself); every near-dup pair from dedup_embedding
+    lands in the same component; keep <=> self-representative; and the
+    fixture actually has multi-member components (non-vacuous)."""
+    out = {r.vec_id: r for r in engine.REGISTRY["dedup_semantic"].fn(spark, SF_DIR).collect()}
+    pairs = engine.REGISTRY["dedup_embedding"].fn(spark, SF_DIR).collect()
+    n_vec = engine.load_table(spark, SF_DIR, "embeddings").count()
+    assert len(out) == n_vec
+    for r in out.values():
+        assert out[r.rep_id].rep_id == r.rep_id  # fixpoint
+        assert r.keep == (r.rep_id == r.vec_id)
+        assert r.rep_id <= r.vec_id  # min-label convention
+    for p in pairs:
+        assert out[p.vec_id_a].rep_id == out[p.vec_id_b].rep_id, (
+            p.vec_id_a,
+            p.vec_id_b,
+        )
+    assert any(not r.keep for r in out.values())  # clusters exist at this SF

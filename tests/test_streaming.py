@@ -268,3 +268,24 @@ def test_custom_state_equals_batch_aggregate(spark):
         )
         assert got.last_ts_us == want_us, u
         assert got.total_value == want.total_value, u
+
+
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static enrichment: the events stream joined to the static
+    customer dimension per micro-batch must equal the registered batch
+    form exactly (stateless join + complete-mode aggregate)."""
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    stream, _ = events_stream(spark, SF_DIR)
+    c = engine.load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    agg = (
+        stream.join(F.broadcast(c), stream.user_id == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    result = run_to_batch(spark, agg, output_mode="complete")
+    batch = engine.REGISTRY["stream_static_join"].fn(spark, SF_DIR)
+    cols = ["c_nationkey", "cnt", "avg_value"]
+    assert _normalize(result, cols) == _normalize(batch, cols)
