@@ -238,3 +238,56 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
     )
+
+
+US_30MIN = 1_800_000_000
+
+STREAM_STREAM_JOIN_ORACLE = (
+    "WITH e AS (SELECT user_id, event_type, event_id, "
+    "epoch_ns(ts) // 1000 AS ts_us FROM events) "
+    "SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id, "
+    "CAST((p.ts_us - v.ts_us) // 1000000 AS BIGINT) AS lag_s "
+    "FROM e v JOIN e p ON v.user_id = p.user_id "
+    "AND v.event_type = 'view' AND p.event_type = 'purchase' "
+    f"AND p.ts_us >= v.ts_us AND p.ts_us - v.ts_us <= {US_30MIN}"
+)
+
+
+@register("stream_stream_join", oracle=STREAM_STREAM_JOIN_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-equivalent form: every (view,
+    purchase) pair by the same user with the purchase at most 30 minutes
+    after the view — the attribution join (ad-click -> conversion) that is
+    Structured Streaming's canonical stream-stream example. In the
+    streaming form BOTH sides carry watermarks and the time-range predicate
+    bounds each side's state retention (a view can be dropped once the
+    purchase watermark passes view_ts + 30min); tests/test_streaming.py
+    replays this plan through readStream micro-batches against two forks
+    of the same event stream and asserts the sink equals this batch
+    result.
+
+    Scale: one shuffle of each side on user_id; state is
+    watermark-bounded so memory tracks the 30-minute window's event rate,
+    not stream length. The µs integer lag arithmetic is exact on both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), ts_us().alias("v_us")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        ts_us().alias("p_us"),
+    )
+    joined = v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (p.p_us >= v.v_us)
+        & (p.p_us - v.v_us <= US_30MIN),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.expr("(p_us - v_us) div 1000000").alias("lag_s"),
+    )
