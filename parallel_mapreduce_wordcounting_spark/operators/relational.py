@@ -309,3 +309,66 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="pmrwc_orc_") + "/docs"
     d.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+SCAN_SCHEMA_EVOLUTION_ORACLE = (
+    "SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang FROM documents "
+    "WHERE doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1"
+)
+
+
+@register("scan_schema_evolution", oracle=SCAN_SCHEMA_EVOLUTION_ORACLE)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same table —
+    v1 written before a ``lang`` column existed, v2 after — unified by one
+    ``mergeSchema`` scan, with v1 rows NULL-filled for the new column.
+    Every long-lived 100 TB table has this shape (columns accrete over
+    years of files); ``mergeSchema`` is Spark's footer-union answer, and
+    the oracle pins its exact fill semantics.
+
+    Scale note: mergeSchema's footer reconciliation is a one-time
+    listing-phase cost (a distributed footer read), not a per-row cost —
+    but production tables should still register an explicit evolved schema
+    in the catalog and avoid per-query inference; this operator documents
+    the semantics, the loader owns the policy."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="pmrwc_evo_") + "/docs"
+    d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/gen=1")
+    d.where(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/gen=2")
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    return back.select("doc_id", "text", "lang")
+
+
+@register(
+    "sink_compact",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented table (documents deliberately
+    scattered into 64 files — the classic streaming-ingest debris) is
+    rewritten into a handful of right-sized files and read back; the
+    oracle asserts compaction is content-preserving. The read-back path
+    proves the rewrite, and tests assert the file-count collapse.
+
+    At 100 TB small files are a primary scan-cost driver (per-file open +
+    footer parse + scheduler overhead dominate under ~32 MB); the fix is
+    exactly this periodic ``repartition`` rewrite. ``repartition`` (round-
+    robin) rather than ``coalesce`` so output files are size-balanced even
+    when the input fragmentation is skewed — coalesce merges neighbors
+    and inherits their skew."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = tempfile.mkdtemp(prefix="pmrwc_compact_")
+    d.repartition(64).write.mode("overwrite").parquet(f"{base}/fragmented")
+    frag = spark.read.parquet(f"{base}/fragmented")
+    frag.repartition(4).write.mode("overwrite").parquet(f"{base}/compacted")
+    return spark.read.parquet(f"{base}/compacted")

@@ -296,3 +296,19 @@ def test_dedup_semantic_components_are_consistent(spark):
             p.vec_id_b,
         )
     assert any(not r.keep for r in out.values())  # clusters exist at this SF
+
+
+def test_sink_compact_collapses_file_count(spark, tmp_path):
+    """The compaction rewrite must actually shrink the file population:
+    64 fragment files in, <= 4 data files out, zero row loss."""
+    import glob
+
+    from parallel_mapreduce_wordcounting_spark.operators.relational import (
+        sink_compact,
+    )
+
+    out = sink_compact(spark, SF_DIR)
+    # the returned scan points at the compacted dir; pull it from the plan
+    files = out.inputFiles()
+    assert 1 <= len(files) <= 4
+    assert out.count() == engine.load_table(spark, SF_DIR, "documents").count()
