@@ -311,3 +311,28 @@ def agg_heavy_hitters_sketch(
             F.round(F.col("cnt") / (1.0 * F.col("total")), 6).alias("frac"),
         )
     )
+
+
+AGG_LISTAGG_ORACLE = (
+    "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names "
+    "FROM nation GROUP BY n_regionkey"
+)
+
+
+@register("agg_listagg", oracle=AGG_LISTAGG_ORACLE)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP, new
+    in Spark 4.0) — the report-formatting aggregate DuckDB spells
+    string_agg(expr, sep ORDER BY ...). The in-group ORDER BY is what makes
+    the result deterministic under any partitioning; an unordered concat
+    would differ run to run.
+
+    Scale: same two-phase hash aggregate as any groupBy (partial concat
+    map-side); the one real hazard is group VALUE size — a group with
+    millions of members builds a string that big, so at 100 TB listagg
+    belongs on bounded-cardinality groups (here: 5 nations per region) or
+    behind a top-k prefilter."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("names")
+    )

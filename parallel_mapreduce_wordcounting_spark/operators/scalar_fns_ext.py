@@ -190,3 +190,39 @@ def fn_uuid_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(x, 21, 12),
         ).alias("content_uuid"),
     )
+
+
+FN_TRY_ARITH_ORACLE = (
+    "SELECT l_orderkey, l_linenumber, "
+    "CASE WHEN l_quantity - 10 = 0 THEN NULL "
+    "     ELSE round(l_extendedprice / (l_quantity - 10), 6) END AS safe_ratio, "
+    "TRY_CAST(l_returnflag AS INTEGER) AS flag_num, "
+    "CASE WHEN l_quantity - 10 = 0 THEN NULL "
+    "     ELSE CAST(floor(l_extendedprice) AS BIGINT) % CAST(l_quantity - 10 AS BIGINT) END AS safe_mod "
+    "FROM lineitem WHERE l_orderkey % 10 = 0"
+)
+
+
+@register("fn_try_arith", oracle=FN_TRY_ARITH_ORACLE)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: try_divide / try_cast / try_mod turn
+    would-be runtime errors (division by zero, bad casts) into NULLs — the
+    ANSI-mode answer to "one poison row kills a 9-hour job". At 100 TB you
+    can't pre-validate every row; try_* keeps the pipeline total while the
+    NULL count becomes the data-quality metric.
+
+    The fixture's l_quantity hits 10 often, so the zero denominator
+    actually occurs; the oracle mirrors each try_* with its explicit
+    CASE/TRY_CAST DuckDB equivalent. Pure codegen expressions, no
+    shuffle."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    denom = F.col("l_quantity") - 10
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", denom), 6).alias("safe_ratio"),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias("flag_num"),
+        # floor() on both sides: a bare double->long CAST truncates in
+        # Spark but rounds in DuckDB
+        F.try_mod(F.floor("l_extendedprice"), denom.cast("long")).alias("safe_mod"),
+    )
