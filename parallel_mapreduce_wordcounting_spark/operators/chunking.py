@@ -157,3 +157,45 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_blocks", "n_removed", "cleaned_text")
     )
+
+
+# --- composed RAG index build ------------------------------------------------
+
+PIPELINE_RAG_ORACLE = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "s AS (SELECT doc_id, toks, len(toks) AS n, "
+    f"      unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start FROM t), "
+    f"ch AS (SELECT doc_id, CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id, "
+    f"array_to_string(list_slice(toks, start + 1, start + {CHUNK_SIZE}), ' ') AS chunk_text, "
+    f"CAST(least({CHUNK_SIZE}, n - start) AS BIGINT) AS n_tokens FROM s), "
+    "fp AS (SELECT doc_id, chunk_id, n_tokens, md5(chunk_text) AS fp FROM ch) "
+    "SELECT doc_id, chunk_id, n_tokens, fp, "
+    "(row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) = 1) AS is_canonical "
+    "FROM fp"
+)
+
+
+@register("pipeline_rag_index", oracle=PIPELINE_RAG_ORACLE, tier="B")
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RAG-index build: chunk every document (text_chunk's
+    geometry), content-fingerprint each chunk (md5 — same literal function
+    both engines), and mark one canonical copy per distinct chunk content
+    (first (doc_id, chunk_id) wins). Downstream, only canonical chunks get
+    embedded — on repetitive corpora that is the single biggest cost lever
+    an embedding pipeline has, and retrieval hits on a duplicate resolve
+    through its canonical chunk's fingerprint.
+
+    Plan: zero-shuffle chunking -> one window shuffle on the fingerprint
+    (the dedup key, uniformly distributed by construction — md5 can't
+    skew). At 100 TB the window's per-key state is the duplicate family
+    size; pathological families (the empty chunk, boilerplate) are exactly
+    what dedup_lines removes upstream in the full curation chain."""
+    ch = text_chunk(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
+    return (
+        ch.withColumn("fp", F.md5("chunk_text"))
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select("doc_id", "chunk_id", "n_tokens", "fp", "is_canonical")
+    )

