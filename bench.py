@@ -6,8 +6,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 The query set mirrors BASELINE.md so the 2× gate is apples-to-apples:
 wc_topk, join_star, agg_basic, stream_tumbling, sim_topk_cosine — plus the
-engine's own scale paths (sim_topk_blocked, dedup_fuzzy_minhash) and two
-TPC-H shapes (tpch_q1 scan-agg, tpch_q9 five-way join) reported for
+engine's own scale paths (sim_topk_blocked, dedup_fuzzy_minhash), two
+TPC-H shapes (tpch_q1 scan-agg, tpch_q9 five-way join), and the round-6
+LLM-pipeline headliners (dedup_lines, pipeline_rag_index) reported for
 visibility. Timing is median of 3 runs after one warm-up, collect()
 included, session startup excluded (matching BASELINE.md's method).
 """
@@ -32,6 +33,10 @@ BENCH_KEYS = [
     "dedup_fuzzy_minhash",
     "tpch_q1",
     "tpch_q9",
+    # round-6 LLM-pipeline headliners (not in BASELINE.md; reported for
+    # visibility — cross-round totals are comparable only per-query)
+    "dedup_lines",
+    "pipeline_rag_index",
 ]
 
 

@@ -183,3 +183,95 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mse_r"),
     )
+
+
+# --- deterministic k-means (2 Lloyd iterations, exact cross-engine) ----------
+
+KMEANS_K = 8
+
+# Long-format (cid, pos, c) centroid pipeline shared by both engines:
+# init = the K smallest vec_ids' vectors; each iteration assigns by
+# squared-L2 argmin (cid tiebreak) and re-averages, with centroid
+# components ROUNDED TO 6 DP both sides so the iteration sees bit-identical
+# centroids on Spark and DuckDB (raw avg() noise is ~1e-16 and could flip a
+# near-tie assignment; the round absorbs it).
+SIM_KMEANS_ORACLE = (
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings), "
+    "ev AS (SELECT vec_id, i - 1 AS pos, v[i] AS x "
+    "FROM e CROSS JOIN generate_series(1, 64) t(i)), "
+    f"seed AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS cid "
+    f"FROM e ORDER BY vec_id LIMIT {KMEANS_K}), "
+    "c0 AS (SELECT cid, i - 1 AS pos, round(v[i], 6) AS c "
+    "FROM seed CROSS JOIN generate_series(1, 64) t(i)), "
+    "d1 AS (SELECT ev.vec_id, c0.cid, sum((ev.x - c0.c) ^ 2) AS d2 "
+    "FROM ev JOIN c0 ON ev.pos = c0.pos GROUP BY ev.vec_id, c0.cid), "
+    "a1 AS (SELECT vec_id, min(struct_pack(d2 := d2, cid := cid)) AS m "
+    "FROM d1 GROUP BY vec_id), "
+    "c1 AS (SELECT a1.m.cid AS cid, ev.pos, round(avg(ev.x), 6) AS c "
+    "FROM a1 JOIN ev USING (vec_id) GROUP BY a1.m.cid, ev.pos), "
+    "d2_ AS (SELECT ev.vec_id, c1.cid, sum((ev.x - c1.c) ^ 2) AS d2 "
+    "FROM ev JOIN c1 ON ev.pos = c1.pos GROUP BY ev.vec_id, c1.cid), "
+    "a2 AS (SELECT vec_id, min(struct_pack(d2 := d2, cid := cid)) AS m "
+    "FROM d2_ GROUP BY vec_id) "
+    "SELECT vec_id, CAST(m.cid AS INTEGER) AS cluster, round(m.d2, 6) AS d2_r "
+    "FROM a2"
+)
+
+
+def _km_assign(ev: DataFrame, cl: DataFrame) -> DataFrame:
+    """Squared-L2 argmin assignment over long-format centroids (cid
+    tiebreak via lexicographic struct min — same rule as the oracle)."""
+    d = (
+        ev.join(F.broadcast(cl), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.pow(F.col("x") - F.col("c"), 2)).alias("d2"))
+    )
+    return d.groupBy("vec_id").agg(F.min(F.struct("d2", "cid")).alias("m"))
+
+
+@register("sim_kmeans", oracle=SIM_KMEANS_ORACLE, tier="B")
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embedding corpus: K=8 centroids
+    seeded from the K smallest vec_ids, exactly 2 Lloyd iterations, output
+    = final assignment + squared distance. The iterative-ML shape on
+    DataFrames — and unlike most k-means, bit-reproducible: deterministic
+    seeding (no random init), fixed iteration count (no data-dependent
+    stop), and 6-dp centroid rounding each round so Spark and DuckDB walk
+    identical trajectories (the oracle IS the same algorithm in SQL).
+
+    Scale: per iteration one broadcast join against K×64 centroid rows and
+    two map-side-combined aggregates — the corpus streams, never shuffles
+    on anything wider than (vec_id, cid). More iterations = a driver loop
+    over the same two steps with localCheckpoint lineage truncation (see
+    dedup.min_label_propagation); the production quantizer behind
+    sim_topk_blocked (similarity.py) runs exactly that loop on a hashed
+    sample."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ev = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    w = Window.orderBy("vec_id")
+    seed = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .withColumn("cid", F.row_number().over(w) - 1)
+    )
+    c0 = seed.select(
+        "cid", F.posexplode(F.transform("v", lambda x: F.round(x, 6))).alias("pos", "c")
+    )
+    a1 = _km_assign(ev, c0)
+    c1 = (
+        a1.select("vec_id", F.col("m.cid").alias("cid"))
+        .join(ev, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    a2 = _km_assign(ev, c1)
+    return a2.select(
+        "vec_id",
+        F.col("m.cid").cast("int").alias("cluster"),
+        F.round("m.d2", 6).alias("d2_r"),
+    )

@@ -312,3 +312,39 @@ def test_sink_compact_collapses_file_count(spark, tmp_path):
     files = out.inputFiles()
     assert 1 <= len(files) <= 4
     assert out.count() == engine.load_table(spark, SF_DIR, "documents").count()
+
+
+def test_kmeans_assignment_invariants(spark):
+    """Every vector gets exactly one cluster in [0, K); Lloyd monotonicity:
+    total inertia after the second assignment <= after the first (update
+    then reassign can only improve the objective, up to the 6-dp centroid
+    rounding both engines share)."""
+    from parallel_mapreduce_wordcounting_spark.operators.similarity_ext import (
+        KMEANS_K,
+        sim_kmeans,
+        _km_assign,
+    )
+
+    out = sim_kmeans(spark, SF_DIR).collect()
+    n_vec = engine.load_table(spark, SF_DIR, "embeddings").count()
+    assert len(out) == n_vec
+    assert all(0 <= r.cluster < KMEANS_K and r.d2_r >= 0 for r in out)
+    assert len({r.cluster for r in out}) > 1  # didn't collapse to one blob
+
+    e = engine.load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ev = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("vec_id")
+    seed = e.orderBy("vec_id").limit(KMEANS_K).withColumn(
+        "cid", F.row_number().over(w) - 1
+    )
+    c0 = seed.select(
+        "cid", F.posexplode(F.transform("v", lambda x: F.round(x, 6))).alias("pos", "c")
+    )
+    a1 = _km_assign(ev, c0)
+    inertia1 = a1.agg(F.sum("m.d2")).collect()[0][0]
+    inertia2 = sum(r.d2_r for r in out)
+    assert inertia2 <= inertia1 + 1e-6
