@@ -336,3 +336,29 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("names")
     )
+
+
+AGG_BITWISE_ORACLE = (
+    "SELECT l_returnflag, "
+    "CAST(bit_or(1 << l_linenumber) AS BIGINT) AS line_mask, "
+    "CAST(bit_and(l_orderkey) AS BIGINT) AS key_and, "
+    "CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+
+
+@register("agg_bitwise", oracle=AGG_BITWISE_ORACLE)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates: bit_or as a presence mask (which line numbers
+    occur per flag — the poor man's roaring bitmap), bit_and as an
+    all-rows-share-these-bits probe, bit_xor as an order-independent
+    parity/checksum (the classic shuffle-free integrity check: xor of a
+    column is partition-order invariant by algebra, so it verifies copies
+    without sorting). All three are associative+commutative, so Spark runs
+    them map-side-combined in one exchange."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("bit_or(shiftleft(1, l_linenumber))").cast("long").alias("line_mask"),
+        F.expr("bit_and(l_orderkey)").cast("long").alias("key_and"),
+        F.expr("bit_xor(l_orderkey)").cast("long").alias("key_xor"),
+    )

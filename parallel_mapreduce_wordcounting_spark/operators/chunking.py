@@ -199,3 +199,60 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_canonical", F.row_number().over(w) == 1)
         .select("doc_id", "chunk_id", "n_tokens", "fp", "is_canonical")
     )
+
+
+@register("dedup_lines_bcast", oracle=DEDUP_LINES_ORACLE, tier="B")
+def dedup_lines_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_lines` computed by its documented scale path: the
+    corpus count table is filtered to the heavy blocks FIRST
+    (cnt >= LINE_DUP_MIN — by definition few distinct strings, boilerplate
+    is concentrated) and broadcast, so the block stream is never shuffled
+    on block text; a broadcast left join marks heavy blocks in place and
+    the only remaining shuffles are the count aggregate and the per-doc
+    regroup. Identical output, same oracle — the same share-the-oracle
+    pattern as dedup_cluster_star."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    blk = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), ((F.size("toks") - 1) / F.lit(BLOCK)).cast("int"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(F.slice("toks", F.col("i") * BLOCK + 1, F.lit(BLOCK)), " ").alias(
+            "bt"
+        ),
+    )
+    heavy = (
+        blk.groupBy("bt")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= LINE_DUP_MIN)
+        .select("bt", F.lit(True).alias("is_heavy"))
+    )
+    marked = blk.join(F.broadcast(heavy), "bt", "left").withColumn(
+        "is_heavy", F.coalesce("is_heavy", F.lit(False))
+    )
+    kept_struct = F.struct(
+        F.col("i"), F.when(~F.col("is_heavy"), F.col("bt")).alias("bt")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.count_if(F.col("is_heavy")).alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)), lambda x: x["bt"]
+                    ),
+                    lambda s: s.isNotNull(),
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .select("doc_id", "n_blocks", "n_removed", "cleaned_text")
+    )

@@ -235,3 +235,12 @@ def test_layout_zorder_single_range_exchange(spark):
 
 def test_quantize_int8_zero_shuffle(spark):
     assert "Exchange" not in _plan_simple(spark, "sim_quantize_int8")
+
+
+def test_dedup_lines_bcast_no_blocktext_shuffle(spark):
+    """The broadcast form must not shuffle the block stream on block text:
+    exactly two hash exchanges remain (the count aggregate and the per-doc
+    regroup) and the heavy-set join is a BroadcastHashJoin."""
+    p = _plan_simple(spark, "dedup_lines_bcast")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 2
