@@ -53,6 +53,7 @@ from .operators import (  # noqa: F401,E402
     warehouse,
     chunking,
     scale_ops,
+    graph,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

@@ -621,3 +621,44 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.coalesce("label", "vec_id").alias("rep_id"))
         .withColumn("keep", F.col("rep_id") == F.col("vec_id"))
     )
+
+
+DEDUP_EDIT_DISTANCE_ORACLE = (
+    f"{SHINGLES_CTE} "
+    "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+    "levenshtein(da.text, db.text) AS edit_dist "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "JOIN documents da ON da.doc_id = a.doc_id "
+    "JOIN documents db ON db.doc_id = b.doc_id "
+    f"WHERE {_ORACLE_PAIR_JACCARD} >= {JACCARD_THRESHOLD}"
+)
+
+
+@register("dedup_edit_distance", oracle=DEDUP_EDIT_DISTANCE_ORACLE, tier="B")
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the near-dup candidates: exact
+    Levenshtein distance for every MinHash/LSH pair — the precision stage
+    a curation pipeline runs when Jaccard-on-shingles is too coarse (e.g.
+    to rank which member of a duplicate family to keep, or to split
+    template-siblings from true copies). Levenshtein is O(len²) per pair,
+    which is exactly why it only ever runs on the LSH-bucketed candidate
+    set (bounded, match-proportional) and never on the corpus product.
+    Spark's and DuckDB's levenshtein agree by probe (kitten/sitting=3,
+    abc/''=3)."""
+    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        pairs.join(
+            d.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("ta")),
+            "doc_id_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("tb")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("ta", "tb").alias("edit_dist"),
+        )
+    )

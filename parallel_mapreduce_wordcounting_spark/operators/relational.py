@@ -372,3 +372,73 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag = spark.read.parquet(f"{base}/fragmented")
     frag.repartition(4).write.mode("overwrite").parquet(f"{base}/compacted")
     return spark.read.parquet(f"{base}/compacted")
+
+
+PROFILE_TABLE_ORACLE = (
+    "WITH a AS (SELECT count(*) AS n, "
+    "count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1, "
+    "CAST(min(o_orderkey) AS DOUBLE) AS mn1, CAST(max(o_orderkey) AS DOUBLE) AS mx1, "
+    "count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2, "
+    "CAST(min(o_custkey) AS DOUBLE) AS mn2, CAST(max(o_custkey) AS DOUBLE) AS mx2, "
+    "count(o_totalprice) AS nn3, count(DISTINCT o_totalprice) AS nd3, "
+    "round(min(o_totalprice), 6) AS mn3, round(max(o_totalprice), 6) AS mx3 "
+    "FROM orders) "
+    "SELECT 'o_orderkey' AS col, CAST(n AS BIGINT) AS n_rows, "
+    "CAST(nn1 AS BIGINT) AS n_nonnull, CAST(nd1 AS BIGINT) AS n_distinct, "
+    "mn1 AS min_v, mx1 AS max_v FROM a "
+    "UNION ALL SELECT 'o_custkey', CAST(n AS BIGINT), CAST(nn2 AS BIGINT), "
+    "CAST(nd2 AS BIGINT), mn2, mx2 FROM a "
+    "UNION ALL SELECT 'o_totalprice', CAST(n AS BIGINT), CAST(nn3 AS BIGINT), "
+    "CAST(nd3 AS BIGINT), mn3, mx3 FROM a"
+)
+
+
+@register("profile_table", oracle=PROFILE_TABLE_ORACLE)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler: row count, non-null count, exact
+    distinct count, min/max for each profiled column, emitted one row per
+    column — the data-quality snapshot every ingest job should publish
+    (and the stats a CBO or a freshness monitor reads).
+
+    Plan: ONE aggregate over the table computes every metric (Spark
+    rewrites the multi-DISTINCT via expand), then the per-column rows are
+    cheap selects from that 1-row result — the table is scanned once
+    however many columns are profiled. At 100 TB swap exact
+    count(DISTINCT) for approx_count_distinct per column and the plan
+    loses the expand; the shape is otherwise unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_orderkey").alias("nn1"),
+        F.countDistinct("o_orderkey").alias("nd1"),
+        F.min("o_orderkey").cast("double").alias("mn1"),
+        F.max("o_orderkey").cast("double").alias("mx1"),
+        F.count("o_custkey").alias("nn2"),
+        F.countDistinct("o_custkey").alias("nd2"),
+        F.min("o_custkey").cast("double").alias("mn2"),
+        F.max("o_custkey").cast("double").alias("mx2"),
+        F.count("o_totalprice").alias("nn3"),
+        F.countDistinct("o_totalprice").alias("nd3"),
+        F.round(F.min("o_totalprice"), 6).alias("mn3"),
+        F.round(F.max("o_totalprice"), 6).alias("mx3"),
+    ).cache()
+    rows = [
+        ("o_orderkey", "nn1", "nd1", "mn1", "mx1"),
+        ("o_custkey", "nn2", "nd2", "mn2", "mx2"),
+        ("o_totalprice", "nn3", "nd3", "mn3", "mx3"),
+    ]
+    parts = [
+        a.select(
+            F.lit(col).alias("col"),
+            F.col("n").alias("n_rows"),
+            F.col(nn).alias("n_nonnull"),
+            F.col(nd).alias("n_distinct"),
+            F.col(mn).alias("min_v"),
+            F.col(mx).alias("max_v"),
+        )
+        for col, nn, nd, mn, mx in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
