@@ -226,3 +226,38 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark but rounds in DuckDB
         F.try_mod(F.floor("l_extendedprice"), denom.cast("long")).alias("safe_mod"),
     )
+
+
+FN_MASK_ORACLE = (
+    "SELECT c_custkey, "
+    "regexp_replace(regexp_replace(regexp_replace(c_name, "
+    "'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked_name, "
+    "CASE WHEN length(c_name) > 4 "
+    "     THEN repeat('*', length(c_name) - 4) || right(c_name, 4) "
+    "     ELSE c_name END AS last4 "
+    "FROM customer WHERE c_custkey % 50 = 0"
+)
+
+
+@register("fn_mask", oracle=FN_MASK_ORACLE)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking surface: ``mask()`` (Spark 3.4+ — upper->X, lower->x,
+    digit->n, punctuation kept; the oracle mirrors it with three regexp
+    passes, probed identical) plus the show-last-4 redaction pattern every
+    PII-bearing column export uses. Both are pure codegen string
+    expressions — masking at 100 TB is a free rider on the export scan,
+    which is why column-level masking policies compile to exactly this."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_name"),
+        F.when(
+            F.length("c_name") > 4,
+            F.concat(
+                F.repeat(F.lit("*"), F.length("c_name") - 4),
+                F.substring(F.col("c_name"), -4, 4),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("last4"),
+    )
