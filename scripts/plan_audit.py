@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Repo-wide physical-plan red-flag sweep.
+
+Explains EVERY registered key at sf0.001 and flags the classic 100 TB
+scale-killers:
+
+- ``CartesianProduct`` (quadratic blow-up) — always flagged;
+- ``BroadcastNestedLoopJoin`` — flagged unless the build side is a 1-row
+  aggregate (the repo-wide broadcast-scalar pattern, audited safe);
+- ``Window`` with an empty partition spec (global single-partition window)
+  — flagged except inside an already-bounded (<= a few rows) stage, which
+  the sweep can't see, so every hit needs a human-readable justification
+  in the allowlist below;
+- Python row-at-a-time ``BatchEvalPython`` — flagged unless the key is the
+  UDF-demo surface itself.
+
+Exit 0 = no unexplained flags. Run: python scripts/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("PMRWC_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# key -> reason a hit is acceptable (documented judgment, not suppression)
+ALLOW = {
+    "join_cross": {"CartesianProduct", "BroadcastNestedLoopJoin"},  # IS the cross-join surface
+    "udf_scalar": {"BatchEvalPython"},  # IS the row-at-a-time UDF demo
+    "udtf_python": {"BatchEvalPython"},  # IS the Python UDTF demo
+    # single-partition windows over BOUNDED inputs (not the row stream):
+    "sim_kmeans": {"GlobalWindow"},  # row_number over the K=8 seed rows only
+    "pack_sequences": {"GlobalWindow"},  # prefix over per-BUCKET totals (shuffle-partition count rows; curation_ext.py:281)
+    "text_zipf": {"GlobalWindow"},  # rank over the aggregated vocabulary (~|V| rows), not the token stream
+    # broadcast NLJs whose build side is a bounded constant (> 1 row, so the
+    # keys=[] 1-row-aggregate detector can't clear them):
+    "sim_knn_query": {"BroadcastNestedLoopJoin"},  # 1 query row broadcast (range condition)
+    "sim_label_eval": {"BroadcastNestedLoopJoin"},  # 20 query rows broadcast
+    "sim_hard_negatives": {"BroadcastNestedLoopJoin"},  # 20 query rows broadcast
+    "sim_pair_hist": {"BroadcastNestedLoopJoin"},  # bounded id-range slice self-pairing (documented demo slice)
+    "event_active_users": {"BroadcastNestedLoopJoin"},  # day x trailing-7-day calendar join (~30x7 rows)
+}
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("pmrwc-plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import parallel_mapreduce_wordcounting_spark as engine
+    from parallel_mapreduce_wordcounting_spark.plans import explain_str
+
+    flags: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for key in sorted(engine.REGISTRY):
+        try:
+            p = explain_str(engine.REGISTRY[key].fn(spark, SF), "simple")
+        except Exception as ex:  # noqa: BLE001 — audit must visit every key
+            errors[key] = str(ex).splitlines()[0][:120]
+            continue
+        hits = set()
+        if "CartesianProduct" in p:
+            hits.add("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in p:
+            # allowed when every NLJ in this plan builds on a 1-row aggregate:
+            # the repo's broadcast-scalar idiom plans the build side as a
+            # HashAggregate with no grouping keys (keys=[]).
+            if "keys=[], functions=[" not in p:
+                hits.add("BroadcastNestedLoopJoin")
+        # global window: a Window node whose spec has no partition list
+        for line in p.splitlines():
+            ls = line.strip()
+            if ls.startswith(("Window ", "+- Window ", ":- Window ")) or " Window " in ls:
+                if "windowspecdefinition(" in ls and re.search(
+                    r"windowspecdefinition\((?:[^,()]*? ASC NULLS FIRST|[^,()]*? DESC NULLS LAST)",
+                    ls,
+                ):
+                    # spec starts with an ORDER BY column => no partition cols
+                    hits.add("GlobalWindow")
+        if "BatchEvalPython" in p:
+            hits.add("BatchEvalPython")
+        hits -= ALLOW.get(key, set())
+        if hits:
+            flags[key] = sorted(hits)
+
+    print(f"audited {len(engine.REGISTRY)} keys at {SF}")
+    if errors:
+        print(f"ERRORS ({len(errors)}):")
+        for k, e in sorted(errors.items()):
+            print(f"  {k}: {e}")
+    if flags:
+        print(f"FLAGS ({len(flags)}):")
+        for k, h in sorted(flags.items()):
+            print(f"  {k}: {', '.join(h)}")
+    else:
+        print("FLAGS: none")
+    return 1 if (flags or errors) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
