@@ -362,3 +362,31 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_and(l_orderkey)").cast("long").alias("key_and"),
         F.expr("bit_xor(l_orderkey)").cast("long").alias("key_xor"),
     )
+
+
+AGG_GROUPING_ID_ORACLE = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag, "
+    "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status, "
+    "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+)
+
+
+@register("agg_grouping_id", oracle=AGG_GROUPING_ID_ORACLE)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() over a rollup: the functions that
+    disambiguate a real NULL group value from a subtotal row's
+    placeholder NULL — without them, rollup/cube outputs are unusable on
+    nullable keys. gid is the bitmask form (flag bit 1, status bit 0);
+    the oracle reconstructs it from per-column GROUPING() since DuckDB
+    spells GROUPING_ID differently. Same single-exchange expand plan as
+    agg_rollup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+    )
