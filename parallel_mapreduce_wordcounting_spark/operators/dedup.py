@@ -659,6 +659,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.levenshtein("ta", "tb").alias("edit_dist"),
+            # cast: Spark's levenshtein returns int32, DuckDB's BIGINT
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
         )
     )
