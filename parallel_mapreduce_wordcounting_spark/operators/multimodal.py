@@ -179,3 +179,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         sample_batch, schema="doc_id long, frame_idx int, frame_sha string, n_bytes int"
     )
+
+
+MM_BLOB_STATS_ORACLE = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_assets, "
+    "CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, "
+    "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_blobs, "
+    "CAST(min(strlen(text)) AS BIGINT) AS min_bytes, "
+    "CAST(max(strlen(text)) AS BIGINT) AS max_bytes "
+    "FROM documents GROUP BY source"
+)
+
+
+@register("mm_blob_stats", oracle=MM_BLOB_STATS_ORACLE, tier="B")
+def mm_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-store audit over the binary payload column: per source, asset
+    count, total/min/max payload bytes, and DISTINCT CHECKSUM count (the
+    blob-level dedup ratio — n_assets vs n_distinct_blobs is the first
+    number a multimodal storage bill review asks for). The one multimodal
+    key with a full value-hash oracle: metadata (octet_length, md5) is
+    engine-mirrorable even though payload DECODE is not (DuckDB strlen
+    counts utf-8 bytes; md5 hashes the same bytes Spark's binary md5
+    does).
+
+    Scale: aggregates over the metadata only — the payload bytes
+    themselves never shuffle (octet_length/md5 are computed in the scan
+    stage and the blobs are dropped before the exchange), which is the
+    cardinal rule of 100 TB binary pipelines: move checksums, not
+    payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    meta = d.select(
+        "source",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+        F.md5(F.col("text").cast("binary")).alias("checksum"),
+    )
+    return meta.groupBy("source").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.countDistinct("checksum").alias("n_distinct_blobs"),
+        F.min("n_bytes").cast("long").alias("min_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+    )
