@@ -89,3 +89,57 @@ def test_embedding_norms_are_one(spark):
     rows = engine.REGISTRY["fn_array"].fn(spark, SF0001).collect()
     assert all(abs(r.norm_sq - 1.0) < 1e-3 for r in rows)
     assert all(r.dim == 64 for r in rows)
+
+
+def test_round6_golden_pins_sf0001(spark):
+    """Exact-value pins for the round-6 operators at sf0.001 — regression
+    tripwires against silent semantic drift (tokenization, threshold,
+    seeding, or rounding changes all move these)."""
+    from pyspark.sql import functions as F
+
+    SF_DIR = SF0001
+
+    dl = (
+        engine.REGISTRY["dedup_lines"]
+        .fn(spark, SF_DIR)
+        .agg(F.sum("n_removed").alias("rm"), F.sum("n_blocks").alias("nb"))
+        .collect()[0]
+    )
+    assert (dl.rm, dl.nb) == (197, 7172)
+
+    km = {
+        r.cluster: r["count"]
+        for r in engine.REGISTRY["sim_kmeans"].fn(spark, SF_DIR).groupBy("cluster").count().collect()
+    }
+    assert km == {0: 66, 1: 52, 2: 62, 3: 68, 4: 64, 5: 65, 6: 62, 7: 61}
+
+    ch = (
+        engine.REGISTRY["text_chunk"]
+        .fn(spark, SF_DIR)
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()[0]
+    )
+    assert (ch.n, ch.t) == (1388, 34546)
+
+    rag = (
+        engine.REGISTRY["pipeline_rag_index"]
+        .fn(spark, SF_DIR)
+        .agg(F.count("*").alias("n"), F.count_if("is_canonical").alias("c"))
+        .collect()[0]
+    )
+    assert (rag.n, rag.c) == (1388, 1345)  # 43 duplicate chunks at sf0.001
+
+    # pagerank: uniform ranks inside symmetric duplicate cliques — pin the
+    # top rank value and that the top-3 doc ids are the expected clique
+    pr = (
+        engine.REGISTRY["graph_pagerank"]
+        .fn(spark, SF_DIR)
+        .orderBy(F.col("pagerank").desc(), "doc_id")
+        .limit(3)
+        .collect()
+    )
+    assert [(r.doc_id, r.pagerank) for r in pr] == [
+        (0, 0.022222222),
+        (5, 0.022222222),
+        (8, 0.022222222),
+    ]
