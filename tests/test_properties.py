@@ -78,7 +78,13 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             # packing bins, integer-quota mixing, windowed SCD versions,
             # z-scores from a float mean/stddev, rounded contamination scores
             "pack_sequences", "sample_domain_mix", "scd2_build",
-            "event_anomaly", "text_contamination"]
+            "event_anomaly", "text_contamination",
+            # round-6 keys whose determinism is load-bearing: float MSE sums
+            # (quantize), iterative float trajectories (kmeans, pagerank),
+            # corpus-count thresholds (dedup_lines), fingerprint windows
+            # (rag index), money sums through a salted/plain join path
+            "sim_quantize_int8", "sim_kmeans", "graph_pagerank",
+            "dedup_lines", "pipeline_rag_index", "mm_blob_stats"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
