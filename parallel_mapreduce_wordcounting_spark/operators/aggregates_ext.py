@@ -390,3 +390,36 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().alias("gid"),
         F.count("*").alias("n"),
     )
+
+
+AGG_WEIGHTED_AVG_ORACLE = (
+    "SELECT l_returnflag, "
+    "round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)) / sum(l_extendedprice), 6) "
+    "AS effective_rate "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+
+
+@register("agg_weighted_avg", oracle=AGG_WEIGHTED_AVG_ORACLE)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted means: quantity-weighted unit price and the revenue-
+    weighted effective discount rate — the aggregate plain avg() silently
+    gets wrong whenever group members carry different weights. Expressed
+    as two plain sums per measure (numerator/denominator), so the partial
+    aggregation and single exchange are identical to any other sum; the
+    6-dp round on the RATIO (not the sums) absorbs summation-order noise
+    on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("wavg_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            / F.sum("l_extendedprice"),
+            6,
+        ).alias("effective_rate"),
+    )

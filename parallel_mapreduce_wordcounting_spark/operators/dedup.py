@@ -663,3 +663,67 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+DEDUP_CONTAINMENT_ORACLE = (
+    f"{SHINGLES_CTE} "
+    "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS cont_a, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS cont_b "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= "
+    f"{CONTAINMENT_THRESHOLD} "
+    "OR CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) >= "
+    f"{CONTAINMENT_THRESHOLD}"
+)
+
+
+@register("dedup_containment", oracle=DEDUP_CONTAINMENT_ORACLE, tier="B")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs: C(A,B) = |A∩B| / |A| — the asymmetric
+    cousin of Jaccard that catches SUB-DOCUMENT duplication (a short doc
+    embedded verbatim in a long one scores C≈1 from the short side while
+    Jaccard stays low, so threshold-on-Jaccard dedup misses it; quote
+    farms and scraped aggregators are exactly this shape). Pairs where
+    either direction clears 0.8 are emitted with both directional scores.
+
+    Scale: same inverted-index join as dedup_ngram_jaccard — explode to
+    (doc, shingle) postings, self-join on the shingle, count shared
+    shingles per pair (Σ freq², never all-pairs), divide by each side's
+    set size. The Jaccard form prunes candidates by symmetric overlap;
+    containment keeps any pair the SMALLER side is covered by."""
+    sh = shingle_sets(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    posts = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = posts.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = posts.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    shared = (
+        a.join(b, ["shingle"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            "doc_id_b",
+        )
+        .withColumn("ca", F.col("c") / F.col("na"))
+        .withColumn("cb", F.col("c") / F.col("nb"))
+        .where(
+            (F.col("ca") >= CONTAINMENT_THRESHOLD)
+            | (F.col("cb") >= CONTAINMENT_THRESHOLD)
+        )
+    )
+    return out.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round("ca", 6).alias("cont_a"),
+        F.round("cb", 6).alias("cont_b"),
+    )

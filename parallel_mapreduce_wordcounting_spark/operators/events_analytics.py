@@ -292,3 +292,39 @@ def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+EVENT_SEASONALITY_ORACLE = (
+    "WITH e AS (SELECT "
+    f"({floor_day_us_sql()} + 4) % 7 AS dow, "
+    "CAST(extract(hour FROM ts) AS INTEGER) AS hod, event_type FROM events) "
+    "SELECT dow, hod, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types "
+    "FROM e GROUP BY dow, hod"
+)
+
+
+@register("event_seasonality", oracle=EVENT_SEASONALITY_ORACLE)
+def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity matrix — the seasonality
+    fingerprint behind anomaly baselines and capacity planning (compare a
+    live hour against ITS OWN weekday-hour cell, not a global mean).
+    Day-of-week is computed arithmetically — (floor epoch-day + 4) % 7,
+    0=Sunday — on both engines, dodging the Spark-vs-DuckDB dayofweek()
+    indexing mismatch (Spark is 1-based Sunday, DuckDB 0-based) entirely.
+
+    Scale: one map-side-combined aggregate on a 7x24-bounded key space —
+    output is <= 168 rows at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            ((ts_day() + 4) % 7).alias("dow"),
+            F.hour("ts").alias("hod"),
+            "event_type",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
