@@ -423,3 +423,32 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("effective_rate"),
     )
+
+
+AGG_BITMAP_DISTINCT_ORACLE = (
+    "SELECT l_linestatus, CAST(count(DISTINCT l_partkey) AS BIGINT) AS uniq_parts "
+    "FROM lineitem GROUP BY l_linestatus"
+)
+
+
+@register("agg_bitmap_distinct", oracle=AGG_BITMAP_DISTINCT_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmap aggregates
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count, Spark
+    3.5+): keys are bucketed into 32k-bit bitmap segments, each segment
+    OR-combines map-side, and the final count sums per-segment popcounts.
+
+    This is the warehouse pattern for distinct-at-scale: the shuffle
+    carries (group, bucket, 4KB-bitmap) rows — bounded by key-space/32768
+    per group, NOT by row count — and unlike count(DISTINCT) there is no
+    per-value exchange, and unlike HLL (agg_approx_distinct) the answer is
+    exact. The oracle is plain COUNT(DISTINCT): the bitmap pipeline must
+    reproduce it bit-for-bit."""
+    l = load_table(spark, sf_dir, "lineitem")
+    seg = l.groupBy(
+        "l_linestatus",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias("bm"))
+    return seg.groupBy("l_linestatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("uniq_parts")
+    )

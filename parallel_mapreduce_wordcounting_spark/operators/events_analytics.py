@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.loader import load_table, ts_day, ts_us
-from .exact import floor_day_us_sql
+from .exact import floor_day_us_sql, money_cents, money_cents_sql
 
 
 @register(
@@ -327,4 +327,167 @@ def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
         )
+    )
+
+EVENT_GAP_FILL_ORACLE = (
+    f"WITH e AS (SELECT {floor_day_us_sql()} AS day, event_type FROM events), "
+    "span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e), "
+    "cal AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span), "
+    "types AS (SELECT DISTINCT event_type FROM e), "
+    "counts AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2) "
+    "SELECT t.event_type, c.day, CAST(coalesce(x.n, 0) AS BIGINT) AS n "
+    "FROM cal c CROSS JOIN types t "
+    "LEFT JOIN counts x ON x.event_type = t.event_type AND x.day = c.day"
+)
+
+
+@register("event_gap_fill", oracle=EVENT_GAP_FILL_ORACLE)
+def event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: a dense (event_type x day) daily-count grid over
+    the table's full day span, zero-filled where a type logged nothing — the
+    densification step every time-series chart, seasonal model, and
+    moving-average window needs (a missing day silently skewing a 7-day
+    mean is the classic bug this prevents).
+
+    Plan: the only work proportional to the data is one map-side-combined
+    (type, day) aggregate; the calendar is ``explode(sequence(min, max))``
+    off a 1-row min/max aggregate and the grid is (days x types) — bounded
+    by time span and type cardinality, NOT by corpus size, so at 100 TB the
+    grid is still a few-thousand-row broadcast side and AQE picks a
+    broadcast join against the (equally bounded) aggregated counts."""
+    e = load_table(spark, sf_dir, "events").select(
+        ts_day().alias("day"), "event_type"
+    )
+    span = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = e.select("event_type").distinct()
+    grid = cal.crossJoin(F.broadcast(types))
+    counts = e.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    return grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
+EVENT_ATTRIBUTION_ORACLE = (
+    "WITH e AS (SELECT user_id, event_id, event_type, value, "
+    "epoch_ns(ts) // 1000 AS ts_us FROM events), "
+    "a AS (SELECT event_type, value, "
+    "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_source FROM e) "
+    "SELECT coalesce(attr_source, 'direct') AS attr_source, "
+    "CAST(count(*) AS BIGINT) AS n_purchases, "
+    f"CAST(sum({money_cents_sql('value')}) AS BIGINT) AS revenue_cents "
+    "FROM a WHERE event_type = 'purchase' GROUP BY 1"
+)
+
+
+@register("event_attribution", oracle=EVENT_ATTRIBUTION_ORACLE)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most recent
+    strictly-preceding non-purchase event of the same user ('direct' when
+    none precedes) — the marketing-analytics workhorse that turns an event
+    log into a revenue-by-channel report.
+
+    The attributed source is ``last(..., ignorenulls) OVER (rows unbounded
+    preceding .. 1 preceding)`` — one user_id shuffle shared with the sort,
+    no self-join (the naive as-of formulation is an O(n²) per-user join).
+    Revenue sums integer cents (exact.money_cents), so the hash is exact in
+    any summation order. Scale: the window state is one scalar per user
+    (running last non-null), and the final aggregate has event-type-bounded
+    cardinality."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", ts_us().alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("attr_source", attr)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("attr_source", F.lit("direct")).alias("attr_source"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(money_cents(F.col("value"))).alias("revenue_cents"),
+        )
+    )
+
+
+EVENT_RFM_ORACLE = (
+    f"WITH e AS (SELECT user_id, {floor_day_us_sql()} AS day, "
+    f"{money_cents_sql('value')} AS cents FROM events), "
+    "u AS (SELECT user_id, max(day) AS last_day, "
+    "CAST(count(*) AS BIGINT) AS freq, CAST(sum(cents) AS BIGINT) AS monet "
+    "FROM e GROUP BY user_id), "
+    "g AS (SELECT max(day) AS ref_day FROM e), "
+    "r AS (SELECT ref_day - last_day AS rec, freq, monet FROM u CROSS JOIN g), "
+    "q AS (SELECT quantile_cont(rec, 0.25) AS r25, quantile_cont(rec, 0.5) AS r50, "
+    "quantile_cont(rec, 0.75) AS r75, quantile_cont(freq, 0.25) AS f25, "
+    "quantile_cont(freq, 0.5) AS f50, quantile_cont(freq, 0.75) AS f75, "
+    "quantile_cont(monet, 0.25) AS m25, quantile_cont(monet, 0.5) AS m50, "
+    "quantile_cont(monet, 0.75) AS m75 FROM r) "
+    "SELECT CAST(1 + CAST(rec <= r75 AS INTEGER) + CAST(rec <= r50 AS INTEGER) "
+    "+ CAST(rec <= r25 AS INTEGER) AS INTEGER) AS r_score, "
+    "CAST(1 + CAST(freq > f25 AS INTEGER) + CAST(freq > f50 AS INTEGER) "
+    "+ CAST(freq > f75 AS INTEGER) AS INTEGER) AS f_score, "
+    "CAST(1 + CAST(monet > m25 AS INTEGER) + CAST(monet > m50 AS INTEGER) "
+    "+ CAST(monet > m75 AS INTEGER) AS INTEGER) AS m_score, "
+    "CAST(count(*) AS BIGINT) AS n_users "
+    "FROM r CROSS JOIN q GROUP BY 1, 2, 3"
+)
+
+
+@register("event_rfm", oracle=EVENT_RFM_ORACLE)
+def event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each user scored 1–4 on Recency (days since last
+    event, lower = better), Frequency (event count), and Monetary (cents
+    sum), bucketed at the exact population quartiles; output is the ≤64-cell
+    segment census (r, f, m, n_users) that CRM campaigns target.
+
+    Deliberately NOT ``ntile(4)`` — a global ntile is a single-partition
+    sort over every user (the pack_sequences scale-killer shape). Instead
+    the quartile thresholds are one 9-value exact-percentile aggregate
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, same linear
+    interpolation — established by agg_percentile) broadcast back as a
+    1-row cross join, and scores are pure comparisons: two bounded shuffles
+    total (user_id agg, then the ≤64-key census), no global sort. Monetary
+    is integer cents; thresholds interpolate integers at f ∈ {0,.25,.5,.75}
+    so the doubles are dyadic-exact on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", ts_day().alias("day"), money_cents(F.col("value")).alias("cents")
+    )
+    u = e.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum("cents").alias("monet"),
+    )
+    g = e.agg(F.max("day").alias("ref_day"))
+    r = u.crossJoin(F.broadcast(g)).select(
+        (F.col("ref_day") - F.col("last_day")).alias("rec"), "freq", "monet"
+    )
+    q = r.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c[0]}{int(p * 100)}")
+            for c in ("rec", "freq", "monet")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+    s = r.crossJoin(F.broadcast(q))
+    score = lambda m, t, op: sum(
+        F.when(op(F.col(m), F.col(f"{m[0]}{pp}")), 1).otherwise(0) for pp in (25, 50, 75)
+    )
+    return (
+        s.select(
+            (1 + score("rec", "r", lambda a, b: a <= b)).cast("int").alias("r_score"),
+            (1 + score("freq", "f", lambda a, b: a > b)).cast("int").alias("f_score"),
+            (1 + score("monet", "m", lambda a, b: a > b)).cast("int").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_users"))
     )

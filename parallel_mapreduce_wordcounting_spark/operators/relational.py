@@ -442,3 +442,28 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "scan_xml",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip: write documents as XML (Spark 4's built-in
+    ``xml`` data source, one ``<doc>`` element per row) and read it back
+    against an explicit schema — the oracle compares to the ORIGINAL table,
+    so any escaping/whitespace/entity loss in either direction fails the
+    hash. XML is the interchange format feeds/exports still arrive in; the
+    explicit read schema (never inference) is the production posture — at
+    100 TB schema inference is an extra full pass over the data."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="pmrwc_xml_") + "/docs"
+    d.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(d.schema)
+        .load(out)
+    )

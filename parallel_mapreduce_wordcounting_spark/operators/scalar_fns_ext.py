@@ -261,3 +261,33 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_name"))
         .alias("last4"),
     )
+
+
+FN_VARIANT_ORACLE = (
+    "SELECT event_id, "
+    "CAST(json_extract(props, '$.k') AS INTEGER) AS k, "
+    "json_extract_string(props, '$.k') AS k_str, "
+    "CAST(json_extract(props, '$.absent') AS INTEGER) AS k_absent "
+    "FROM events"
+)
+
+
+@register("fn_variant", oracle=FN_VARIANT_ORACLE)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion: ``parse_json`` → binary variant →
+    typed ``variant_get`` extraction (int and string views of the same
+    field, NULL for an absent path). Variant is the semi-structured
+    answer to "json strings re-parsed by every query": parse once at
+    ingest, store the binary form, and every downstream ``variant_get``
+    is a cheap typed access instead of a string re-parse — the
+    shredded-storage path parquet readers are growing. The oracle mirrors
+    with DuckDB's json_extract casts (fn_json covers the string-JSON
+    surface; this key pins the variant-typed one)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
+        F.expr("variant_get(v, '$.absent', 'int')").alias("k_absent"),
+    )

@@ -176,3 +176,62 @@ def sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.where(F.col("o_orderkey") % 20 == 0).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+SQL_RECURSIVE_CTE_ORACLE = (
+    "WITH RECURSIVE pairs AS ("
+    "  SELECT lag(event_type) OVER (PARTITION BY user_id "
+    "    ORDER BY epoch_ns(ts) // 1000, event_id) AS prev, event_type AS next"
+    "  FROM events"
+    "), edges AS ("
+    "  SELECT DISTINCT prev, next FROM pairs WHERE prev IS NOT NULL"
+    "), r(t, step) AS ("
+    "  SELECT CAST('signup' AS VARCHAR), CAST(0 AS INTEGER) "
+    "  UNION ALL "
+    "  SELECT e.next, r.step + 1 FROM r JOIN edges e ON e.prev = r.t "
+    "  WHERE r.step < 3"
+    ") "
+    "SELECT t AS event_type, CAST(min(step) AS INTEGER) AS min_hops "
+    "FROM r GROUP BY t"
+)
+
+
+@register("sql_recursive_cte", oracle=SQL_RECURSIVE_CTE_ORACLE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): BFS over the event-type
+    transition graph — from 'signup', which event types are reachable in
+    ≤3 observed hops, and in how few? The anchor seeds the frontier, the
+    recursive member joins it to the edge list, and the post-recursion
+    ``min(step)`` collapses walks to shortest distances — iterative graph
+    traversal stated declaratively, where pre-4.0 Spark needed a driver
+    loop (dedup_cluster's shape).
+
+    Scale: the DATA-proportional work is the one windowed pass deriving
+    transitions; the recursion itself runs on the DISTINCT edge list —
+    bounded by |event_type|² (≤25 here) regardless of corpus size — so
+    each iteration is a tiny broadcast join. Depth is capped by the
+    ``step < 3`` predicate, the declarative analogue of dedup_cluster's
+    round guard."""
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).createOrReplaceTempView("pmrwc_rec_events")
+    return spark.sql(
+        "WITH RECURSIVE pairs AS ("
+        "  SELECT lag(event_type) OVER (PARTITION BY user_id "
+        "    ORDER BY ts_us, event_id) AS prev, event_type AS next"
+        "  FROM pmrwc_rec_events"
+        "), edges AS ("
+        "  SELECT DISTINCT prev, next FROM pairs WHERE prev IS NOT NULL"
+        "), r(t, step) AS ("
+        "  SELECT CAST('signup' AS STRING), CAST(0 AS INT) "
+        "  UNION ALL "
+        "  SELECT e.next, r.step + 1 FROM r JOIN edges e ON e.prev = r.t "
+        "  WHERE r.step < 3"
+        ") "
+        "SELECT t AS event_type, CAST(min(step) AS INT) AS min_hops "
+        "FROM r GROUP BY t"
+    )
