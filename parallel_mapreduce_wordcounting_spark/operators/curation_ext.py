@@ -460,3 +460,120 @@ def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
     )
+
+
+SAMPLE_WEIGHTED_ORACLE = (
+    "WITH k AS ("
+    "  SELECT doc_id, source, n_chars, "
+    "  round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 6)) "
+    "AS BIGINT) + 1) / 16777216.0) / n_chars, 9) AS skey"
+    "  FROM documents"
+    ") SELECT doc_id, source, n_chars, skey FROM k "
+    "ORDER BY skey DESC, doc_id LIMIT 100"
+)
+
+
+@register("sample_weighted", oracle=SAMPLE_WEIGHTED_ORACLE, tier="B")
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    IPL 2006): each doc draws u ∈ (0,1] and ranks by ln(u)/weight — the
+    top-k of that key IS an exact weighted sample, fully distributed (the
+    top-k is a TakeOrderedAndProject heap, never a global sort). Here
+    weight = n_chars, the "sample long documents proportionally more"
+    mix knob.
+
+    Determinism contract: u is derived from the first 6 hex chars of
+    md5(doc_id || ':wsample') — same bytes on both engines — so the
+    "random" draw replays identically across engines, re-runs, and
+    repartitionings (the reproducibility a corpus build needs; compare
+    split_train_val). The rank key is ROUNDED to 9 d.p. BEFORE ordering
+    on both sides: key magnitude is ~1e-2, so the engines' ≤1-ulp ln()
+    disagreement (~1e-17) can never reorder the rounded keys, and doc_id
+    breaks rounded ties."""
+    d = load_table(spark, sf_dir, "documents")
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    skey = F.round(F.ln((u_int + 1) / F.lit(16777216.0)) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "source", "n_chars", skey.alias("skey"))
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+DEDUP_URL_ORACLE = (
+    "WITH u AS ("
+    "  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) "
+    "  WHEN 0 THEN 'HTTPS://H' || CAST((doc_id // 4) % 7 AS VARCHAR) || "
+    "'.EXAMPLE.COM:443/page/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed' "
+    "  WHEN 1 THEN 'https://h' || CAST((doc_id // 4) % 7 AS VARCHAR) || "
+    "'.example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '/' "
+    "  WHEN 2 THEN 'https://h' || CAST((doc_id // 4) % 7 AS VARCHAR) || "
+    "'.example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_campaign=mail' "
+    "  ELSE 'https://h' || CAST((doc_id // 4) % 7 AS VARCHAR) || "
+    "'.example.com/page/' || CAST(doc_id // 4 AS VARCHAR) END AS url FROM documents"
+    "), c AS ("
+    "  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(lower(url), "
+    "':443/', '/'), '\\?utm_[a-z_]+=[a-z]+$', ''), '/$', '') AS canonical_url FROM u"
+    ") SELECT canonical_url, min(doc_id) AS keep_id, "
+    "CAST(count(*) AS BIGINT) AS n_variants "
+    "FROM c GROUP BY canonical_url"
+)
+
+
+@register("dedup_url", oracle=DEDUP_URL_ORACLE, tier="B")
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup gate of every crawl
+    pipeline (CommonCrawl-scale corpora shed ~30% of fetches here before
+    any content hashing): scheme/host case-folding, default-port (:443)
+    stripping, utm_* tracking-parameter removal, and trailing-slash
+    normalization collapse cosmetic URL variants onto one canonical key;
+    groupBy(canonical) keeps the smallest doc_id per page and counts the
+    collapsed variants.
+
+    Messy URLs are synthesized deterministically from the fixture (four
+    variants per page id, mirrored byte-for-byte in the oracle) since the
+    corpus has no URL column — the operator's subject is the CANONICALIZE →
+    GROUP plan: all-codegen string normalization, then one map-side-
+    combined aggregate on the canonical key. At 100 TB this is the cheap
+    shuffle (one short string key per fetched page) that saves the
+    expensive ones downstream (minhash, embeddings)."""
+    d = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("h"), (page % 7).cast("string"), F.lit(".example.com"))
+    HOST = F.upper(host)
+    path = F.concat(F.lit("/page/"), page.cast("string"))
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://"), HOST, F.lit(":443"), path, F.lit("?utm_source=feed")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("https://"), host, path, F.lit("/")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), host, path, F.lit("?utm_campaign=mail")),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, path))
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), ":443/", "/"),
+            "\\?utm_[a-z_]+=[a-z]+$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )

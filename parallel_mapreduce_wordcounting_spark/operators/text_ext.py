@@ -310,3 +310,56 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / (1.0 * F.col("docs")), 6).alias("share"),
         )
     )
+
+
+TEXT_BPE_PAIRS_ORACLE = (
+    "WITH toks AS ("
+    "  SELECT word FROM ("
+    "    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents"
+    "  ) WHERE word <> ''"
+    "), wc AS (SELECT word, count(*) AS n FROM toks GROUP BY word), "
+    "p AS ("
+    "  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n FROM ("
+    "    SELECT word, n, unnest(generate_series(1, length(word) - 1)) AS i "
+    "    FROM wc WHERE length(word) >= 2)"
+    ") SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p "
+    "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50"
+)
+
+
+@register("text_bpe_pairs", oracle=TEXT_BPE_PAIRS_ORACLE, tier="B")
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training step zero: corpus-weighted adjacent
+    character-pair frequencies — the statistic whose argmax IS the first
+    BPE merge (Sennrich et al. 2016). The full trainer is this op in a
+    loop (merge the top pair, re-count); each iteration has exactly this
+    plan shape.
+
+    Scale design: pairs explode from the DISTINCT word vocabulary
+    weighted by word counts, never from the raw token stream — the
+    explode side is |V| · avg_len rows (vocabulary-bounded) instead of
+    corpus-length rows, the same counts-first trick as text_cooccur.
+    Single-char words are filtered BEFORE the position explode on both
+    engines (Spark's sequence(1,0) walks backwards rather than emitting
+    empty). Top-50 is a TakeOrderedAndProject heap with the pair itself
+    as tiebreaker."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).where(F.col("word") != "")
+    wc = toks.groupBy("word").agg(F.count("*").alias("n"))
+    pairs = (
+        wc.where(F.length("word") >= 2)
+        .select(
+            "word",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "n")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(50)
+    )
