@@ -143,3 +143,62 @@ def test_round6_golden_pins_sf0001(spark):
         (5, 0.022222222),
         (8, 0.022222222),
     ]
+
+
+def test_round6b_golden_pins_sf0001(spark):
+    """Exact-value pins for the round-6 second-wave operators at sf0.001."""
+    from pyspark.sql import functions as F
+
+    SF_DIR = SF0001
+
+    gf = engine.REGISTRY["event_gap_fill"].fn(spark, SF_DIR)
+    assert (
+        gf.count(),
+        gf.agg(F.sum("n")).collect()[0][0],
+        gf.where(F.col("n") == 0).count(),
+    ) == (150, 1000, 0)  # 30 days x 5 types, dense at this sf
+
+    at = engine.REGISTRY["event_attribution"].fn(spark, SF_DIR).orderBy("attr_source")
+    assert [(r.attr_source, r.n_purchases, r.revenue_cents) for r in at.collect()] == [
+        ("click", 49, 227991),
+        ("direct", 3, 3349),
+        ("error", 49, 264144),
+        ("signup", 52, 302209),
+        ("view", 49, 244776),
+    ]
+
+    rfm = engine.REGISTRY["event_rfm"].fn(spark, SF_DIR)
+    assert (rfm.count(), rfm.agg(F.sum("n_users")).collect()[0][0]) == (9, 15)
+
+    rec = engine.REGISTRY["sql_recursive_cte"].fn(spark, SF_DIR).orderBy("event_type")
+    assert [(r.event_type, r.min_hops) for r in rec.collect()] == [
+        ("click", 1), ("error", 1), ("purchase", 1), ("signup", 0), ("view", 1),
+    ]
+
+    bm = engine.REGISTRY["agg_bitmap_distinct"].fn(spark, SF_DIR).orderBy("l_linestatus")
+    assert [(r.l_linestatus, r.uniq_parts) for r in bm.collect()] == [("F", 200), ("O", 200)]
+
+    ws = engine.REGISTRY["sample_weighted"].fn(spark, SF_DIR).limit(3).collect()
+    assert [(r.doc_id, r.skey) for r in ws] == [
+        (411, -5.636e-06), (106, -2.114e-05), (19, -2.2018e-05),
+    ]
+
+    bp = engine.REGISTRY["text_bpe_pairs"].fn(spark, SF_DIR).limit(3).collect()
+    assert [(r.pair, r.cnt) for r in bp] == [("er", 4650), ("or", 2880), ("in", 2858)]
+
+    du = engine.REGISTRY["dedup_url"].fn(spark, SF_DIR)
+    assert (
+        du.count(),
+        du.agg(F.sum("n_variants")).collect()[0][0],
+        du.where(F.col("n_variants") == 4).count(),
+    ) == (125, 500, 125)  # every page collapses its 4 synthesized variants
+
+    fv = engine.REGISTRY["fn_variant"].fn(spark, SF_DIR)
+    assert (
+        fv.count(),
+        fv.agg(F.sum("k")).collect()[0][0],
+        fv.where(F.col("k_absent").isNull()).count(),
+    ) == (1000, 48876, 1000)
+
+    xr = engine.REGISTRY["scan_xml"].fn(spark, SF_DIR)
+    assert (xr.count(), xr.agg(F.sum("n_chars")).collect()[0][0]) == (500, 153156)

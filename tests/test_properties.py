@@ -84,7 +84,12 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             # corpus-count thresholds (dedup_lines), fingerprint windows
             # (rag index), money sums through a salted/plain join path
             "sim_quantize_int8", "sim_kmeans", "graph_pagerank",
-            "dedup_lines", "pipeline_rag_index", "mm_blob_stats"]
+            "dedup_lines", "pipeline_rag_index", "mm_blob_stats",
+            # round-6 second wave: percentile-threshold bucketing (rfm),
+            # rounded-ln ranking keys (weighted sample), ignore-nulls
+            # window attribution cents, heap top-k over summed pair counts
+            "event_rfm", "sample_weighted", "event_attribution",
+            "text_bpe_pairs"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
