@@ -452,3 +452,86 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.groupBy("l_linestatus").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("uniq_parts")
     )
+
+
+_CMS_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5({w} || ':cms' || CAST({s} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 1024"
+)
+
+AGG_COUNTMIN_ORACLE = (
+    "WITH toks AS (SELECT word FROM ("
+    "SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents"
+    ") WHERE word <> ''), "
+    "seeds AS (SELECT unnest(generate_series(0, 3)) AS s), "
+    "cells AS (SELECT s, "
+    + _CMS_BUCKET_SQL.format(w="word", s="s")
+    + " AS bucket, count(*) AS cnt FROM toks CROSS JOIN seeds GROUP BY 1, 2), "
+    "top AS (SELECT word, count(*) AS exact_cnt FROM toks GROUP BY word "
+    "ORDER BY exact_cnt DESC, word LIMIT 20), "
+    "probes AS (SELECT t.word, t.exact_cnt, s.s, "
+    + _CMS_BUCKET_SQL.format(w="t.word", s="s.s")
+    + " AS bucket FROM top t CROSS JOIN seeds s) "
+    "SELECT p.word, CAST(p.exact_cnt AS BIGINT) AS exact_cnt, "
+    "CAST(min(c.cnt) AS BIGINT) AS cms_est "
+    "FROM probes p JOIN cells c ON c.s = p.s AND c.bucket = p.bucket "
+    "GROUP BY p.word, p.exact_cnt"
+)
+
+
+@register("agg_countmin", oracle=AGG_COUNTMIN_ORACLE, tier="B")
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005), the frequency
+    sketch completing the repo's set (HLL = cardinality, Misra–Gries =
+    top-k candidates, bitmap = exact distinct, CMS = point frequency):
+    d=4 hash rows × w=1024 counters; estimate(x) = min over rows of the
+    counter x hashes into — never an underestimate, overestimate bounded
+    by 2N/w with prob. 1−2⁻⁴. Here the sketch is built over the token
+    stream and probed with the exact top-20 words so the (exact, est)
+    error is visible data.
+
+    Scale: the sketch is 4096 counters REGARDLESS of corpus size — counter
+    increments combine map-side (it's just a groupBy on (row, bucket)), so
+    the shuffle carries ≤4096·P rows; cells and probes are both tiny
+    broadcast-side tables for the final min-join. Hashes are md5-derived
+    (same bytes both engines), so the sketch — including its collisions —
+    replays identically; a production build swaps md5 for xxhash64 and
+    keeps the identical plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).where(F.col("word") != "")
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("s")
+
+    def bucket(word_col, s_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(word_col, F.lit(":cms"), s_col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    cells = (
+        toks.select("word", seeds)
+        .select("s", bucket(F.col("word"), F.col("s")).alias("bucket"))
+        .groupBy("s", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "word")
+        .limit(20)
+    )
+    probes = top.select("word", "exact_cnt", seeds).select(
+        "word", "exact_cnt", "s", bucket(F.col("word"), F.col("s")).alias("bucket")
+    )
+    return (
+        probes.join(cells, ["s", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

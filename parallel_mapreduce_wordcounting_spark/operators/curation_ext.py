@@ -577,3 +577,72 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_variants"),
         )
     )
+
+
+# Poisson(λ=1) CDF thresholds for k = 0..5 (exact literals on both engines;
+# mass above k=5 → multiplicity 6). Inverse-CDF on a hash-derived uniform
+# gives each doc a replayable bootstrap multiplicity.
+_POIS1_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.981011843123846", "0.9963401531726563", "0.9994058151824183",
+)
+
+_BOOT_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    + " ELSE 6 END"
+)
+
+SAMPLE_BOOTSTRAP_ORACLE = (
+    "WITH b AS (SELECT source, "
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':boot'), 1, 8)) AS BIGINT) "
+    "/ 4294967296.0 AS u FROM documents), "
+    f"k AS (SELECT source, {_BOOT_CASE_SQL} AS mult FROM b) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(mult) AS BIGINT) AS n_sampled, "
+    "CAST(sum(CASE WHEN mult > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct "
+    "FROM k GROUP BY source"
+)
+
+
+@register("sample_bootstrap", oracle=SAMPLE_BOOTSTRAP_ORACLE, tier="B")
+def sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap: each doc gets a replicate
+    multiplicity k ~ Poisson(1) via inverse-CDF over a hash-derived
+    uniform — the distributed form of sampling-with-replacement (drawing n
+    of n with replacement ≡ independent Poisson(1) multiplicities as
+    n→∞), which is how bagging ensembles and confidence intervals are
+    computed over data too large to resample centrally (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012).
+
+    u = first-8-hex of md5(doc_id||':boot') / 2³² is dyadic-exact, the CDF
+    cuts are identical literals on both engines, so every comparison — and
+    therefore every multiplicity — replays identically across engines,
+    runs, and partitionings (no RNG state, no seed plumbing). Zero
+    shuffle before the per-source census. Changing ':boot' to ':boot2'
+    yields the next independent replicate."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":boot"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    mult = F.lit(6)
+    for k in range(5, -1, -1):
+        mult = F.when(u < float(_POIS1_CDF[k]), k).otherwise(mult)
+    return (
+        d.select("source", mult.alias("mult"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("mult").cast("long").alias("n_sampled"),
+            F.sum(F.when(F.col("mult") > 0, 1).otherwise(0)).cast("long").alias("n_distinct"),
+        )
+    )

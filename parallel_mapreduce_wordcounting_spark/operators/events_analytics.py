@@ -491,3 +491,66 @@ def event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+EVENT_FUNNEL_WINDOWED_ORACLE = (
+    "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), "
+    "s AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'signup' "
+    "GROUP BY user_id), "
+    "conv AS (SELECT DISTINCT s.user_id FROM e JOIN s ON e.user_id = s.user_id "
+    "WHERE e.event_type = 'purchase' AND e.ts_us > s.t1 "
+    "AND e.ts_us <= s.t1 + 604800000000), "
+    f"c AS (SELECT {floor_day_us_sql('t1')} AS cohort_day, s.user_id, "
+    "CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted "
+    "FROM s LEFT JOIN conv ON s.user_id = conv.user_id) "
+    "SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_signups, "
+    "CAST(sum(converted) AS BIGINT) AS n_converted, "
+    "round(sum(converted) * 100.0 / count(*), 6) AS conv_pct "
+    "FROM c GROUP BY cohort_day"
+)
+
+
+@register("event_funnel_windowed", oracle=EVENT_FUNNEL_WINDOWED_ORACLE)
+def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound conversion by cohort: of each day's signups, what share
+    purchased within 7 days of their signup? Unlike ``event_funnel``'s
+    global counts, the conversion window is bounded (the metric product
+    teams actually track — unbounded funnels drift upward forever) and the
+    result is a per-cohort-day rate.
+
+    Plan: signup min-aggregate, one semi-join-shaped conversion probe
+    (purchases against the signup table with the window predicate inside
+    the join), then a cohort-day aggregate — every stage shuffles on
+    user_id or the bounded cohort key, conversion flagged via left join +
+    distinct (never a fan-out count). Rates divide exact integers, rounded
+    to 6 d.p. on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us().alias("ts_us")
+    )
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    week_us = 7 * 86_400_000_000
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where((F.col("ts_us") > F.col("t1")) & (F.col("ts_us") <= F.col("t1") + week_us))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    day_us = 86_400_000_000
+    cohort_day = (
+        (F.col("t1") - F.pmod(F.col("t1"), F.lit(day_us))) / F.lit(day_us)
+    ).cast("long")
+    c = s.join(conv, "user_id", "left").select(
+        cohort_day.alias("cohort_day"),
+        F.coalesce("converted", F.lit(0)).alias("converted"),
+    )
+    return c.groupBy("cohort_day").agg(
+        F.count("*").alias("n_signups"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") * 100.0 / F.count("*"), 6).alias("conv_pct"),
+    )

@@ -291,3 +291,44 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
         F.expr("variant_get(v, '$.absent', 'int')").alias("k_absent"),
     )
+
+
+FN_COLLATE_ORACLE = (
+    "WITH n AS (SELECT CASE CAST(doc_id % 3 AS INTEGER) "
+    "WHEN 0 THEN upper(source) WHEN 1 THEN source "
+    "ELSE upper(substr(source, 1, 1)) || substr(source, 2) END AS name "
+    "FROM documents) "
+    "SELECT lower(name) AS src_lc, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM n GROUP BY lower(name)"
+)
+
+
+@register("fn_collate", oracle=FN_COLLATE_ORACLE)
+def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: GROUP BY under ``UTF8_LCASE`` — the engine
+    compares/hashes case-insensitively at the collation level instead of
+    materializing a ``lower()`` shadow column. That matters beyond ASCII
+    (locale collations get Turkish-i / ß right where ``lower()`` doesn't)
+    and keeps the original-cased value available after grouping. Mixed-case
+    source names are synthesized from the fixture (UPPER / as-is /
+    Capitalized by doc_id mod 3); output normalizes the group key with
+    ``lower`` so both engines emit identical representatives (the collated
+    group's surviving spelling is whichever variant the engine saw first —
+    deliberately not part of the contract). The oracle groups by plain
+    lower(), correct for this ASCII corpus. Same single-exchange hash
+    aggregate as any groupBy — collation only changes the key's
+    hash/equality functions."""
+    d = load_table(spark, sf_dir, "documents")
+    name = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.col("source"))
+        .otherwise(
+            F.concat(F.upper(F.substring("source", 1, 1)), F.expr("substr(source, 2)"))
+        )
+    )
+    return (
+        d.select(name.alias("name"))
+        .groupBy(F.expr("collate(name, 'UTF8_LCASE')").alias("c"))
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lower("c").alias("src_lc"), "n_docs")
+    )

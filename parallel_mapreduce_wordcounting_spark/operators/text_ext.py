@@ -363,3 +363,53 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(50)
     )
+
+
+_TAG_RE = "<[^>]+>"
+_SCRIPT_RE = "<script>.*?</script>"
+
+TEXT_HTML_STRIP_ORACLE = (
+    "WITH h AS (SELECT doc_id, "
+    "'<html><body><h1>' || source || '</h1><p>' || text || "
+    "' &amp; more &lt;here&gt;</p><script>var x=1;</script></body></html>' AS html "
+    "FROM documents), s AS (SELECT doc_id, html, "
+    f"regexp_replace(html, '{_SCRIPT_RE}', '', 'g') AS noscript FROM h) "
+    "SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(html, '{_TAG_RE}')) AS BIGINT) AS n_tags, "
+    "replace(replace(replace(replace("
+    f"regexp_replace(noscript, '{_TAG_RE}', '', 'g'), "
+    "'&lt;', '<'), '&gt;', '>'), '&amp;', '&'), '&nbsp;', ' ') AS clean_text "
+    "FROM s"
+)
+
+
+@register("text_html_strip", oracle=TEXT_HTML_STRIP_ORACLE, tier="B")
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the extraction step between a raw crawl
+    and every text gate in this repo (quality, langid, dedup all assume
+    plain text): drop <script> blocks wholesale (non-greedy match so
+    sibling blocks don't merge), strip remaining tags, decode the common
+    entities. HTML is synthesized around the fixture text (mirrored
+    byte-for-byte in the oracle) since the corpus is already clean — the
+    subject is the strip plan: ~4 codegen regexp/replace passes, zero
+    shuffle, trivially linear. A production extractor (trafilatura-class)
+    slots in behind the same mapInPandas seam as the multimodal decode;
+    this key pins the pure-SQL fast path."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; more &lt;here&gt;</p><script>var x=1;</script></body></html>"),
+    )
+    h = d.select("doc_id", html.alias("html"))
+    noscript = F.regexp_replace("html", _SCRIPT_RE, "")
+    clean = F.regexp_replace(noscript, _TAG_RE, "")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"), ("&nbsp;", " ")):
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    return h.select(
+        "doc_id",
+        F.expr(f"regexp_count(html, '{_TAG_RE}')").cast("long").alias("n_tags"),
+        clean.alias("clean_text"),
+    )

@@ -202,3 +202,38 @@ def test_round6b_golden_pins_sf0001(spark):
 
     xr = engine.REGISTRY["scan_xml"].fn(spark, SF_DIR)
     assert (xr.count(), xr.agg(F.sum("n_chars")).collect()[0][0]) == (500, 153156)
+
+
+def test_round6c_golden_pins_sf0001(spark):
+    """Exact-value pins for the round-6 third-wave operators at sf0.001."""
+    from pyspark.sql import functions as F
+
+    SF_DIR = SF0001
+
+    co = engine.REGISTRY["fn_collate"].fn(spark, SF_DIR)
+    rows = co.orderBy("src_lc").collect()
+    assert len(rows) == 20 and all(r.n_docs == 25 for r in rows)
+
+    hs = engine.REGISTRY["text_html_strip"].fn(spark, SF_DIR)
+    assert (hs.count(), hs.agg(F.sum("n_tags")).collect()[0][0]) == (500, 5000)
+    # entities decode to literal chars; tags themselves are gone
+    assert hs.where(F.col("clean_text").endswith(" & more <here>")).count() == 500
+    assert hs.where(F.col("clean_text").contains("script")).count() == 0
+
+    fw = engine.REGISTRY["event_funnel_windowed"].fn(spark, SF_DIR).orderBy("cohort_day")
+    assert [(r.cohort_day, r.n_signups, r.n_converted) for r in fw.collect()][:3] == [
+        (19723, 6, 6), (19724, 3, 3), (19725, 4, 4),
+    ]
+
+    bo = engine.REGISTRY["sample_bootstrap"].fn(spark, SF_DIR).agg(
+        F.sum("n_docs"), F.sum("n_sampled"), F.sum("n_distinct")
+    ).collect()[0]
+    assert tuple(bo) == (500, 536, 325)  # ~e^-1 of docs drawn 0 times
+
+    cm = engine.REGISTRY["agg_countmin"].fn(spark, SF_DIR)
+    # CMS guarantee: the estimate NEVER underestimates
+    assert cm.where(F.col("cms_est") < F.col("exact_cnt")).count() == 0
+    top = cm.orderBy(F.col("exact_cnt").desc(), "word").limit(3).collect()
+    assert [(r.word, r.exact_cnt, r.cms_est) for r in top] == [
+        ("scan", 984, 984), ("column", 978, 978), ("window", 976, 976),
+    ]

@@ -89,7 +89,10 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             # rounded-ln ranking keys (weighted sample), ignore-nulls
             # window attribution cents, heap top-k over summed pair counts
             "event_rfm", "sample_weighted", "event_attribution",
-            "text_bpe_pairs"]
+            "text_bpe_pairs",
+            # third wave: hash-u threshold comparisons (bootstrap), sketch
+            # min-estimates (countmin), rounded cohort conversion rates
+            "sample_bootstrap", "agg_countmin", "event_funnel_windowed"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
