@@ -330,5 +330,7 @@ def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(name.alias("name"))
         .groupBy(F.expr("collate(name, 'UTF8_LCASE')").alias("c"))
         .agg(F.count("*").alias("n_docs"))
-        .select(F.lower("c").alias("src_lc"), "n_docs")
+        # cast back to the default collation: the collated type must not
+        # leak into the output schema (the driver compares schemas exactly)
+        .select(F.lower(F.col("c").cast("string")).alias("src_lc"), "n_docs")
     )
