@@ -535,3 +535,118 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word", "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# quantile_disc only takes CONSTANT quantile params -> one leg per q
+AGG_PERCENTILE_ITERATIVE_ORACLE = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS p, "
+    f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+)
+
+
+@register("agg_percentile_iterative", oracle=AGG_PERCENTILE_ITERATIVE_ORACLE)
+def agg_percentile_iterative(
+    spark: SparkSession,
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    buckets: int = 1024,
+    max_iters: int = 8,
+) -> DataFrame:
+    """EXACT discontinuous percentiles (quantile_disc) by iterative range
+    narrowing — the scale form of :func:`..aggregates.agg_percentile`, for
+    when per-group value buffers (what ``F.percentile`` materializes) no
+    longer fit: no global sort, no per-group buffer, just 2–3 linear
+    histogram scans of a cached integer column (the BigQuery/Dremel exact-
+    quantile strategy; same two-pass "sketch nominates, exact pass decides"
+    contract as agg_heavy_hitters_sketch).
+
+    Algorithm (all-integer, hence exact and partition-count invariant):
+    prices integerize to cents (a bijection on this data — asserted in
+    tests/test_round7.py, and exactly representable back as the original
+    double via c/100.0); the element of 1-indexed rank max(1, ceil(q·n))
+    (DuckDB's quantile_disc convention, probed empirically) is found by
+    repeatedly histogramming the surviving [lo, hi] cent range into
+    ``buckets`` integer-bounded buckets and descending into the bucket
+    containing the residual rank. Range ~1e7 cents ÷ 1024 buckets → 2–3
+    iterations. All active quantiles advance in ONE fused scan per
+    iteration (each row emits its (quantile, bucket) hits via an array →
+    filter → explode, so the job count is per-iteration, not per-quantile).
+
+    Driver involvement is bounded metadata — the ≤ buckets×|qs| histogram
+    rows per iteration (same justification as the k-means centroid
+    collect), never data rows. The returned DataFrame carries the found
+    scalars."""
+    import math
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+        .persist()
+    )
+    try:
+        head = src.agg(
+            F.count("*").alias("n"), F.min("c").alias("lo"), F.max("c").alias("hi")
+        ).collect()[0]
+        n = head["n"]
+        # state per quantile: [lo, hi] cent bounds and residual 1-indexed rank
+        state = {
+            q: {"lo": head["lo"], "hi": head["hi"], "r": max(1, math.ceil(q * n))}
+            for q in qs
+        }
+        for _ in range(max_iters):
+            active = [q for q, s in state.items() if s["lo"] < s["hi"]]
+            if not active:
+                break
+            hits = F.array(
+                *[
+                    F.when(
+                        (F.col("c") >= state[q]["lo"]) & (F.col("c") <= state[q]["hi"]),
+                        F.struct(
+                            F.lit(i).alias("qi"),
+                            (
+                                ((F.col("c") - state[q]["lo"]) * buckets)
+                                / (state[q]["hi"] - state[q]["lo"] + 1)
+                            ).cast("long").alias("b"),
+                        ),
+                    )
+                    for i, q in enumerate(active)
+                ]
+            )
+            hist = (
+                src.select(
+                    F.explode(F.filter(hits, lambda s: s.isNotNull())).alias("h")
+                )
+                .groupBy("h.qi", "h.b")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            )
+            counts: dict[int, dict[int, int]] = {}
+            for row in hist:
+                counts.setdefault(row["qi"], {})[row["b"]] = row["cnt"]
+            for i, q in enumerate(active):
+                s = state[q]
+                width = s["hi"] - s["lo"] + 1
+                cum = 0
+                for b in range(buckets):
+                    cnt = counts.get(i, {}).get(b, 0)
+                    if cum + cnt >= s["r"]:
+                        s["r"] -= cum
+                        # integer bucket b covers cents [lo + ceil(b*width/B),
+                        # lo + ceil((b+1)*width/B) - 1] under (c-lo)*B div width
+                        s["lo"], s["hi"] = (
+                            s["lo"] + -(-(b * width) // buckets),
+                            s["lo"] + -(-((b + 1) * width) // buckets) - 1,
+                        )
+                        break
+                    cum += cnt
+                else:  # pragma: no cover - rank exceeds count: impossible
+                    raise AssertionError("rank walked past histogram total")
+        bad = [q for q, s in state.items() if s["lo"] < s["hi"]]
+        if bad:  # pragma: no cover - 8 iters cover any int64 range
+            raise AssertionError(f"quantiles did not converge: {bad}")
+    finally:
+        src.unpersist()
+    return spark.createDataFrame(
+        [(float(q), state[q]["lo"] / 100.0) for q in qs], "p double, value double"
+    )

@@ -554,3 +554,48 @@ def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").alias("n_converted"),
         F.round(F.sum("converted") * 100.0 / F.count("*"), 6).alias("conv_pct"),
     )
+
+
+EVENT_STREAKS_ORACLE = (
+    "WITH du AS ("
+    f"  SELECT DISTINCT user_id, {floor_day_us_sql()} AS day FROM events"
+    "), isl AS ("
+    "  SELECT user_id, day, day - row_number() OVER ("
+    "    PARTITION BY user_id ORDER BY day) AS island FROM du"
+    "), s AS ("
+    "  SELECT user_id, island, count(*) AS len FROM isl"
+    "  GROUP BY user_id, island"
+    ") SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak, "
+    "CAST(count(*) AS BIGINT) AS n_streaks, "
+    "CAST(sum(len) AS BIGINT) AS n_active_days "
+    "FROM s GROUP BY user_id"
+)
+
+
+@register("event_streaks", oracle=EVENT_STREAKS_ORACLE)
+def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands query (Duolingo-streak / GitHub-contribution shape):
+    distinct active days minus their per-user row_number is constant within
+    a run of consecutive days, so grouping on that difference splits each
+    user's history into maximal streak islands.
+
+    Scale: events collapse to distinct (user, day) pairs in one map-side-
+    combining aggregate (≤ users × days rows — the only pass that touches
+    raw events); the row_number window, island groupBy, and per-user
+    summary all share the ONE user_id exchange layout, so Catalyst plans a
+    single shuffle for the whole cascade. Per-user day counts are bounded
+    (≤ days in the retention window), so the window sort cannot straggle
+    even on hot users."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("user_id", ts_day("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = du.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )

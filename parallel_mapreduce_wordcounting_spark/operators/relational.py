@@ -467,3 +467,47 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(d.schema)
         .load(out)
     )
+
+
+OBS_METRICS_ORACLE = (
+    "SELECT count(*) AS n_rows, "
+    "CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
+    "FROM lineitem WHERE l_quantity > 10.0"
+)
+
+
+@register("obs_metrics", oracle=OBS_METRICS_ORACLE)
+def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production observability surface: ``df.observe`` piggybacks named
+    aggregate metrics onto a job's existing pass over the data — row counts,
+    match counts, integer-cents sums — with NO extra scan, the mechanism a
+    pipeline uses to emit data-quality counters (rows read, rows quarantined,
+    total value moved) from the same action that does the work. The observed
+    query here materializes through Spark's ``noop`` sink (full compute, no
+    output), exactly how a metrics-only validation pass runs in production.
+
+    The metric values surface driver-side by design (that is what
+    Observation IS — an accumulator summary, 3 scalars, not data rows); they
+    return as a 1-row DataFrame so the driver can hash them against the
+    oracle computing the same aggregates the slow way. Money sums in integer
+    cents — order-independent, so the observed sum is bit-stable no matter
+    how executors race."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 10.0)
+    obs = Observation("pipeline_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_returned"], m["sum_price_cents"])],
+        "n_rows long, n_returned long, sum_price_cents long",
+    )

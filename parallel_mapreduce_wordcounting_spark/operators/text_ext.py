@@ -413,3 +413,71 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"regexp_count(html, '{_TAG_RE}')").cast("long").alias("n_tags"),
         clean.alias("clean_text"),
     )
+
+
+TEXT_KEYWORDS_ORACLE = (
+    "WITH toks AS ("
+    "  SELECT doc_id, word FROM ("
+    "    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word"
+    "    FROM documents"
+    "  ) WHERE word <> ''"
+    "), tf AS ("
+    "  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word"
+    "), df AS ("
+    "  SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word"
+    "), n AS (SELECT count(*) AS n_docs FROM documents), "
+    "scored AS ("
+    "  SELECT tf.doc_id, tf.word, "
+    "  round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf "
+    "  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n"
+    "), ranked AS ("
+    "  SELECT doc_id, word, tfidf, row_number() OVER ("
+    "    PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank"
+    "  FROM scored"
+    ") SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, tfidf "
+    "FROM ranked WHERE rank <= 3"
+)
+
+
+@register("text_keywords", oracle=TEXT_KEYWORDS_ORACLE, tier="B")
+def text_keywords(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k keyword extraction per document: the k highest-TF-IDF terms
+    (rank window over the text_tfidf scores) — the unsupervised tagging /
+    routing signal a curation pipeline attaches to every document before
+    clustering or mixture sampling.
+
+    Determinism: the window orders by the 6-dp ROUNDED score (the value the
+    driver hashes — both engines agree on it bit-for-bit, per text_tfidf's
+    hash-pass) with the word itself as total-order tiebreaker, so rank is
+    engine-independent even where raw IEEE scores differ by 1 ulp around a
+    rounding boundary.
+
+    Scale: same plan family as text_tfidf (vocabulary-sized DF side
+    broadcast, 1-row doc count broadcast) plus ONE window partitioned by
+    doc_id — per-partition top-k heaps, no global sort; per-doc vocabulary
+    bounds every partition's sort."""
+    from .wordcount import tokens
+
+    toks = tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.select(
+            "doc_id", F.row_number().over(w).alias("rank"), "word", "tfidf"
+        )
+        .where(F.col("rank") <= k)
+    )

@@ -150,3 +150,62 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from_us",
         F.lead("valid_from_us").over(w_ver).alias("valid_to_us"),
     )
+
+
+CDC_APPLY_ORACLE = (
+    "WITH ch AS ("
+    "  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value, "
+    "  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op"
+    "  FROM events"
+    "), r AS ("
+    "  SELECT user_id, op, value, "
+    "  row_number() OVER ("
+    "    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn, "
+    "  count(*) OVER (PARTITION BY user_id) AS n_changes FROM ch"
+    ") SELECT user_id, round(value, 2) AS last_value, "
+    "CAST(n_changes AS BIGINT) AS n_changes "
+    "FROM r WHERE rn = 1 AND op <> 'delete'"
+)
+
+
+@register("cdc_apply", oracle=CDC_APPLY_ORACLE, tier="C")
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: collapse a multi-version changelog to
+    the latest surviving state per key (last-write-wins, deletes drop the
+    key) — the Debezium/Kafka-topic-to-snapshot pattern, and the batch
+    equivalent of a streaming upsert sink. The changelog is synthesized
+    deterministically from events: every row is a change to its user_id,
+    'error' rows are tombstones, (ts, event_id) is the total version order.
+
+    Scale: deliberately NOT the oracle's row_number window (which sorts
+    every version of every key): ``max_by(struct(op, value),
+    struct(ts_us, event_id))`` is a hash aggregate with map-side partial
+    combine, so each partition forwards ONE candidate row per key and the
+    single shuffle moves keys, not versions — at 100 TB of changelog with
+    hot keys (the realistic shape: few keys, many updates) this is the
+    difference between a bounded aggregate and a straggler sort. Struct
+    ordering is lexicographic on both the comparand and the ordering key,
+    exactly the (ts_us, event_id) DESC-first semantics the oracle's window
+    expresses. Tombstones filter AFTER the aggregate: a delete only wins if
+    it is genuinely the newest change."""
+    e = load_table(spark, sf_dir, "events")
+    ch = e.select(
+        "user_id",
+        ts_us("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    latest = ch.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("op", "value"), F.struct("ts_us", "event_id")
+        ).alias("last"),
+        F.count("*").alias("n_changes"),
+    )
+    return latest.where(F.col("last.op") != "delete").select(
+        "user_id",
+        F.round(F.col("last.value"), 2).alias("last_value"),
+        "n_changes",
+    )

@@ -92,7 +92,11 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             "text_bpe_pairs",
             # third wave: hash-u threshold comparisons (bootstrap), sketch
             # min-estimates (countmin), rounded cohort conversion rates
-            "sample_bootstrap", "agg_countmin", "event_funnel_windowed"]
+            "sample_bootstrap", "agg_countmin", "event_funnel_windowed",
+            # round-7: max_by struct race across partials (cdc), histogram
+            # narrowing over partition-split scans (iterative quantiles),
+            # rounded-tfidf rank keys (keywords)
+            "cdc_apply", "agg_percentile_iterative", "text_keywords"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
