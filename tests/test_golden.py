@@ -237,3 +237,46 @@ def test_round6c_golden_pins_sf0001(spark):
     assert [(r.word, r.exact_cnt, r.cms_est) for r in top] == [
         ("scan", 984, 984), ("column", 978, 978), ("window", 976, 976),
     ]
+
+
+def test_round7_golden_pins_sf0001(spark):
+    """Round-7 keys pinned to values measured from the seed=42 fixture (via
+    the hash-verified oracles) — catches silent semantic drift that a
+    self-consistent Spark/DuckDB pair could miss together."""
+    import pyspark.sql.functions as F
+
+    cdc = engine.REGISTRY["cdc_apply"].fn(spark, SF0001)
+    (r,) = cdc.agg(
+        F.count("*"), F.sum("n_changes"), F.round(F.sum("last_value"), 2)
+    ).collect()
+    assert tuple(r) == (12, 793, 559.2)
+
+    st = engine.REGISTRY["event_streaks"].fn(spark, SF0001)
+    (r,) = st.agg(
+        F.count("*"), F.max("longest_streak"), F.sum("n_active_days")
+    ).collect()
+    assert tuple(r) == (15, 26, 397)
+
+    kw = engine.REGISTRY["text_keywords"].fn(spark, SF0001)
+    assert kw.count() == 1500  # 500 docs x 3 keywords
+    doc0 = [(r.rank, r.word, r.tfidf) for r in kw.where("doc_id = 0").collect()]
+    assert sorted(doc0) == [
+        (1, "dup", 2.95851),
+        (2, "batch", 0.774544),
+        (3, "window", 0.616017),
+    ]
+
+    pct = {
+        r.p: r.value
+        for r in engine.REGISTRY["agg_percentile_iterative"].fn(spark, SF0001).collect()
+    }
+    assert pct == {
+        0.25: 26648.23,
+        0.5: 52738.75,
+        0.75: 79837.59,
+        0.9: 94254.19,
+        0.99: 103869.86,
+    }
+
+    (r,) = engine.REGISTRY["obs_metrics"].fn(spark, SF0001).collect()
+    assert tuple(r) == (4778, 1568, 25224225928)
