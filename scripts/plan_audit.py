@@ -40,6 +40,7 @@ ALLOW = {
     # broadcast NLJs whose build side is a bounded constant (> 1 row, so the
     # keys=[] 1-row-aggregate detector can't clear them):
     "sim_knn_query": {"BroadcastNestedLoopJoin"},  # 1 query row broadcast (range condition)
+    "sim_pq": {"BroadcastNestedLoopJoin"},  # same 1-query-row broadcast in the exact re-rank stage
     "sim_label_eval": {"BroadcastNestedLoopJoin"},  # 20 query rows broadcast
     "sim_hard_negatives": {"BroadcastNestedLoopJoin"},  # 20 query rows broadcast
     "sim_pair_hist": {"BroadcastNestedLoopJoin"},  # bounded id-range slice self-pairing (documented demo slice)

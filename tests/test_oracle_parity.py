@@ -42,6 +42,7 @@ def test_every_query_has_oracle_or_reason():
         "agg_sketch_merge",
         "dedup_simhash",
         "sim_topk_blocked",
+        "sim_pq",
         "udtf_python",
         "mm_binary_surface",
         "mm_embed",

@@ -96,7 +96,10 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             # round-7: max_by struct race across partials (cdc), histogram
             # narrowing over partition-split scans (iterative quantiles),
             # rounded-tfidf rank keys (keywords)
-            "cdc_apply", "agg_percentile_iterative", "text_keywords"]
+            "cdc_apply", "agg_percentile_iterative", "text_keywords",
+            # PQ: driver-side hashed-sample codebook fit + per-batch argmin
+            # encode must not see partitioning at all
+            "sim_pq"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}

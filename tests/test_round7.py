@@ -189,3 +189,51 @@ def test_obs_metrics_match_direct_aggregates(spark):
         .collect()
     )
     assert tuple(got) == tuple(want)
+
+
+# ----------------------------------------------------------------------- PQ
+
+
+def test_sim_pq_recall_floor(spark):
+    """PQ shortlist + exact re-rank must recover most of the true top-10
+    (floors measured with margin on this near-uniform, ANN-adversarial
+    corpus: 9/10 at sf0.001, 10/10 at sf0.01 with the m=8, ksub=32,
+    shortlist=200 defaults)."""
+    exact = {r.vec_id for r in engine.REGISTRY["sim_knn_query"].fn(spark, SF_DIR).collect()}
+    pq_rows = engine.REGISTRY["sim_pq"].fn(spark, SF_DIR).collect()
+    pq = {r.vec_id for r in pq_rows}
+    assert len(pq & exact) >= 8
+    # re-ranked scores are the TRUE cosines: every surfaced pair must agree
+    # with the exact operator's score for the same neighbor
+    exact_scores = {
+        r.vec_id: r.cosine
+        for r in engine.REGISTRY["sim_knn_query"].fn(spark, SF_DIR).collect()
+    }
+    for r in pq_rows:
+        if r.vec_id in exact_scores:
+            assert r.cosine == exact_scores[r.vec_id]
+
+
+def test_sim_pq_deterministic_rerun(spark):
+    """Hashed-sample codebook fit + first-occurrence argmin + fixed-order
+    float sums: two independent runs produce identical rows."""
+    a = [tuple(r) for r in engine.REGISTRY["sim_pq"].fn(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in engine.REGISTRY["sim_pq"].fn(spark, SF_DIR).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_pq_codebook_shapes():
+    """The quantizer factorizes the space exactly: m codebooks of ksub
+    centroids over d/m dims, reproducible from the same sample."""
+    import numpy as np
+
+    from parallel_mapreduce_wordcounting_spark.operators.similarity_ext import (
+        _fit_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    sample = rng.rand(256, 64)
+    books = _fit_pq_codebooks(sample, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    again = _fit_pq_codebooks(sample, m=8, ksub=16)
+    assert np.array_equal(books, again)
