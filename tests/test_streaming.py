@@ -328,3 +328,71 @@ def test_stream_stream_join_equals_batch(spark):
     cols = ["view_id", "purchase_id"]
     assert _normalize(result, cols) == _normalize(batch, cols)
     assert result.count() > 0  # non-vacuous at this SF
+
+
+def test_foreach_batch_cdc_upsert_equals_batch_compaction(spark):
+    """Round-7: the streaming twin of ``cdc_apply`` — a foreachBatch upsert
+    sink (the production Delta/Iceberg MERGE topology) replaying the events
+    changelog in 4 micro-batches must converge to exactly the batch
+    compaction's snapshot. Each batch is compacted with the SAME
+    max_by(struct) aggregate, then merged last-write-wins into the running
+    snapshot; tombstones only win while nothing newer follows in a LATER
+    batch."""
+    from pyspark.sql import functions as F
+
+    import parallel_mapreduce_wordcounting_spark as engine
+    from parallel_mapreduce_wordcounting_spark.sources.loader import ts_us
+
+    snapshot: dict[int, tuple] = {}  # user_id -> (version, op, value)
+    n_changes: dict[int, int] = {}
+    batches_seen = []
+
+    def upsert(batch_df, batch_id):
+        compacted = (
+            batch_df.select(
+                "user_id",
+                ts_us("ts").alias("ts_us"),
+                "event_id",
+                "value",
+                F.when(F.col("event_type") == "error", F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                .alias("op"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("op", "value"), F.struct("ts_us", "event_id")
+                ).alias("last"),
+                F.max(F.struct("ts_us", "event_id")).alias("ver"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        batches_seen.append(len(compacted))
+        for r in compacted:
+            ver = (r.ver.ts_us, r.ver.event_id)
+            n_changes[r.user_id] = n_changes.get(r.user_id, 0) + r.n
+            prev = snapshot.get(r.user_id)
+            if prev is None or ver > prev[0]:
+                snapshot[r.user_id] = (ver, r.last.op, r.last.value)
+
+    stream, _ = events_stream(spark, SF_DIR)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert len(batches_seen) >= 4  # genuinely incremental, not one big batch
+
+    got = {
+        u: (round(v, 2), n_changes[u])
+        for u, (_, op, v) in snapshot.items()
+        if op != "delete"
+    }
+    want = {
+        r.user_id: (r.last_value, r.n_changes)
+        for r in engine.REGISTRY["cdc_apply"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
