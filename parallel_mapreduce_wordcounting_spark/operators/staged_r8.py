@@ -182,3 +182,117 @@ def event_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --- data-drift monitoring ----------------------------------------------------
+
+AGG_DRIFT_CHI2_ORACLE = (
+    "WITH e AS ("
+    "  SELECT CAST(floor(value) AS BIGINT) AS bucket, "
+    "  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a"
+    "  FROM events WHERE event_type IN ('click', 'view')"
+    "), o AS ("
+    "  SELECT bucket, CAST(sum(is_a) AS BIGINT) AS obs_a, "
+    "  CAST(sum(1 - is_a) AS BIGINT) AS obs_b FROM e GROUP BY bucket"
+    "), n AS ("
+    "  SELECT sum(obs_a) AS na, sum(obs_b) AS nb FROM o"
+    ") SELECT o.bucket, o.obs_a, o.obs_b, "
+    "round(pow(o.obs_b * n.na - o.obs_a * n.nb, 2) "
+    "      / (1.0 * n.na * n.nb * (o.obs_a + o.obs_b)), 6) AS chi2_term "
+    "FROM o, n"
+)
+
+
+def agg_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift table between two event populations ('click' vs
+    'view' values), χ²-style: per value bucket, both observed counts and the
+    scaled squared-deviation term — the data-quality monitor that catches a
+    feature's distribution shifting between cohorts/weeks before a model
+    does. (Term form: (obs_b·n_a − obs_a·n_b)²/(n_a·n_b·(obs_a+obs_b)) —
+    the standard 2×k homogeneity χ² contribution.)
+
+    Exactness: the output is PER-BUCKET (the driver hashes rows, not a
+    float total): each term is a handful of arithmetic ops on exact int64
+    counts evaluated identically on both engines — no float SUMMATION
+    anywhere, so no accumulation-order hazard; callers wanting the scalar
+    χ² sum the rounded terms (tests do). Bucket products stay well inside
+    the double's 2⁵³ exact-integer range at any realistic cardinality:
+    counts are per-bucket.
+
+    Scale: one map-side-combining groupBy on the bucket, one broadcast
+    1-row total — the same two-step shape as agg_heavy_hitters."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.floor("value").cast("long").alias("bucket"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        )
+    )
+    o = e.groupBy("bucket").agg(
+        F.sum("is_a").alias("obs_a"), F.sum(1 - F.col("is_a")).alias("obs_b")
+    )
+    n = F.broadcast(o.agg(F.sum("obs_a").alias("na"), F.sum("obs_b").alias("nb")))
+    return o.crossJoin(n).select(
+        "bucket",
+        "obs_a",
+        "obs_b",
+        F.round(
+            F.pow(F.col("obs_b") * F.col("na") - F.col("obs_a") * F.col("nb"), 2)
+            / (1.0 * F.col("na") * F.col("nb") * (F.col("obs_a") + F.col("obs_b"))),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# --- point-in-time (temporal) dimension join ---------------------------------
+
+from .warehouse import SCD2_ORACLE as _SCD2_ORACLE
+
+JOIN_PIT_SCD2_ORACLE = (
+    "WITH probe AS ("
+    "  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events"
+    "  WHERE event_id % 50 = 0"
+    ") SELECT p.event_id, p.user_id, p.ts_us, h.version, h.state "
+    f"FROM probe p JOIN ({_SCD2_ORACLE}) h ON p.user_id = h.user_id "
+    "AND h.valid_from_us <= p.ts_us "
+    "AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)"
+)
+
+
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension built by
+    ``scd2_build``: each probe event (a deterministic 1-in-50 sample) picks
+    up the dimension version that was valid AT its own timestamp via
+    [valid_from, valid_to) interval containment — the temporal-join
+    semantics every feature-store/backtest pipeline needs to avoid label
+    leakage (using a dimension value from the future).
+
+    Scale: the containment join carries the user_id equi-key, so Catalyst
+    plans a hash join on user_id with the interval predicate as a residual
+    filter; per-user version counts are bounded (versions ≤ events/user),
+    so the residual scan per key is small. Half-open bounds make each probe
+    match EXACTLY one version (tests assert bijectivity) — the same
+    contract as join_asof expressed against a materialized history table."""
+    from .warehouse import scd2_build
+
+    hist = scd2_build(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    from ..sources.loader import ts_us
+
+    probe = e.where(F.col("event_id") % 50 == 0).select(
+        "event_id", "user_id", ts_us("ts").alias("ts_us")
+    )
+    h = hist.select(
+        F.col("user_id").alias("h_user"), "version", "state",
+        "valid_from_us", "valid_to_us",
+    )
+    return (
+        probe.join(
+            h,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("valid_from_us") <= F.col("ts_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us"))),
+        )
+        .select("event_id", "user_id", "ts_us", "version", "state")
+    )

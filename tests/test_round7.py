@@ -237,3 +237,32 @@ def test_pq_codebook_shapes():
     assert books.shape == (8, 16, 8)
     again = _fit_pq_codebooks(sample, m=8, ksub=16)
     assert np.array_equal(books, again)
+
+
+def test_bucket_bound_inversion_property():
+    """The narrowing step's integer algebra, property-tested: for any cent
+    value c in [lo, hi] and any bucket count B, the bucket it hashes into
+    under b = (c-lo)*B // width must invert to bounds that contain c —
+    lo + ceil(b*W/B) <= c <= lo + ceil((b+1)*W/B) - 1 — and consecutive
+    buckets' ranges must tile [lo, hi] without gap or overlap."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        lo=st.integers(-(10**7), 10**7),
+        span=st.integers(0, 10**7),
+        B=st.integers(2, 4096),
+        frac=st.fractions(0, 1),
+    )
+    def check(lo, span, B, frac):
+        hi = lo + span
+        width = hi - lo + 1
+        c = lo + int(frac * span)
+        b = (c - lo) * B // width
+        b_lo = lo + -(-(b * width) // B)
+        b_hi = lo + -(-((b + 1) * width) // B) - 1
+        assert b_lo <= c <= b_hi
+        # tiling: next bucket starts exactly after this one ends
+        assert lo + -(-((b + 1) * width) // B) == b_hi + 1
+
+    check()

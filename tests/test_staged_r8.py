@@ -19,6 +19,8 @@ CASES = [
         staged_r8.event_forecast_baseline,
         staged_r8.EVENT_FORECAST_BASELINE_ORACLE,
     ),
+    ("agg_drift_chi2", staged_r8.agg_drift_chi2, staged_r8.AGG_DRIFT_CHI2_ORACLE),
+    ("join_pit_scd2", staged_r8.join_pit_scd2, staged_r8.JOIN_PIT_SCD2_ORACLE),
 ]
 
 
@@ -49,3 +51,30 @@ def test_assoc_rules_sanity(spark):
         assert r.support <= r.conf_ante_cons + 1e-9
         assert r.support <= r.conf_cons_ante + 1e-9
         assert r.ante < r.cons
+
+
+def test_pit_join_is_bijective_on_probes(spark):
+    """Half-open [valid_from, valid_to) versions tile each user's timeline,
+    so every probe event matches EXACTLY one dimension version."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    res = staged_r8.join_pit_scd2(spark, SF_DIR)
+    n_probes = (
+        load_table(spark, SF_DIR, "events").where(F.col("event_id") % 50 == 0).count()
+    )
+    assert res.count() == n_probes
+    assert res.select("event_id").distinct().count() == n_probes
+
+
+def test_drift_chi2_total_detects_planted_shift(spark):
+    """The summed rounded terms form the scalar chi^2; it must be strictly
+    positive on the fixture (click and view value distributions are not
+    identical) and each term non-negative."""
+    from .conftest import SF_DIR
+
+    rows = staged_r8.agg_drift_chi2(spark, SF_DIR).collect()
+    assert rows and all(r.chi2_term >= 0 for r in rows)
+    assert sum(r.chi2_term for r in rows) > 0
