@@ -296,3 +296,157 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts_us", "version", "state")
     )
+
+
+# --- inequality / concentration metric ---------------------------------------
+
+AGG_GINI_ORACLE = (
+    "WITH x AS ("
+    "  SELECT c.c_mktsegment AS segment, "
+    "  CAST(sign(o.o_totalprice) * floor(abs(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS cents, "
+    "  o.o_orderkey AS k FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    "), r AS ("
+    "  SELECT segment, cents, row_number() OVER ("
+    "    PARTITION BY segment ORDER BY cents, k) AS rk FROM x"
+    "), s AS ("
+    "  SELECT segment, count(*) AS n, sum(CAST(cents AS HUGEINT)) AS sx, "
+    "  sum(CAST(rk AS HUGEINT) * cents) AS srx FROM r GROUP BY segment"
+    ") SELECT segment, CAST(n AS BIGINT) AS n, "
+    "round((2.0 * srx - (n + 1.0) * sx) / (1.0 * n * sx), 6) AS gini "
+    "FROM s"
+)
+
+
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per customer segment — the
+    concentration/inequality metric (is revenue dominated by a few whale
+    orders?) a growth dashboard tracks next to the totals. Computed by the
+    rank formula G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx) with a (cents,
+    orderkey) total order so tie handling is engine-identical.
+
+    Exactness: values integerize to cents; the rank-weighted sum overflows
+    int64 at large n·x, so BOTH engines accumulate it in wide integers —
+    Spark in decimal(38,0), DuckDB in HUGEINT — keeping every sum exact;
+    the single final division is the only float op before the 6-dp round.
+
+    Scale: one shuffle on (segment) carries the rank window and the
+    aggregate; per-segment rank is the unavoidable sort of a rank-based
+    statistic (at extreme n switch to the grouped-histogram Gini over
+    value buckets — same bucketing machinery as agg_percentile_iterative)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.signum("o_totalprice") * F.floor(F.abs(F.col("o_totalprice")) * 100 + 0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "k")
+    r = x.select("segment", "cents", F.row_number().over(w).alias("rk"))
+    s = r.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents")).alias("srx"),
+    )
+    return s.select(
+        "segment",
+        "n",
+        F.round(
+            (2.0 * F.col("srx") - (F.col("n") + 1.0) * F.col("sx"))
+            / (1.0 * F.col("n") * F.col("sx")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- schema-drift-tolerant union ---------------------------------------------
+
+SET_UNION_BY_NAME_ORACLE = (
+    "SELECT doc_id, text, lang, NULL AS source, NULL AS n_chars FROM documents "
+    "WHERE doc_id % 2 = 0 "
+    "UNION ALL BY NAME "
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 1"
+)
+
+
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across DIFFERENT schemas by column NAME with missing columns
+    null-filled (`unionByName(allowMissingColumns=True)` ≡ DuckDB's
+    `UNION ALL BY NAME`) — the schema-drift append every long-lived table
+    eventually needs when a new pipeline version adds or drops columns.
+    Two disjoint halves of documents simulate the v1/v2 schemas so overlap
+    can't mask column misalignment.
+
+    Scale: pure narrow concatenation — no shuffle, each side keeps its
+    scan-level projection."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    v2 = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+# --- cohort lifetime-value curves --------------------------------------------
+
+EVENT_COHORT_LTV_ORACLE = (
+    "WITH e AS ("
+    f"  SELECT user_id, {floor_day_us_sql()} AS day, value FROM events"
+    "), u AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id), "
+    "wk AS ("
+    "  SELECT u.cohort_day, (e.day - u.cohort_day) // 7 AS week, "
+    "  CAST(sign(e.value) * floor(abs(e.value) * 100 + 0.5) AS BIGINT) AS cents"
+    "  FROM e JOIN u USING (user_id)"
+    "), g AS ("
+    "  SELECT cohort_day, week, sum(cents) AS rev_cents FROM wk GROUP BY 1, 2"
+    ") SELECT cohort_day, CAST(week AS BIGINT) AS week, "
+    "CAST(rev_cents AS BIGINT) / 100.0 AS revenue, "
+    "CAST(sum(rev_cents) OVER ("
+    "  PARTITION BY cohort_day ORDER BY week ROWS UNBOUNDED PRECEDING"
+    ") AS BIGINT) / 100.0 AS ltv "
+    "FROM g"
+)
+
+
+def event_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-activity day,
+    revenue summed per cohort-week, and the running (cumulative) LTV per
+    cohort — the curve that answers "how much is a week-N user worth" and
+    the backbone of payback-period analysis.
+
+    Exactness: revenue is integer cents end-to-end (order-free sums); the
+    cumulative is a running sum of those exact integers in (cohort, week)
+    order — bit-identical on both engines — divided by 100 only at the
+    edge. week = (day − cohort_day) // 7 is nonneg so // and floor agree.
+
+    Scale: first-activity is a map-side-combining min; the cohort join
+    shuffles on user_id; the LTV window partitions by cohort_day over the
+    (cohorts × weeks)-sized aggregate — tiny, and never a global window."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", ts_day("ts").alias("day"), "value"
+    )
+    u = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    wk = e.join(u, "user_id").select(
+        "cohort_day",
+        F.expr("(day - cohort_day) div 7").alias("week"),
+        (F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + 0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    g = wk.groupBy("cohort_day", "week").agg(F.sum("cents").alias("rev_cents"))
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "cohort_day",
+        "week",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        (F.sum("rev_cents").over(w) / 100.0).alias("ltv"),
+    )

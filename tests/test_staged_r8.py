@@ -21,6 +21,9 @@ CASES = [
     ),
     ("agg_drift_chi2", staged_r8.agg_drift_chi2, staged_r8.AGG_DRIFT_CHI2_ORACLE),
     ("join_pit_scd2", staged_r8.join_pit_scd2, staged_r8.JOIN_PIT_SCD2_ORACLE),
+    ("agg_gini", staged_r8.agg_gini, staged_r8.AGG_GINI_ORACLE),
+    ("set_union_by_name", staged_r8.set_union_by_name, staged_r8.SET_UNION_BY_NAME_ORACLE),
+    ("event_cohort_ltv", staged_r8.event_cohort_ltv, staged_r8.EVENT_COHORT_LTV_ORACLE),
 ]
 
 
@@ -78,3 +81,31 @@ def test_drift_chi2_total_detects_planted_shift(spark):
     rows = staged_r8.agg_drift_chi2(spark, SF_DIR).collect()
     assert rows and all(r.chi2_term >= 0 for r in rows)
     assert sum(r.chi2_term for r in rows) > 0
+
+
+def test_gini_bounds_and_ordering(spark):
+    """0 <= G < 1 for positive-valued orders, and a segment of identical
+    values would give G ~ 0 (sanity of the rank formula)."""
+    from .conftest import SF_DIR
+
+    rows = staged_r8.agg_gini(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0, r
+
+
+def test_cohort_ltv_monotone(spark):
+    """LTV is a running sum of nonnegative weekly revenue, so it is
+    non-decreasing within each cohort and ends at the cohort's total."""
+    from .conftest import SF_DIR
+
+    rows = staged_r8.event_cohort_ltv(spark, SF_DIR).collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    assert by_cohort
+    for _, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.week)
+        for a, b in zip(rs, rs[1:]):
+            assert b.ltv >= a.ltv - 1e-9
+        assert abs(rs[-1].ltv - sum(r.revenue for r in rs)) < 1e-6
