@@ -450,3 +450,209 @@ def event_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_cents") / 100.0).alias("revenue"),
         (F.sum("rev_cents").over(w) / 100.0).alias("ltv"),
     )
+
+
+# --- A/B test evaluation -----------------------------------------------------
+
+EVENT_AB_TEST_ORACLE = (
+    "WITH u AS ("
+    "  SELECT user_id, user_id % 2 AS variant, "
+    "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted"
+    "  FROM events GROUP BY user_id"
+    "), s AS ("
+    "  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
+    "  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "  CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0, "
+    "  CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1"
+    "  FROM u"
+    ") SELECT n0, n1, c0, c1, "
+    "round(c0 / (1.0 * n0), 6) AS p0, round(c1 / (1.0 * n1), 6) AS p1, "
+    "round((c1 / (1.0 * n1) - c0 / (1.0 * n0)) / nullif("
+    "  sqrt(((c0 + c1) / (1.0 * (n0 + n1))) * (1 - (c0 + c1) / (1.0 * (n0 + n1))) "
+    "       * (1.0 / n0 + 1.0 / n1)), 0), 4) AS z "
+    "FROM s"
+)
+
+
+def event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms (variant = user_id % 2,
+    conversion = any 'purchase' event): per-arm sizes, conversion rates, and
+    the pooled z statistic — the experimentation readout every product
+    analytics stack ships.
+
+    Exactness: counts are exact ints; the rate/z expressions are the SAME
+    arithmetic tree on both engines (correctly-rounded /, *, sqrt), so
+    doubles agree to the last bit except a theoretical 1-ulp boundary —
+    z rounds at 4 dp to keep a wide margin.
+
+    Scale: one map-side-combining per-user aggregate, then a 1-row global
+    aggregate. Nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("variant"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).alias("c1"),
+    )
+    p0 = F.col("c0") / (1.0 * F.col("n0"))
+    p1 = F.col("c1") / (1.0 * F.col("n1"))
+    pp = (F.col("c0") + F.col("c1")) / (1.0 * (F.col("n0") + F.col("n1")))
+    return s.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        # nullif guards the degenerate all-converted/none-converted pool
+        # (pp in {0,1} -> zero denominator; tiny fixtures hit it) — both
+        # engines yield NULL z there instead of ANSI divide-by-zero / NaN
+        F.round(
+            (p1 - p0)
+            / F.nullif(
+                F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("z"),
+    )
+
+
+# --- calendar/date dimension -------------------------------------------------
+
+FN_DATE_DIM_ORACLE = (
+    "WITH d AS ("
+    f"  SELECT DISTINCT {floor_day_us_sql()} AS day, "
+    "  CAST(date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS DATE) AS dt"
+    "  FROM events"
+    ") SELECT day, CAST(year(dt) AS INTEGER) AS year, "
+    "CAST(quarter(dt) AS INTEGER) AS quarter, "
+    "CAST(month(dt) AS INTEGER) AS month, "
+    "CAST(dayofmonth(dt) AS INTEGER) AS dom, "
+    "CAST(((day + 3) % 7) + 1 AS INTEGER) AS dow_iso, "
+    "((day + 3) % 7) + 1 >= 6 AS is_weekend "
+    "FROM d"
+)
+
+
+def fn_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar (date-dimension) derivation for every active day:
+    year/quarter/month/day-of-month plus an ENGINE-INDEPENDENT ISO weekday
+    computed from the epoch-day number ((day+3) % 7 + 1, anchored on
+    1970-01-01 = Thursday) — sidestepping the classic cross-engine
+    dayofweek trap (Spark counts 1=Sunday, DuckDB 0=Sunday, ISO 1=Monday).
+    This is the dimension every warehouse date-joins against.
+
+    Scale: runs on the DISTINCT active-day aggregate (calendar-sized), pure
+    column arithmetic after one map-side-combining distinct."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        ts_day("ts").alias("day"), F.to_date(F.date_trunc("day", "ts")).alias("dt")
+    ).distinct()
+    dow_iso = ((F.col("day") + 3) % 7 + 1).cast("int")
+    return d.select(
+        "day",
+        F.year("dt").alias("year"),
+        F.quarter("dt").alias("quarter"),
+        F.month("dt").alias("month"),
+        F.dayofmonth("dt").alias("dom"),
+        dow_iso.alias("dow_iso"),
+        (dow_iso >= 6).alias("is_weekend"),
+    )
+
+
+# --- robust (winsorized) mean ------------------------------------------------
+
+AGG_WINSORIZED_MEAN_ORACLE = (
+    "WITH q AS ("
+    "  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.05) AS lo, "
+    "  quantile_cont(o_totalprice, 0.95) AS hi FROM orders GROUP BY o_orderstatus"
+    ") SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "round(avg(least(greatest(o.o_totalprice, q.lo), q.hi)), 6) AS wmean, "
+    "round(avg(o.o_totalprice), 6) AS mean "
+    "FROM orders o JOIN q USING (o_orderstatus) GROUP BY o.o_orderstatus"
+)
+
+
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp values into the [P5, P95] band
+    before averaging — the robust central-tendency metric that tames whale
+    orders without discarding them (vs a trimmed mean). Quantile bounds use
+    the exact interpolating percentile whose cross-engine parity
+    agg_percentile already hash-proves.
+
+    Scale: two aggregates over the same o_orderstatus shuffle key (bounds,
+    then clamped mean) with the tiny bounds table broadcast back —
+    group-count-sized, never row-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    q = F.broadcast(
+        o.groupBy("o_orderstatus").agg(
+            F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+        )
+    )
+    return (
+        o.join(q, "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))),
+                6,
+            ).alias("wmean"),
+            F.round(F.avg("o_totalprice"), 6).alias("mean"),
+        )
+    )
+
+
+# --- sequence-pattern detection (MATCH_RECOGNIZE-lite) -----------------------
+
+EVENT_STATE_MACHINE_ORACLE = (
+    "WITH s AS ("
+    "  SELECT user_id, count(*) AS n_events, "
+    "  string_agg(event_type, ',' ORDER BY epoch_ns(ts) // 1000, event_id) AS seq"
+    "  FROM events GROUP BY user_id"
+    ") SELECT user_id, CAST(n_events AS BIGINT) AS n_events, "
+    "regexp_matches(seq, 'signup.*click.*purchase') AS matched "
+    "FROM s"
+)
+
+
+def event_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection per user (MATCH_RECOGNIZE-lite): did the
+    user's event-time-ordered journey contain signup → … → click → … →
+    purchase? The per-user type sequence materializes as a CSV string in
+    (ts, event_id) total order — deterministic on both engines — and the
+    pattern is a regex over it; arbitrary ordered patterns (A then B
+    without C, at least two Ds) drop in as different regexes.
+
+    Scale: one user_id shuffle; sequences are per-user-bounded. At extreme
+    journey lengths the same contract moves to applyInPandasWithState (the
+    streaming/stateful.py surface) with the regex evaluated incrementally."""
+    e = load_table(spark, sf_dir, "events")
+    from ..sources.loader import ts_us
+
+    rows = e.select("user_id", ts_us("ts").alias("ts_us"), "event_id", "event_type")
+    s = rows.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ",",
+        ).alias("seq"),
+    )
+    return s.select(
+        "user_id",
+        "n_events",
+        F.col("seq").rlike("signup.*click.*purchase").alias("matched"),
+    )

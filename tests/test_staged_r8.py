@@ -22,6 +22,18 @@ CASES = [
     ("agg_drift_chi2", staged_r8.agg_drift_chi2, staged_r8.AGG_DRIFT_CHI2_ORACLE),
     ("join_pit_scd2", staged_r8.join_pit_scd2, staged_r8.JOIN_PIT_SCD2_ORACLE),
     ("agg_gini", staged_r8.agg_gini, staged_r8.AGG_GINI_ORACLE),
+    ("event_ab_test", staged_r8.event_ab_test, staged_r8.EVENT_AB_TEST_ORACLE),
+    ("fn_date_dim", staged_r8.fn_date_dim, staged_r8.FN_DATE_DIM_ORACLE),
+    (
+        "agg_winsorized_mean",
+        staged_r8.agg_winsorized_mean,
+        staged_r8.AGG_WINSORIZED_MEAN_ORACLE,
+    ),
+    (
+        "event_state_machine",
+        staged_r8.event_state_machine,
+        staged_r8.EVENT_STATE_MACHINE_ORACLE,
+    ),
     ("set_union_by_name", staged_r8.set_union_by_name, staged_r8.SET_UNION_BY_NAME_ORACLE),
     ("event_cohort_ltv", staged_r8.event_cohort_ltv, staged_r8.EVENT_COHORT_LTV_ORACLE),
 ]
