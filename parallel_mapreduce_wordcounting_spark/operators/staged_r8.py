@@ -656,3 +656,122 @@ def event_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("seq").rlike("signup.*click.*purchase").alias("matched"),
     )
+
+
+# --- binary-file ingestion (the multimodal source) ---------------------------
+
+SCAN_BINARY_FILES_ORACLE = (
+    "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+    "sha256(text) AS sha "
+    "FROM documents WHERE doc_id < 50"
+)
+
+
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingestion via Spark's ``binaryFile`` source — the REAL
+    entry path for image/audio/video corpora (one file per asset, content
+    as a BinaryType column + path/length metadata), feeding the
+    mm_binary_surface decode plumbing. 50 fixture documents round-trip
+    through actual files: write each text as raw UTF-8 bytes, read the
+    directory back with ``format('binaryFile')``, parse the asset id from
+    the file name, and emit (id, byte length, sha256) — which the oracle
+    derives from the SOURCE table directly, so any content corruption in
+    the write→scan round trip fails the hash compare.
+
+    Scale: binaryFile scans parallelize per file (maxPartitionBytes also
+    splits large blobs' metadata listing); the sha/length projection keeps
+    whole blobs out of the shuffle — only 40-byte digests move."""
+    import tempfile
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    stage = tempfile.mkdtemp(prefix="pmrwc_blobs_")
+    for r in d.collect():  # 50 bounded fixture rows — staging only, not the scan
+        with open(f"{stage}/{r.doc_id}.bin", "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(stage)
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )
+
+
+# --- random-hyperplane LSH near-dup (cosine) ---------------------------------
+
+
+def dedup_lsh_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_bits: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine via random-hyperplane LSH (Charikar
+    2002) — the ~linear scale path beside :func:`..dedup.dedup_embedding`'s
+    exact O(n²/B) block GEMM: sign-pattern sketches bucket similar vectors
+    together, candidate pairs come only from band-bucket collisions, and
+    every candidate is verified with the EXACT cosine before output (so
+    emitted pairs are never false positives — recall is the only
+    approximation, pinned in tests/test_staged_r8.py vs dedup_embedding).
+
+    Plan: ``n_bits`` hyperplanes drawn driver-side from a fixed-seed RNG
+    (bounded quantizer metadata, broadcast); ONE mapInPandas GEMM computes
+    each batch's sign bits and splits them into ``n_bands`` band keys;
+    pairs form per (band, bucket) via a self-join on the band key and
+    dedup across bands with a distinct; the exact-cosine verify joins the
+    (small) candidate set back to the vectors. P(collision in some band) =
+    1-(1-(1-θ/π)^bits_per_band)^bands — with 8 bands × 2 bits and
+    cosine 0.45 (θ≈63°), ≈ 0.97."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    planes = np.random.RandomState(seed).standard_normal((dim, n_bits))
+    bplanes = spark.sparkContext.broadcast(planes)
+    bits_per_band = n_bits // n_bands
+
+    def band_keys(batches):
+        P = bplanes.value
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            bits = (X @ P) > 0  # (n, n_bits) sign pattern
+            out = {"vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands)}
+            band = np.tile(np.arange(n_bands), len(X))
+            codes = np.zeros((len(X), n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                for k in range(bits_per_band):
+                    codes[:, b] = codes[:, b] * 2 + bits[:, b * bits_per_band + k]
+                codes[:, b] += b << 32  # band id disambiguates buckets
+            out["band_key"] = codes.reshape(-1)
+            out["band"] = band
+            yield pd.DataFrame(out)
+
+    keyed = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).mapInPandas(band_keys, "vec_id long, band_key long, band int")
+    a = keyed.select(F.col("band_key"), F.col("vec_id").alias("vec_id_a"))
+    b = keyed.select(F.col("band_key"), F.col("vec_id").alias("vec_id_b"))
+    cands = (
+        a.join(b, "band_key")
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cands.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -34,6 +34,11 @@ CASES = [
         staged_r8.event_state_machine,
         staged_r8.EVENT_STATE_MACHINE_ORACLE,
     ),
+    (
+        "scan_binary_files",
+        staged_r8.scan_binary_files,
+        staged_r8.SCAN_BINARY_FILES_ORACLE,
+    ),
     ("set_union_by_name", staged_r8.set_union_by_name, staged_r8.SET_UNION_BY_NAME_ORACLE),
     ("event_cohort_ltv", staged_r8.event_cohort_ltv, staged_r8.EVENT_COHORT_LTV_ORACLE),
 ]
@@ -121,3 +126,35 @@ def test_cohort_ltv_monotone(spark):
         for a, b in zip(rs, rs[1:]):
             assert b.ltv >= a.ltv - 1e-9
         assert abs(rs[-1].ltv - sum(r.revenue for r in rs)) < 1e-6
+
+
+def test_lsh_cosine_recall_and_no_false_positives(spark):
+    """dedup_lsh_cosine (rows-only when registered): every emitted pair must
+    also be in the exact operator's answer with the identical cosine (exact
+    verify = no false positives), and recall vs the exact pair set must
+    clear the Charikar-collision floor with margin."""
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    from .conftest import SF_DIR
+
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in engine.REGISTRY["dedup_embedding"].fn(spark, SF_DIR).collect()
+    }
+    got = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in staged_r8.dedup_lsh_cosine(spark, SF_DIR).collect()
+    }
+    assert exact, "fixture must have pairs above threshold"
+    for pair, cos in got.items():
+        assert pair in exact and exact[pair] == cos, pair
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, (len(got), len(exact))
+
+
+def test_lsh_cosine_deterministic(spark):
+    from .conftest import SF_DIR
+
+    a = sorted(map(tuple, staged_r8.dedup_lsh_cosine(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, staged_r8.dedup_lsh_cosine(spark, SF_DIR).collect()))
+    assert a == b
