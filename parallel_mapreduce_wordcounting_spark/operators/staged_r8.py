@@ -775,3 +775,126 @@ def dedup_lsh_cosine(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# --- SimHash hamming pairing (Manku et al., WWW 2007) ------------------------
+
+
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate PAIRS from the 64-bit SimHash fingerprints — the
+    missing half of :func:`..dedup.dedup_simhash` (which only fingerprints):
+    Manku-style block pigeonholing pairs only fingerprints that agree on at
+    least one of 4 16-bit blocks. Any pair within hamming distance
+    ``max_hamming`` ≤ 3 differs in ≤ 3 blocks, so it MUST share a block —
+    recall is exactly 1.0 at the contract distance (no probabilistic miss,
+    unlike MinHash/LSH banding), and candidates are verified with the exact
+    ``bit_count(xor)`` so precision is 1.0 too. Rows-only when registered
+    (the fingerprint itself has no DuckDB mirror); brute-force-verified in
+    tests/test_staged_r8.py.
+
+    Scale: candidates form per (block id, 16-bit value) bucket — a
+    self-join on a 4-entry inverted index per doc, never all-pairs; the
+    verify is integer xor/popcount on the candidate set only."""
+    from .dedup import dedup_simhash
+
+    fp = dedup_simhash(spark, sf_dir)  # doc_id, simhash (long)
+    keyed = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("k"),
+    ).select("doc_id", "simhash", "k.block", "k.val")
+    a = keyed.select(
+        F.col("block"), F.col("val"),
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("fp_a"),
+    )
+    b = keyed.select(
+        F.col("block"), F.col("val"),
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("fp_b"),
+    )
+    cands = (
+        a.join(b, ["block", "val"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.select(
+        "doc_id_a", "doc_id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# --- Markov stationary distribution ------------------------------------------
+
+# 3 power-iteration steps from uniform, transition probs and each iterate
+# rounded to 6 dp on both engines (the graph_pagerank unrolled-CTE pattern)
+EVENT_MARKOV_STATIONARY_ORACLE = (
+    "WITH e AS ("
+    "  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id"
+    "  FROM events"
+    "), pairs AS ("
+    "  SELECT user_id, lag(event_type) OVER ("
+    "    PARTITION BY user_id ORDER BY ts_us, event_id"
+    "  ) AS prev_type, event_type AS next_type FROM e"
+    "), cnt AS ("
+    "  SELECT prev_type, next_type, count(*) AS n FROM pairs"
+    "  WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type"
+    "), tot AS (SELECT prev_type, sum(n) AS t FROM cnt GROUP BY prev_type), "
+    "p AS ("
+    "  SELECT c.prev_type, c.next_type, round(c.n / (1.0 * t.t), 6) AS p"
+    "  FROM cnt c JOIN tot t ON c.prev_type = t.prev_type"
+    "), states AS (SELECT DISTINCT next_type AS state FROM p), "
+    "ns AS (SELECT count(*) AS s FROM states), "
+    "x0 AS (SELECT state, round(1.0 / (SELECT s FROM ns), 6) AS pi FROM states), "
+    "x1 AS ("
+    "  SELECT p.next_type AS state, round(sum(x0.pi * p.p), 6) AS pi"
+    "  FROM x0 JOIN p ON x0.state = p.prev_type GROUP BY p.next_type"
+    "), x2 AS ("
+    "  SELECT p.next_type AS state, round(sum(x1.pi * p.p), 6) AS pi"
+    "  FROM x1 JOIN p ON x1.state = p.prev_type GROUP BY p.next_type"
+    "), x3 AS ("
+    "  SELECT p.next_type AS state, round(sum(x2.pi * p.p), 6) AS pi"
+    "  FROM x2 JOIN p ON x2.state = p.prev_type GROUP BY p.next_type"
+    ") SELECT state, pi FROM x3"
+)
+
+
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain (where does a
+    user's session settle long-run?): 3 power-iteration steps x·P from the
+    uniform vector over the event_transitions matrix. Bit-reproducible the
+    same way sim_kmeans/graph_pagerank are — fixed iteration count, 6-dp
+    rounding of the transition probabilities AND every iterate, so Spark
+    and the unrolled-CTE oracle walk identical trajectories.
+
+    Scale: after the one user_id-shuffled lag, everything operates on the
+    |types|²-row matrix — each iteration is a broadcast-sized join+aggregate,
+    and more iterations are a driver loop over the same two steps."""
+    from .events_analytics import event_transitions
+
+    p = event_transitions(spark, sf_dir).select("prev_type", "next_type", "p")
+    states = p.select(F.col("next_type").alias("state")).distinct()
+    ns = F.broadcast(states.agg(F.count("*").alias("s")))
+    x = states.crossJoin(ns).select(
+        "state", F.round(1.0 / F.col("s"), 6).alias("pi")
+    )
+    for _ in range(3):
+        x = (
+            x.join(p, x.state == p.prev_type)
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(F.round(F.sum(F.col("pi") * F.col("p")), 6).alias("pi"))
+        )
+    return x

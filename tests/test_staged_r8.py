@@ -39,6 +39,11 @@ CASES = [
         staged_r8.scan_binary_files,
         staged_r8.SCAN_BINARY_FILES_ORACLE,
     ),
+    (
+        "event_markov_stationary",
+        staged_r8.event_markov_stationary,
+        staged_r8.EVENT_MARKOV_STATIONARY_ORACLE,
+    ),
     ("set_union_by_name", staged_r8.set_union_by_name, staged_r8.SET_UNION_BY_NAME_ORACLE),
     ("event_cohort_ltv", staged_r8.event_cohort_ltv, staged_r8.EVENT_COHORT_LTV_ORACLE),
 ]
@@ -158,3 +163,38 @@ def test_lsh_cosine_deterministic(spark):
     a = sorted(map(tuple, staged_r8.dedup_lsh_cosine(spark, SF_DIR).collect()))
     b = sorted(map(tuple, staged_r8.dedup_lsh_cosine(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_simhash_pairs_equal_bruteforce(spark):
+    """Block-pigeonhole + exact popcount verify must reproduce EXACTLY the
+    brute-force hamming<=3 pair set over the fingerprints (recall 1.0 is a
+    theorem at d<=3 with 4 blocks, precision 1.0 from the verify)."""
+    from parallel_mapreduce_wordcounting_spark.operators.dedup import dedup_simhash
+
+    from .conftest import SF_DIR
+
+    fps = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF_DIR).collect()}
+    ids = sorted(fps)
+    expect = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            h = bin((fps[da] ^ fps[db]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                expect[(da, db)] = h
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in staged_r8.dedup_simhash_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert expect  # exact dups guarantee hamming-0 pairs exist
+
+
+def test_markov_stationary_is_distribution(spark):
+    """After 3 iterations the vector is still (approximately) a probability
+    distribution: nonnegative, sums to ~1 (rounding each step perturbs at
+    1e-6 per state)."""
+    from .conftest import SF_DIR
+
+    rows = staged_r8.event_markov_stationary(spark, SF_DIR).collect()
+    assert rows and all(r.pi >= 0 for r in rows)
+    assert abs(sum(r.pi for r in rows) - 1.0) < 1e-4
