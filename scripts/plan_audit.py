@@ -41,6 +41,7 @@ ALLOW = {
     # keys=[] 1-row-aggregate detector can't clear them):
     "sim_knn_query": {"BroadcastNestedLoopJoin"},  # 1 query row broadcast (range condition)
     "sim_pq": {"BroadcastNestedLoopJoin"},  # same 1-query-row broadcast in the exact re-rank stage
+    "staged:sim_range_search": {"BroadcastNestedLoopJoin"},  # 1 query row broadcast (range condition)
     "sim_label_eval": {"BroadcastNestedLoopJoin"},  # 20 query rows broadcast
     "sim_hard_negatives": {"BroadcastNestedLoopJoin"},  # 20 query rows broadcast
     "sim_pair_hist": {"BroadcastNestedLoopJoin"},  # bounded id-range slice self-pairing (documented demo slice)
@@ -62,13 +63,22 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import parallel_mapreduce_wordcounting_spark as engine
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r8
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
+
+    # registered keys + round-8 staged fns (prefixed) so the next round's
+    # registrations start plan-clean
+    targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
+    for name in dir(staged_r8):
+        fn = getattr(staged_r8, name)
+        if callable(fn) and not name.startswith("_") and getattr(fn, "__module__", "").endswith("staged_r8"):
+            targets[f"staged:{name}"] = fn
 
     flags: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
-    for key in sorted(engine.REGISTRY):
+    for key in sorted(targets):
         try:
-            p = explain_str(engine.REGISTRY[key].fn(spark, SF), "simple")
+            p = explain_str(targets[key](spark, SF), "simple")
         except Exception as ex:  # noqa: BLE001 — audit must visit every key
             errors[key] = str(ex).splitlines()[0][:120]
             continue
@@ -97,7 +107,7 @@ def main() -> int:
         if hits:
             flags[key] = sorted(hits)
 
-    print(f"audited {len(engine.REGISTRY)} keys at {SF}")
+    print(f"audited {len(targets)} keys at {SF}")
     if errors:
         print(f"ERRORS ({len(errors)}):")
         for k, e in sorted(errors.items()):
