@@ -706,8 +706,8 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lsh_cosine(
     spark: SparkSession,
     sf_dir: str,
-    threshold: float = 0.45,
-    n_bits: int = 16,
+    threshold: float = 0.9,
+    n_bits: int | None = None,
     n_bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -724,14 +724,38 @@ def dedup_lsh_cosine(
     each batch's sign bits and splits them into ``n_bands`` band keys;
     pairs form per (band, bucket) via a self-join on the band key and
     dedup across bands with a distinct; the exact-cosine verify joins the
-    (small) candidate set back to the vectors. P(collision in some band) =
-    1-(1-(1-θ/π)^bits_per_band)^bands — with 8 bands × 2 bits and
-    cosine 0.45 (θ≈63°), ≈ 0.97."""
+    (small) candidate set back to the vectors.
+
+    Parameterization is REGIME-SPECIFIC — P(candidate in some band) =
+    1-(1-(1-θ/π)^(bits/band))^bands:
+
+    - defaults (64 bits, 8 bands × 8 bits) target the PRODUCTION near-dup
+      threshold τ=0.9 (θ≈26°): recall ≈ 0.93 while a band's bucket space
+      (2⁸ per band, uniform data) keeps candidates ~n²·p_rand⁸ with
+      p_rand=0.5 — 1/256 of all-pairs per band, shrinking further as real
+      corpora cluster;
+    - LOW thresholds need few bits/band for recall (τ=0.45 → 2 bits/band
+      gives 0.97) but that degenerates toward all-pairs (4 buckets/band) —
+      measured as exactly that blow-up at the ×10 fixture. Low-τ sweeps
+      belong on the exact grid GEMM (dedup_embedding); the fixture test
+      pins recall at τ=0.45 with the small config ONLY to have non-empty
+      truth on this near-dup-free synthetic corpus.
+
+    With ``n_bits=None`` (default) bits/band AUTO-SIZES to
+    max(8, ceil(log2(n/25))) so expected bucket occupancy stays ~constant
+    as the corpus grows — the invariant that keeps candidates ~linear-in-n
+    on uniform data (fixed band width is quadratic/constant: measured 5.4×
+    time at ×10 data with 8 fixed bits before this sizing)."""
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
+    if n_bits is None:
+        import math
+
+        n = e.count()
+        n_bits = n_bands * max(8, math.ceil(math.log2(max(n, 2) / 25)))
     planes = np.random.RandomState(seed).standard_normal((dim, n_bits))
     bplanes = spark.sparkContext.broadcast(planes)
     bits_per_band = n_bits // n_bands
@@ -783,26 +807,38 @@ def dedup_lsh_cosine(
 def dedup_simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-duplicate PAIRS from the 64-bit SimHash fingerprints — the
+    """Near-duplicate clusters from the 64-bit SimHash fingerprints — the
     missing half of :func:`..dedup.dedup_simhash` (which only fingerprints):
-    Manku-style block pigeonholing pairs only fingerprints that agree on at
-    least one of 4 16-bit blocks. Any pair within hamming distance
-    ``max_hamming`` ≤ 3 differs in ≤ 3 blocks, so it MUST share a block —
-    recall is exactly 1.0 at the contract distance (no probabilistic miss,
-    unlike MinHash/LSH banding), and candidates are verified with the exact
-    ``bit_count(xor)`` so precision is 1.0 too. Rows-only when registered
-    (the fingerprint itself has no DuckDB mirror); brute-force-verified in
-    tests/test_staged_r8.py.
+    Manku-style block pigeonholing over the DISTINCT fingerprints. Any two
+    fingerprints within hamming distance ``max_hamming`` ≤ 3 differ in ≤ 3
+    of the 4 16-bit blocks, so they MUST agree on one — recall 1.0 is a
+    THEOREM at the contract distance (no probabilistic miss, unlike
+    MinHash/LSH banding), and the exact ``bit_count(xor)`` verify makes
+    precision 1.0. Rows-only when registered (the fingerprint has no
+    DuckDB mirror); brute-force-verified in tests/test_staged_r8.py.
 
-    Scale: candidates form per (block id, 16-bit value) bucket — a
-    self-join on a 4-entry inverted index per doc, never all-pairs; the
-    verify is integer xor/popcount on the candidate set only."""
+    Output is per DISTINCT-FINGERPRINT pair with both group sizes
+    (n_a·n_b doc pairs implied), plus hamming-0 groups as the diagonal
+    (fp_a = fp_b, n_a = group size): doc-level pair enumeration inside
+    mass-duplicate groups is intrinsically quadratic — measured 18.6× time
+    at ×10 data on this tiny-vocabulary corpus before the collapse, and it
+    is exactly what Manku's design avoids by deduping on the fingerprint
+    first.
+
+    Scale: candidates form per (block id, 16-bit value) bucket — a 4-entry
+    inverted index per distinct fingerprint, never all-pairs; the verify
+    is integer xor/popcount on candidates only; group sizes come from one
+    map-side-combining fingerprint groupBy."""
     from .dedup import dedup_simhash
 
-    fp = dedup_simhash(spark, sf_dir)  # doc_id, simhash (long)
+    raw = dedup_simhash(spark, sf_dir)  # doc_id, simhash (long)
+    groups = raw.groupBy("simhash").agg(
+        F.count("*").alias("n_members"), F.min("doc_id").alias("keep_doc_id")
+    )
+    fp = groups.select("simhash", "n_members")
     keyed = fp.select(
-        "doc_id",
         "simhash",
+        "n_members",
         F.explode(
             F.array(
                 *[
@@ -816,25 +852,33 @@ def dedup_simhash_pairs(
                 ]
             )
         ).alias("k"),
-    ).select("doc_id", "simhash", "k.block", "k.val")
+    ).select("simhash", "n_members", "k.block", "k.val")
     a = keyed.select(
         F.col("block"), F.col("val"),
-        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("fp_a"),
+        F.col("simhash").alias("fp_a"), F.col("n_members").alias("n_a"),
     )
     b = keyed.select(
         F.col("block"), F.col("val"),
-        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("fp_b"),
+        F.col("simhash").alias("fp_b"), F.col("n_members").alias("n_b"),
     )
     cands = (
         a.join(b, ["block", "val"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "fp_a", "fp_b")
+        .where(F.col("fp_a") < F.col("fp_b"))
+        .select("fp_a", "fp_b", "n_a", "n_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cands.select(
-        "doc_id_a", "doc_id_b", hamming.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
+    near = cands.select("fp_a", "fp_b", "n_a", "n_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+    diagonal = groups.where(F.col("n_members") > 1).select(
+        F.col("simhash").alias("fp_a"),
+        F.col("simhash").alias("fp_b"),
+        F.col("n_members").alias("n_a"),
+        F.col("n_members").alias("n_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return near.unionByName(diagonal)
 
 
 # --- Markov stationary distribution ------------------------------------------

@@ -101,8 +101,15 @@ def main() -> None:
             merged.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
             print(f"replicated {table} x{n}", file=sys.stderr)
 
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r8
+
+    def resolve(key: str):
+        if key.startswith("staged:"):
+            return getattr(staged_r8, key.split(":", 1)[1])
+        return engine.REGISTRY[key].fn
+
     def timed(key: str, sf_dir: str) -> float:
-        fn = engine.REGISTRY[key].fn
+        fn = resolve(key)
         fn(spark, sf_dir).collect()  # warm-up
         runs = []
         for _ in range(3):

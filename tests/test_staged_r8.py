@@ -146,9 +146,14 @@ def test_lsh_cosine_recall_and_no_false_positives(spark):
         (r.vec_id_a, r.vec_id_b): r.cosine
         for r in engine.REGISTRY["dedup_embedding"].fn(spark, SF_DIR).collect()
     }
+    # fixture truth only exists at tau=0.45 (no real near-dups in the
+    # synthetic corpus), which needs the few-bits-per-band config — see the
+    # operator docstring's regime table; production defaults target tau=0.9
     got = {
         (r.vec_id_a, r.vec_id_b): r.cosine
-        for r in staged_r8.dedup_lsh_cosine(spark, SF_DIR).collect()
+        for r in staged_r8.dedup_lsh_cosine(
+            spark, SF_DIR, threshold=0.45, n_bits=16, n_bands=8
+        ).collect()
     }
     assert exact, "fixture must have pairs above threshold"
     for pair, cos in got.items():
@@ -160,33 +165,42 @@ def test_lsh_cosine_recall_and_no_false_positives(spark):
 def test_lsh_cosine_deterministic(spark):
     from .conftest import SF_DIR
 
-    a = sorted(map(tuple, staged_r8.dedup_lsh_cosine(spark, SF_DIR).collect()))
-    b = sorted(map(tuple, staged_r8.dedup_lsh_cosine(spark, SF_DIR).collect()))
+    a = sorted(map(tuple, staged_r8.dedup_lsh_cosine(
+        spark, SF_DIR, threshold=0.45, n_bits=16, n_bands=8).collect()))
+    b = sorted(map(tuple, staged_r8.dedup_lsh_cosine(
+        spark, SF_DIR, threshold=0.45, n_bits=16, n_bands=8).collect()))
     assert a == b
 
 
 def test_simhash_pairs_equal_bruteforce(spark):
     """Block-pigeonhole + exact popcount verify must reproduce EXACTLY the
-    brute-force hamming<=3 pair set over the fingerprints (recall 1.0 is a
-    theorem at d<=3 with 4 blocks, precision 1.0 from the verify)."""
+    brute-force hamming<=3 relation over DISTINCT fingerprints (recall 1.0
+    is a theorem at d<=3 with 4 blocks, precision 1.0 from the verify),
+    with group sizes carried and multi-member groups on the diagonal."""
+    from collections import Counter
+
     from parallel_mapreduce_wordcounting_spark.operators.dedup import dedup_simhash
 
     from .conftest import SF_DIR
 
-    fps = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF_DIR).collect()}
-    ids = sorted(fps)
+    fps = [r.simhash for r in dedup_simhash(spark, SF_DIR).collect()]
+    sizes = Counter(fps)
+    uniq = sorted(sizes)
     expect = {}
-    for i, da in enumerate(ids):
-        for db in ids[i + 1 :]:
-            h = bin((fps[da] ^ fps[db]) & ((1 << 64) - 1)).count("1")
+    for i, fa in enumerate(uniq):
+        for fb in uniq[i + 1 :]:
+            h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
             if h <= 3:
-                expect[(da, db)] = h
+                expect[(fa, fb)] = (sizes[fa], sizes[fb], h)
+    for f, n in sizes.items():
+        if n > 1:
+            expect[(f, f)] = (n, n, 0)
     got = {
-        (r.doc_id_a, r.doc_id_b): r.hamming
+        (r.fp_a, r.fp_b): (r.n_a, r.n_b, r.hamming)
         for r in staged_r8.dedup_simhash_pairs(spark, SF_DIR).collect()
     }
     assert got == expect
-    assert expect  # exact dups guarantee hamming-0 pairs exist
+    assert any(k[0] == k[1] for k in expect)  # exact-dup groups exist
 
 
 def test_markov_stationary_is_distribution(spark):
