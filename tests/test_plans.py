@@ -244,3 +244,58 @@ def test_dedup_lines_bcast_no_blocktext_shuffle(spark):
     p = _plan_simple(spark, "dedup_lines_bcast")
     assert "BroadcastHashJoin" in p
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB skew story, demonstrated live: a join with one pathological
+    hot key runs under AQE with skew-join enabled and the FINAL adaptive
+    plan must show the skewed partition split (SortMergeJoin tagged
+    skew=true) — i.e., stragglers are handled by the runtime re-planner,
+    not by hand-salting (join_salted demonstrates the manual form for
+    engines/joins where AQE can't apply)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # the groupBy above the join wants the join's hash partitioning, so
+        # splitting the skewed partition adds a shuffle — allow that trade
+        # (exactly the call a real pipeline makes: one extra small shuffle
+        # beats a straggler task holding the whole stage)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # ~300k-row left side, 2/3 on ONE key; small-but-not-broadcast right
+        left = (
+            spark.range(300_000)
+            .select(
+                F.when(F.col("id") % 3 < 2, 0)
+                .otherwise(F.col("id") % 1000)
+                .alias("k"),
+                F.col("id").alias("v"),
+            )
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k").groupBy("k").agg(F.count("*").alias("n"))
+        rows = {r.k: r.n for r in joined.collect()}
+        # 200k from the %3 rule plus the %1000==0 stragglers that also map
+        # to 0 — the hot key's fan-in must survive the split intact
+        assert rows[0] == 200_100
+        final = explain_str(joined, "simple")
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
