@@ -942,3 +942,80 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("pi") * F.col("p")), 6).alias("pi"))
         )
     return x
+
+
+# --- SFT-data packing pipeline -----------------------------------------------
+
+PIPELINE_SFT_PACK_ORACLE = (
+    "WITH t0 AS ("
+    "  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+    "  FROM documents"
+    "), kept AS ("
+    "  SELECT doc_id, n_tokens FROM t0"
+    "  WHERE n_tokens >= 20"
+    "  AND doc_id = (SELECT min(doc_id) FROM t0 d WHERE d.text = t0.text)"
+    "), c AS ("
+    "  SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+    "    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    "  ), 0) AS cum FROM kept"
+    ") SELECT CAST(cum // 512 AS BIGINT) AS bin_id, count(*) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS n_seq_tokens "
+    "FROM c GROUP BY 1"
+)
+
+
+def pipeline_sft_pack(
+    spark: SparkSession, sf_dir: str, min_tokens: int = 20,
+    ctx_len: int = 512, bucket_width: int = 64,
+) -> DataFrame:
+    """End-to-end fine-tuning-data packing pipeline — the composed shape a
+    training run actually consumes: quality gate (≥ ``min_tokens`` tokens)
+    → exact dedup (keep the min doc_id per identical text) → concat-and-
+    chunk packing into ``ctx_len``-token context windows. Packing reuses
+    the registered pack_sequences' DISTRIBUTED prefix-sum design (fixed-
+    width doc_id buckets; within-bucket parallel windows; bucket offsets
+    from a bucket-count-sized window broadcast back) — no global-order
+    window, no collect, every data-sized step parallel.
+
+    Exactness: identical filter/dedup/order semantics on both sides (the
+    oracle is the single-window spec over the same kept set), so bin
+    assignment matches bin-for-bin — same equivalence the round-5
+    pack_sequences swap relied on.
+
+    Scale: dedup is one map-side-combining min per text hash; the gate is a
+    scan filter; packing as above. Composing them changes no plan shape —
+    the gates fuse into the first scan."""
+    d = load_table(spark, sf_dir, "documents")
+    t0 = d.select(
+        "doc_id", "text", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    keep = t0.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = (
+        t0.join(keep, ["text", "doc_id"], "left_semi")
+        .where(F.col("n_tokens") >= min_tokens)
+        .select("doc_id", "n_tokens", F.expr(f"doc_id div {bucket_width}").alias("bucket"))
+    )
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = kept.select(
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)).alias("local_cum"),
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = F.broadcast(
+        kept.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bucket_total").over(w_bucket), F.lit(0)).alias("offset"),
+        )
+    )
+    return (
+        local.join(offsets, "bucket")
+        .groupBy(F.expr(f"(offset + local_cum) div {ctx_len}").alias("bin_id"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_seq_tokens"))
+    )

@@ -44,6 +44,11 @@ CASES = [
         staged_r8.event_markov_stationary,
         staged_r8.EVENT_MARKOV_STATIONARY_ORACLE,
     ),
+    (
+        "pipeline_sft_pack",
+        staged_r8.pipeline_sft_pack,
+        staged_r8.PIPELINE_SFT_PACK_ORACLE,
+    ),
     ("set_union_by_name", staged_r8.set_union_by_name, staged_r8.SET_UNION_BY_NAME_ORACLE),
     ("event_cohort_ltv", staged_r8.event_cohort_ltv, staged_r8.EVENT_COHORT_LTV_ORACLE),
 ]
