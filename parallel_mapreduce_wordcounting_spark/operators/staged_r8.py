@@ -7,16 +7,15 @@ runs the same fn-vs-DuckDB compare the registry harness would; round 8 adds
 the decorators (and moves each oracle constant into the decorator call)
 without touching the bodies.
 
-Contents — the association-rules / radius-search / forecast-eval trio that
-rounds out the analytics surface:
-
-- ``event_assoc_rules``: market-basket co-occurrence over (user, day)
-  baskets with support / directional confidence / lift.
-- ``sim_range_search``: radius (threshold) similarity query — the range
-  twin of sim_knn_query's top-k.
-- ``event_forecast_baseline``: seasonal-naive (lag-7-day) forecast with
-  per-day absolute/relative error — the baseline every forecasting system
-  is judged against.
+Contents (17 ops; each listed in COVERAGE.md's "Staged for round 8" with
+its one-line design): association rules, radius similarity search,
+seasonal-naive forecast eval, χ² drift table, point-in-time SCD2 join,
+Gini, schema-drift union, cohort LTV curves, A/B z-test, date dimension,
+winsorized mean, sequence-pattern detection, binaryFile blob source,
+random-hyperplane LSH dedup, SimHash hamming pairing, Markov stationary
+distribution, and the composed SFT packing pipeline. Every fn is
+fn-vs-DuckDB compared at sf0.001 AND sf0.01, plan-audited, and ×10-scale
+measured (SCALE.md) before registration.
 """
 
 from __future__ import annotations
