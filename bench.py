@@ -7,9 +7,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 The query set mirrors BASELINE.md so the 2× gate is apples-to-apples:
 wc_topk, join_star, agg_basic, stream_tumbling, sim_topk_cosine — plus the
 engine's own scale paths (sim_topk_blocked, dedup_fuzzy_minhash), two
-TPC-H shapes (tpch_q1 scan-agg, tpch_q9 five-way join), and the round-6
-LLM-pipeline headliners (dedup_lines, pipeline_rag_index) reported for
-visibility. Timing is median of 3 runs after one warm-up, collect()
+TPC-H shapes (tpch_q1 scan-agg, tpch_q9 five-way join), and per-round
+headliners reported for visibility (round 6: dedup_lines,
+pipeline_rag_index; round 7: cdc_apply, agg_percentile_iterative). Timing is median of 3 runs after one warm-up, collect()
 included, session startup excluded (matching BASELINE.md's method).
 """
 
@@ -37,6 +37,11 @@ BENCH_KEYS = [
     # visibility — cross-round totals are comparable only per-query)
     "dedup_lines",
     "pipeline_rag_index",
+    # round-7 headliners: CDC compaction (max_by aggregate) and the exact
+    # iterative quantiles (multi-pass scale form — its time is mostly fixed
+    # per-job overhead, reported honestly)
+    "cdc_apply",
+    "agg_percentile_iterative",
 ]
 
 
