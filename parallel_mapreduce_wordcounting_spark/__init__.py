@@ -54,6 +54,7 @@ from .operators import (  # noqa: F401,E402
     chunking,
     scale_ops,
     graph,
+    staged_r8,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

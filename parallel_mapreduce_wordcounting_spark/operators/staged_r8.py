@@ -7,13 +7,14 @@ runs the same fn-vs-DuckDB compare the registry harness would; round 8 adds
 the decorators (and moves each oracle constant into the decorator call)
 without touching the bodies.
 
-Contents (17 ops; each listed in COVERAGE.md's "Staged for round 8" with
-its one-line design): association rules, radius similarity search,
-seasonal-naive forecast eval, χ² drift table, point-in-time SCD2 join,
-Gini, schema-drift union, cohort LTV curves, A/B z-test, date dimension,
-winsorized mean, sequence-pattern detection, binaryFile blob source,
-random-hyperplane LSH dedup, SimHash hamming pairing, Markov stationary
-distribution, and the composed SFT packing pipeline. Every fn is
+The one spare window slot went to ``pipeline_sft_pack`` (registered below —
+the composed training-data headliner). Contents (16 ops still staged; each
+listed in COVERAGE.md's "Staged for round 8" with its one-line design):
+association rules, radius similarity search, seasonal-naive forecast eval,
+χ² drift table, point-in-time SCD2 join, Gini, schema-drift union, cohort
+LTV curves, A/B z-test, date dimension, winsorized mean, sequence-pattern
+detection, binaryFile blob source, random-hyperplane LSH dedup, SimHash
+hamming pairing, and Markov stationary distribution. Every fn is
 fn-vs-DuckDB compared at sf0.001 AND sf0.01, plan-audited, and ×10-scale
 measured (SCALE.md) before registration.
 """
@@ -23,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import register
 from ..sources.loader import load_table, ts_day
 from .exact import floor_day_us_sql
 from .similarity import _DOT_ORACLE, dot
@@ -963,6 +965,7 @@ PIPELINE_SFT_PACK_ORACLE = (
 )
 
 
+@register("pipeline_sft_pack", oracle=PIPELINE_SFT_PACK_ORACLE, tier="B")
 def pipeline_sft_pack(
     spark: SparkSession, sf_dir: str, min_tokens: int = 20,
     ctx_len: int = 512, bucket_width: int = 64,
