@@ -1,0 +1,718 @@
+"""Operators STAGED for round-9 registration (implemented + oracle-tested
+now, deliberately NOT ``@register``-ed yet): the round-8 verification window
+closed at exactly 50/50 (COVERAGE.md "verification budget"), so these wait
+for the next window drain. tests/test_staged_r9.py runs the same
+fn-vs-DuckDB compare the registry harness would; registration later adds
+the decorators without touching the bodies.
+
+Contents (9 ops — the statistics/data-quality wave):
+
+- ``stat_linreg`` — per-group simple OLS (slope/intercept/r²) from exact
+  integer sufficient statistics.
+- ``stat_corr_matrix`` — pairwise Pearson correlations of the lineitem
+  numeric columns, long form, one scan.
+- ``agg_skew_kurt`` — exact skewness/kurtosis from integer power sums.
+- ``stat_ks_test`` — two-sample Kolmogorov–Smirnov D with NO global sort
+  (bucketed distributed prefix-sum).
+- ``agg_mad`` — exact median absolute deviation via the doubled-cents
+  two-pass median.
+- ``event_concurrency`` — peak concurrent open intervals per day (+1/−1
+  boundary sweep).
+- ``dq_expectations`` — Deequ-style data-quality assertion suite as one
+  DataFrame (null/unique/FK/range/accepted-values checks).
+- ``dedup_spans`` — cross-document duplicated k-token span registry
+  (the span-level complement of dedup_lines).
+- ``text_burstiness`` — per-word variance-to-mean ratio across documents
+  (Church & Gale burstiness), exact integer moments.
+
+Exactness doctrine (same as the registered set): every driver-compared
+number is either an int64/decimal(38) accumulation (order-independent,
+engine-identical) or ONE double expression evaluated over identical
+integer operands on both engines, rounded to ≤6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table, ts_us
+from .exact import floor_day_us_sql, money_cents, money_cents_sql
+
+# --- per-group OLS regression -------------------------------------------------
+
+STAT_LINREG_ORACLE = (
+    "WITH s AS ("
+    "  SELECT l_returnflag,"
+    "    count(*) AS n,"
+    f"   sum({money_cents_sql('l_quantity')}) AS sx,"
+    f"   sum({money_cents_sql('l_extendedprice')}) AS sy,"
+    f"   sum({money_cents_sql('l_quantity')} * {money_cents_sql('l_extendedprice')}) AS sxy,"
+    f"   sum({money_cents_sql('l_quantity')} * {money_cents_sql('l_quantity')}) AS sxx,"
+    f"   sum(CAST({money_cents_sql('l_extendedprice')} AS HUGEINT)"
+    f"       * {money_cents_sql('l_extendedprice')}) AS syy"
+    "  FROM lineitem GROUP BY l_returnflag"
+    ") SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+    "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope, "
+    "round((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / (100.0 * n), 6) AS intercept, "
+    "round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2 "
+    "FROM s"
+)
+
+
+def stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (extendedprice ~ quantity per
+    returnflag) computed from SUFFICIENT STATISTICS — the one-pass,
+    map-side-combining shape that is the only OLS that scales: each
+    partition reduces to six numbers (n, Σx, Σy, Σxy, Σx², Σy²), the
+    shuffle moves |groups| rows, and slope/intercept/r² are closed-form
+    driver-free arithmetic on the aggregate row.
+
+    Exactness: x and y are integer cents (``money_cents``), so all six
+    sums are exact integers (Σy² accumulates in decimal(38)/HUGEINT — at
+    price cents ≤ 5·10⁷ the per-term square is ~2.5·10¹⁵ and int64 would
+    overflow past ~3500 rows·groups⁻¹·SF); the n·Σxy − ΣxΣy combinations
+    stay in decimal(38), and each reported stat is one double expression
+    over those identical integers, rounded to 6 dp. avg/covar/corr
+    built-ins would accumulate doubles in partition order and drift
+    between engines.
+
+    Scale: one scan, one partial-agg shuffle of 6 longs per group; no
+    window, no second pass, no driver math on data-sized state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = money_cents(F.col("l_quantity"))
+    yc = money_cents(F.col("l_extendedprice"))
+    d38 = "decimal(38,0)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * yc).alias("sxy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum((yc.cast(d38) * yc)).alias("syy"),
+    )
+    n38 = F.col("n").cast(d38)
+    num = (n38 * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")).cast("double")
+    den_x = (n38 * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")).cast("double")
+    den_y = (n38 * F.col("syy") - F.col("sy").cast(d38) * F.col("sy")).cast("double")
+    slope = num / den_x
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.lit(100.0) * F.col("n")),
+            6,
+        ).alias("intercept"),
+        F.round((num * num) / (den_x * den_y), 6).alias("r2"),
+    )
+
+
+# --- pairwise correlation matrix ---------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+STAT_CORR_MATRIX_ORACLE = (
+    "WITH s AS (SELECT count(*) AS n, "
+    + ", ".join(
+        f"sum({money_cents_sql(c)}) AS s{i}, "
+        f"sum(CAST({money_cents_sql(c)} AS HUGEINT) * {money_cents_sql(c)}) AS q{i}"
+        for i, c in enumerate(_CORR_COLS)
+    )
+    + ", "
+    + ", ".join(
+        f"sum(CAST({money_cents_sql(a)} AS HUGEINT) * {money_cents_sql(b)}) AS p{i}_{j}"
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(CAST(n*p{i}_{j} - s{i}*s{j} AS DOUBLE) / "
+        f"(sqrt(CAST(n*q{i} - s{i}*s{i} AS DOUBLE)) * sqrt(CAST(n*q{j} - s{j}*s{j} AS DOUBLE))), 6) AS corr "
+        f"FROM s"
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    )
+)
+
+
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the four lineitem numeric columns
+    in long form (col_a, col_b, corr) — the profiling matrix, computed in
+    ONE scan: a single global aggregate produces every Σx, Σx², Σxy
+    (4 + 4 + 6 = 14 integers), and the six correlations are expressions
+    over that one row, exploded to long form DataFrame-side (no collect,
+    no per-pair job — a naive ``df.stat.corr`` loop runs 6 scans).
+
+    Exactness: same integer-cents sufficient statistics as
+    :func:`stat_linreg`; each corr is one double expression over exact
+    decimal(38)/HUGEINT combinations, 6 dp. Scale: the aggregate state is
+    14 numbers regardless of row count; the explode runs on one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    cents = {c: money_cents(F.col(c)) for c in _CORR_COLS}
+    aggs = [F.count("*").alias("n")]
+    for i, c in enumerate(_CORR_COLS):
+        aggs.append(F.sum(cents[c]).alias(f"s{i}"))
+        aggs.append(F.sum(cents[c].cast(d38) * cents[c]).alias(f"q{i}"))
+    pairs = [(i, j) for i in range(len(_CORR_COLS)) for j in range(len(_CORR_COLS)) if i < j]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(cents[_CORR_COLS[i]].cast(d38) * cents[_CORR_COLS[j]]).alias(f"p{i}_{j}")
+        )
+    s = li.agg(*aggs)
+    n38 = F.col("n").cast(d38)
+
+    def corr(i: int, j: int):
+        num = (n38 * F.col(f"p{i}_{j}") - F.col(f"s{i}").cast(d38) * F.col(f"s{j}")).cast(
+            "double"
+        )
+        di = (n38 * F.col(f"q{i}") - F.col(f"s{i}").cast(d38) * F.col(f"s{i}")).cast("double")
+        dj = (n38 * F.col(f"q{j}") - F.col(f"s{j}").cast(d38) * F.col(f"s{j}")).cast("double")
+        return F.round(num / (F.sqrt(di) * F.sqrt(dj)), 6)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(_CORR_COLS[i]).alias("col_a"),
+                F.lit(_CORR_COLS[j]).alias("col_b"),
+                corr(i, j).alias("corr"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return s.select(F.explode(rows).alias("r")).select("r.col_a", "r.col_b", "r.corr")
+
+
+# --- exact skewness / kurtosis -----------------------------------------------
+
+AGG_SKEW_KURT_ORACLE = (
+    "WITH s AS ("
+    "  SELECT l_returnflag, count(*) AS n,"
+    "    sum(CAST(l_quantity AS BIGINT)) AS s1,"
+    "    sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS s2,"
+    "    sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS s3,"
+    "    sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS s4"
+    "  FROM lineitem GROUP BY l_returnflag"
+    "), m AS ("
+    "  SELECT l_returnflag, CAST(n AS BIGINT) AS n,"
+    "    CAST(s1 AS DOUBLE)/n AS m1, CAST(s2 AS DOUBLE)/n AS m2,"
+    "    CAST(s3 AS DOUBLE)/n AS m3, CAST(s4 AS DOUBLE)/n AS m4"
+    "  FROM s"
+    ") SELECT l_returnflag, n, "
+    "round((m3 - 3*m1*m2 + 2*m1*m1*m1) / pow(m2 - m1*m1, 1.5), 6) AS skewness, "
+    "round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / pow(m2 - m1*m1, 2.0) - 3.0, 6) AS kurtosis "
+    "FROM m"
+)
+
+
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of l_quantity per
+    returnflag from exact integer POWER SUMS (Σx..Σx⁴): the same
+    one-pass/partial-agg shape as :func:`stat_linreg`, extended to third
+    and fourth moments. Spark's ``skewness``/``kurtosis`` built-ins
+    accumulate doubles in partition order (non-deterministic across runs,
+    let alone engines); with quantities integral and ≤ 50, Σx⁴ tops out at
+    6.25·10⁶ per row — int64-safe past 10¹² rows — so the moments are
+    order-independent integers and the two reported shapes are single
+    double expressions over them (identical on both engines), 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    m4 = F.col("s4").cast("double") / F.col("n")
+    var = m2 - m1 * m1
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+            / F.pow(var, 2.0)
+            - F.lit(3.0),
+            6,
+        ).alias("kurtosis"),
+    )
+
+
+# --- two-sample Kolmogorov–Smirnov, no global sort ---------------------------
+
+_KS_A, _KS_B = "click", "purchase"
+
+STAT_KS_TEST_ORACLE = (
+    "WITH pts AS ("
+    f"  SELECT value AS v,"
+    f"    count(*) FILTER (event_type = '{_KS_A}') AS c1,"
+    f"    count(*) FILTER (event_type = '{_KS_B}') AS c2"
+    f"  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}') GROUP BY value"
+    "), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pts), "
+    "cdf AS ("
+    "  SELECT sum(c1) OVER (ORDER BY v) AS r1, sum(c2) OVER (ORDER BY v) AS r2 FROM pts"
+    f") SELECT '{_KS_A}' AS type_a, '{_KS_B}' AS type_b, "
+    "CAST(tot.n1 AS BIGINT) AS n_a, CAST(tot.n2 AS BIGINT) AS n_b, "
+    "round(max(abs(CAST(r1 AS DOUBLE)/tot.n1 - CAST(r2 AS DOUBLE)/tot.n2)), 6) AS ks_d "
+    "FROM cdf, tot GROUP BY tot.n1, tot.n2"
+)
+
+
+def stat_ks_test(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = _KS_A,
+    type_b: str = _KS_B,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``value``
+    distributions of two event types — D = max |F̂₁(v) − F̂₂(v)| over the
+    pooled support — WITHOUT a global sort: the classic single-partition
+    ``ORDER BY v`` window is replaced by the bucketed distributed
+    prefix-sum (the pack_sequences design). Points group by exact value in
+    one shuffle; ``floor(v)`` buckets give within-bucket running counts in
+    parallel, and bucket offsets come from a bucket-count-sized aggregate
+    broadcast back — the only serial state is one row per bucket.
+
+    Exactness: pooled points are the parquet doubles themselves (bit-equal
+    on both engines, used only for grouping/ordering); every running count
+    is an int64; D is a max of single double expressions over identical
+    integers, 6 dp. The oracle states the same spec as one global window.
+
+    Scale: shuffle on value then on bucket; no stage sees unbounded
+    per-task state. Bucket skew is data-bounded (values spread over
+    ~330 integer buckets per the generator's value range)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.where(F.col("event_type").isin(type_a, type_b))
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == type_a, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == type_b, 1).otherwise(0)).alias("c2"),
+        )
+        .withColumn("bucket", F.floor("v").cast("long"))
+    )
+    w_local = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = pts.select(
+        "bucket",
+        "v",
+        F.sum("c1").over(w_local).alias("r1_local"),
+        F.sum("c2").over(w_local).alias("r2_local"),
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = F.broadcast(
+        pts.groupBy("bucket")
+        .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("t1").over(w_bucket), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("t2").over(w_bucket), F.lit(0)).alias("o2"),
+        )
+    )
+    totals = F.broadcast(
+        pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    )
+    return (
+        local.join(offsets, "bucket")
+        .crossJoin(totals)
+        .agg(
+            F.first(F.lit(type_a)).alias("type_a"),
+            F.first(F.lit(type_b)).alias("type_b"),
+            F.first("n1").alias("n_a"),
+            F.first("n2").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        (F.col("o1") + F.col("r1_local")).cast("double") / F.col("n1")
+                        - (F.col("o2") + F.col("r2_local")).cast("double") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+        )
+    )
+
+
+# --- exact median absolute deviation -----------------------------------------
+
+AGG_MAD_ORACLE = (
+    "WITH c AS ("
+    f"  SELECT o_orderpriority, {money_cents_sql('o_totalprice')} AS yc FROM orders"
+    "), med AS ("
+    "  SELECT o_orderpriority, CAST(2.0 * median(yc) AS BIGINT) AS med2"
+    "  FROM c GROUP BY o_orderpriority"
+    ") SELECT c.o_orderpriority, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "round(med.med2 / 200.0, 2) AS median_price, "
+    "round(median(abs(2*c.yc - med.med2)) / 200.0, 2) AS mad "
+    "FROM c JOIN med USING (o_orderpriority) "
+    "GROUP BY c.o_orderpriority, med.med2"
+)
+
+
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median absolute deviation of o_totalprice per order priority —
+    the robust spread statistic — via the TWO-PASS doubled-cents design:
+    pass 1 computes each group's median over integer cents; doubling it
+    (``med2 = 2·median``) makes the even-count midpoint integral, so pass
+    2's deviations ``|2·yc − med2|`` are again exact integers whose median
+    divides back out by 200. Both engines interpolate percentiles
+    identically on integers, so every compared value is exact.
+
+    Scale: two partial-agg passes over the same scan plus a broadcast of
+    |groups| medians — no window, no sort beyond Spark's internal
+    percentile. (An approximate single-pass exists via percentile_approx;
+    this is the exact form, sibling to agg_percentile_iterative.)"""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority", money_cents(F.col("o_totalprice")).alias("yc")
+    )
+    med = F.broadcast(
+        c.groupBy("o_orderpriority").agg(
+            (F.lit(2.0) * F.percentile("yc", F.lit(0.5))).cast("long").alias("med2")
+        )
+    )
+    return (
+        c.join(med, "o_orderpriority")
+        .groupBy("o_orderpriority", "med2")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.percentile(F.abs(2 * F.col("yc") - F.col("med2")), F.lit(0.5)) / 200.0,
+                2,
+            ).alias("mad"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round(F.col("med2") / 200.0, 2).alias("median_price"),
+            "mad",
+        )
+    )
+
+
+# --- peak interval concurrency -----------------------------------------------
+
+_CONC_TTL_US = 900_000_000  # each event holds a resource for 15 minutes
+
+EVENT_CONCURRENCY_ORACLE = (
+    "WITH pts AS ("
+    "  SELECT epoch_ns(ts) // 1000 AS us, 1 AS delta FROM events"
+    "  UNION ALL"
+    f"  SELECT epoch_ns(ts) // 1000 + {_CONC_TTL_US} AS us, -1 AS delta FROM events"
+    "), sw AS ("
+    f"  SELECT {floor_day_us_sql('us')} AS day, "
+    "    sum(delta) OVER ("
+    f"      PARTITION BY {floor_day_us_sql('us')} ORDER BY us, delta"
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now"
+    "  FROM pts"
+    ") SELECT day, CAST(greatest(max(open_now), 0) AS BIGINT) AS peak_concurrency, "
+    "CAST(count(*) AS BIGINT) AS n_boundaries "
+    "FROM sw GROUP BY day"
+)
+
+
+def event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open intervals per day — every event opens a
+    15-minute hold, and the question is the day's high-water mark of
+    simultaneously open holds (licenses, sessions, connections). Computed
+    by the classic +1/−1 BOUNDARY SWEEP: each interval contributes a start
+    (+1) and end (−1) point; a running sum over points ordered by
+    (time, delta) — ends sort before starts at the same microsecond, so a
+    back-to-back handoff never counts as overlap — is the live concurrency,
+    and the per-day max is the answer. Day partitions reset the sweep at
+    midnight (intervals crossing midnight count in their opening day's
+    sweep only — the spec both engines state identically), so a day whose
+    only boundaries are closings from the previous day would sweep
+    negative: the peak clamps at 0 (no interval OPENED that day).
+
+    Exactness: all-integer (µs boundaries, unit deltas, int sums); ties at
+    identical (us, delta) are identical increments, so the running max is
+    tie-order-independent. Scale: the day partition IS the parallelism —
+    each day's sweep is an independent window partition, no global sort;
+    2 points per event, shuffle on day."""
+    ev = load_table(spark, sf_dir, "events")
+    us = ts_us("ts")
+    pts = ev.select(us.alias("us"), F.lit(1).alias("delta")).unionAll(
+        ev.select((us + F.lit(_CONC_TTL_US)).alias("us"), F.lit(-1).alias("delta"))
+    )
+    day = ((F.col("us") - F.pmod("us", F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    w = Window.partitionBy("day").orderBy("us", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        pts.withColumn("day", day)
+        .withColumn("open_now", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(
+            F.greatest(F.max("open_now"), F.lit(0)).cast("long").alias(
+                "peak_concurrency"
+            ),
+            F.count("*").cast("long").alias("n_boundaries"),
+        )
+    )
+
+
+# --- data-quality expectation suite ------------------------------------------
+
+DQ_EXPECTATIONS_ORACLE = (
+    "SELECT 'orders.o_custkey not_null' AS check_name, "
+    "  CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations, "
+    "  CAST(count(*) AS BIGINT) AS n_rows, "
+    "  count(*) FILTER (o_custkey IS NULL) = 0 AS passed FROM orders "
+    "UNION ALL "
+    "SELECT 'orders.o_orderkey unique', "
+    "  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT), "
+    "  CAST(count(*) AS BIGINT), count(*) = count(DISTINCT o_orderkey) FROM orders "
+    "UNION ALL "
+    "SELECT 'orders.o_totalprice positive', "
+    "  CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT), "
+    "  CAST(count(*) AS BIGINT), count(*) FILTER (o_totalprice <= 0) = 0 FROM orders "
+    "UNION ALL "
+    "SELECT 'lineitem.l_discount in [0, 0.1]', "
+    "  CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS BIGINT), "
+    "  CAST(count(*) AS BIGINT), "
+    "  count(*) FILTER (l_discount < 0 OR l_discount > 0.1) = 0 FROM lineitem "
+    "UNION ALL "
+    "SELECT 'lineitem.l_returnflag accepted_values', "
+    "  CAST(count(*) FILTER (l_returnflag NOT IN ('A','N','R')) AS BIGINT), "
+    "  CAST(count(*) AS BIGINT), "
+    "  count(*) FILTER (l_returnflag NOT IN ('A','N','R')) = 0 FROM lineitem "
+    "UNION ALL "
+    "SELECT 'lineitem.l_orderkey fk orders', "
+    "  CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o"
+    "        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT), "
+    "  CAST((SELECT count(*) FROM lineitem) AS BIGINT), "
+    "  (SELECT count(*) FROM lineitem l LEFT JOIN orders o"
+    "   ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0"
+)
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Deequ/Great-Expectations shape):
+    declared checks — not-null, uniqueness, accepted values, numeric
+    range, referential integrity — evaluated in bulk, one result row per
+    check with its violation count and verdict.
+
+    Plan economy is the point: all three orders checks share ONE scan
+    (conditional sums + count distinct in a single aggregate), both
+    lineitem value checks share another, and only the FK check pays a join
+    — a broadcast-able right side at dimension-like sizes, anti-join
+    semantics expressed as a conditional count so the same aggregate
+    emits violations and totals. A naive suite runs one job per check.
+
+    Exactness: every output is an int64 count or a boolean derived from
+    one. Scale: adding checks to a table adds expressions, not scans."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rows(df, checks):
+        return df.agg(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("check_name"),
+                            viol.cast("long").alias("n_violations"),
+                            F.count("*").cast("long").alias("n_rows"),
+                            (viol == 0).alias("passed"),
+                        )
+                        for name, viol in checks
+                    ]
+                )
+            ).alias("r")
+        ).select("r.check_name", "r.n_violations", "r.n_rows", "r.passed")
+
+    o_rows = rows(
+        o,
+        [
+            (
+                "orders.o_custkey not_null",
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            ),
+            (
+                "orders.o_orderkey unique",
+                F.count("*") - F.count_distinct(F.col("o_orderkey")),
+            ),
+            (
+                "orders.o_totalprice positive",
+                F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+            ),
+        ],
+    )
+    li_rows = rows(
+        li,
+        [
+            (
+                "lineitem.l_discount in [0, 0.1]",
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+                    ).otherwise(0)
+                ),
+            ),
+            (
+                "lineitem.l_returnflag accepted_values",
+                F.sum(
+                    F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+                ),
+            ),
+        ],
+    )
+    fk = rows(
+        li.join(
+            F.broadcast(o.select(F.col("o_orderkey"))),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left",
+        ),
+        [
+            (
+                "lineitem.l_orderkey fk orders",
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+            )
+        ],
+    )
+    return o_rows.unionAll(li_rows).unionAll(fk)
+
+
+# --- duplicated k-token span registry ----------------------------------------
+
+_SPAN_K = 8
+
+DEDUP_SPANS_ORACLE = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+    f"), sh AS ("
+    f"  SELECT doc_id, md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS span_hash"
+    f"  FROM toks, unnest(generate_series(1, greatest(len(t) - {_SPAN_K - 1}, 0))) AS g(i)"
+    ") SELECT span_hash, "
+    "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+    "CAST(count(*) AS BIGINT) AS n_occur "
+    "FROM sh GROUP BY span_hash HAVING count(DISTINCT doc_id) > 1"
+)
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> DataFrame:
+    """Cross-document duplicated span registry: every ``k``-token window
+    that appears in MORE THAN ONE document, with its document spread and
+    total occurrence count — the span-level evidence behind substring-
+    level training-data dedup (duplicated passages inflate memorization;
+    cf. the dedup_lines operator, which works on literal line blocks,
+    where this slides a fixed-width token window).
+
+    The registry is what a removal pass consumes: join documents back on
+    span membership to mask or drop the duplicated stretches.
+
+    Design: tokenize once per document; the per-document window list is
+    one ``transform(sequence(...))`` producing (len − k + 1) spans;
+    explode, md5 OUTSIDE the lambda (scalar codegen path, r7 lesson:
+    higher-order lambdas are interpreted — keep them to pure slicing and
+    do per-row scalar work after the explode), then one partial-agg
+    group-by over span hashes. Spans never round-trip to Python.
+
+    Scale: output is bounded by distinct duplicated spans; the group-by
+    combines map-side so singleton spans (the overwhelming majority)
+    never cross the shuffle in full. At 100 TB the same registry is the
+    first stage of a two-pass mask-and-rewrite."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.select("doc_id", F.md5("span").alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occur"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# --- per-word burstiness ------------------------------------------------------
+
+_BURST_MIN_TOTAL = 50
+
+TEXT_BURSTINESS_ORACLE = (
+    "WITH occ AS ("
+    "  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+    "), per_doc AS ("
+    "  SELECT word, doc_id, count(*) AS c FROM occ GROUP BY word, doc_id"
+    "), nd AS (SELECT count(*) AS n_corpus FROM documents), "
+    "s AS ("
+    "  SELECT word, count(*) AS n_docs, sum(c) AS s1, sum(c*c) AS s2"
+    "  FROM per_doc GROUP BY word"
+    f") SELECT word, CAST(n_docs AS BIGINT) AS n_docs, CAST(s1 AS BIGINT) AS n_total, "
+    "round(CAST(n_corpus*s2 - s1*s1 AS DOUBLE) / CAST(n_corpus*s1 AS DOUBLE), 6) AS vmr "
+    f"FROM s, nd WHERE s1 >= {_BURST_MIN_TOTAL}"
+)
+
+
+def text_burstiness(
+    spark: SparkSession, sf_dir: str, min_total: int = _BURST_MIN_TOTAL
+) -> DataFrame:
+    """Per-word burstiness — the population variance-to-mean ratio of a
+    word's per-document count across the WHOLE corpus (documents where it
+    is absent count as zero) — the Church–Gale statistic separating bursty
+    content words (VMR > 1: absent from most docs, clumped where they
+    appear) from evenly sprinkled function words (VMR → 1-ish, the Poisson
+    line). A filter-vocabulary builder reads this directly.
+
+    Exactness: zeros contribute nothing to Σc or Σc², so both sums come
+    from the occurrence table alone and the all-N spec needs only the
+    corpus size: VMR = (N·Σc² − (Σc)²) / (N·Σc) — one double division of
+    exact int64 products (counts bound them far inside int64), 6 dp.
+
+    Scale: two partial-agg group-bys (word×doc, then word) — the same
+    shuffle profile as word count — plus a broadcast 1-row corpus size;
+    the ``min_total`` floor keeps the tail of hapaxes out of the result
+    without affecting the sums."""
+    d = load_table(spark, sf_dir, "documents")
+    n_corpus = F.broadcast(d.agg(F.count("*").alias("n_corpus")))
+    per_doc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    s = per_doc.groupBy("word").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return (
+        s.where(F.col("s1") >= min_total)
+        .crossJoin(n_corpus)
+        .select(
+            "word",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("s1").cast("long").alias("n_total"),
+            F.round(
+                (F.col("n_corpus") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                    "double"
+                )
+                / (F.col("n_corpus") * F.col("s1")).cast("double"),
+                6,
+            ).alias("vmr"),
+        )
+    )

@@ -36,6 +36,8 @@ ALLOW = {
     # single-partition windows over BOUNDED inputs (not the row stream):
     "sim_kmeans": {"GlobalWindow"},  # row_number over the K=8 seed rows only
     "pack_sequences": {"GlobalWindow"},  # prefix over per-BUCKET totals (shuffle-partition count rows; curation_ext.py:281)
+    "pipeline_sft_pack": {"GlobalWindow"},  # same bucket-offset prefix (one row per doc_id-div-64 bucket), staged_r8.py
+    "staged:stat_ks_test": {"GlobalWindow"},  # bucket offsets over one row per floor(value) bucket (~330 rows), staged_r9.py
     "text_zipf": {"GlobalWindow"},  # rank over the aggregated vocabulary (~|V| rows), not the token stream
     # broadcast NLJs whose build side is a bounded constant (> 1 row, so the
     # keys=[] 1-row-aggregate detector can't clear them):
@@ -63,16 +65,23 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import parallel_mapreduce_wordcounting_spark as engine
-    from parallel_mapreduce_wordcounting_spark.operators import staged_r8
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r8, staged_r9
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
-    # registered keys + round-8 staged fns (prefixed) so the next round's
+    # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for name in dir(staged_r8):
-        fn = getattr(staged_r8, name)
-        if callable(fn) and not name.startswith("_") and getattr(fn, "__module__", "").endswith("staged_r8"):
-            targets[f"staged:{name}"] = fn
+    for mod in (staged_r8, staged_r9):
+        suffix = mod.__name__.rsplit(".", 1)[-1]
+        for name in dir(mod):
+            fn = getattr(mod, name)
+            if (
+                callable(fn)
+                and not name.startswith("_")
+                and getattr(fn, "__module__", "").endswith(suffix)
+                and name not in engine.REGISTRY  # already audited as registered
+            ):
+                targets[f"staged:{name}"] = fn
 
     flags: dict[str, list[str]] = {}
     errors: dict[str, str] = {}

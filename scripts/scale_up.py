@@ -101,11 +101,15 @@ def main() -> None:
             merged.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
             print(f"replicated {table} x{n}", file=sys.stderr)
 
-    from parallel_mapreduce_wordcounting_spark.operators import staged_r8
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r8, staged_r9
 
     def resolve(key: str):
         if key.startswith("staged:"):
-            return getattr(staged_r8, key.split(":", 1)[1])
+            name = key.split(":", 1)[1]
+            for mod in (staged_r8, staged_r9):
+                if hasattr(mod, name):
+                    return getattr(mod, name)
+            raise KeyError(name)
         return engine.REGISTRY[key].fn
 
     def timed(key: str, sf_dir: str) -> float:

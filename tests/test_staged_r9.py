@@ -1,0 +1,271 @@
+"""Round-9 staged operators (operators/staged_r9.py): full fn-vs-DuckDB
+value compares — the same check the registry harness applies — run directly,
+since the keys stay unregistered until driver-window slots free up
+(COVERAGE.md verification budget)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from parallel_mapreduce_wordcounting_spark.operators import staged_r9
+
+from .conftest import SF_DIR, compare_frames
+
+CASES = [
+    ("stat_linreg", staged_r9.stat_linreg, staged_r9.STAT_LINREG_ORACLE),
+    ("stat_corr_matrix", staged_r9.stat_corr_matrix, staged_r9.STAT_CORR_MATRIX_ORACLE),
+    ("agg_skew_kurt", staged_r9.agg_skew_kurt, staged_r9.AGG_SKEW_KURT_ORACLE),
+    ("stat_ks_test", staged_r9.stat_ks_test, staged_r9.STAT_KS_TEST_ORACLE),
+    ("agg_mad", staged_r9.agg_mad, staged_r9.AGG_MAD_ORACLE),
+    ("event_concurrency", staged_r9.event_concurrency, staged_r9.EVENT_CONCURRENCY_ORACLE),
+    ("dq_expectations", staged_r9.dq_expectations, staged_r9.DQ_EXPECTATIONS_ORACLE),
+    ("dedup_spans", staged_r9.dedup_spans, staged_r9.DEDUP_SPANS_ORACLE),
+    ("text_burstiness", staged_r9.text_burstiness, staged_r9.TEXT_BURSTINESS_ORACLE),
+]
+
+
+@pytest.mark.parametrize("name,fn,oracle", CASES, ids=[c[0] for c in CASES])
+def test_staged_r9_oracle_parity(spark, duck, name, fn, oracle):
+    res = duck.execute(oracle)
+    cols = [d[0] for d in res.description]
+    compare_frames(fn(spark, SF_DIR), res.fetchall(), cols)
+
+
+def test_staged_r9_nonvacuous(duck):
+    """Each staged op must return real rows on the fixture (a vacuously
+    empty result would pass parity while testing nothing)."""
+    for name, _, oracle in CASES:
+        n = duck.execute(f"SELECT count(*) FROM ({oracle})").fetchone()[0]
+        assert n > 0, name
+
+
+def test_linreg_matches_duckdb_builtin(duck):
+    """The integer-sufficient-statistics OLS must agree with DuckDB's own
+    regr_* aggregates to float tolerance — an independent derivation of
+    the same statistics, so a formula transcription error on BOTH sides
+    of the parity test cannot hide."""
+    ours = {
+        r[0]: r[1:]
+        for r in duck.execute(
+            f"SELECT l_returnflag, slope, intercept, r2 FROM ({staged_r9.STAT_LINREG_ORACLE})"
+        ).fetchall()
+    }
+    builtin = duck.execute(
+        "SELECT l_returnflag, regr_slope(l_extendedprice, l_quantity),"
+        " regr_intercept(l_extendedprice, l_quantity),"
+        " regr_r2(l_extendedprice, l_quantity) FROM lineitem GROUP BY 1"
+    ).fetchall()
+    for flag, slope, intercept, r2 in builtin:
+        s, i, r = ours[flag]
+        # our values are rounded to 6 dp; allow exactly that quantization
+        assert math.isclose(s, slope, rel_tol=1e-6, abs_tol=5.1e-7)
+        assert math.isclose(i, intercept, rel_tol=1e-4, abs_tol=5.1e-7)
+        assert math.isclose(r, r2, rel_tol=1e-6, abs_tol=5.1e-7)
+
+
+def test_corr_matrix_matches_duckdb_builtin(duck):
+    """Same independent-derivation guard for the correlation matrix."""
+    ours = {
+        (r[0], r[1]): r[2]
+        for r in duck.execute(staged_r9.STAT_CORR_MATRIX_ORACLE).fetchall()
+    }
+    for a, b in ours:
+        ref = duck.execute(f"SELECT corr({a}, {b}) FROM lineitem").fetchone()[0]
+        assert math.isclose(ours[(a, b)], ref, rel_tol=1e-6, abs_tol=5.1e-7), (a, b)
+
+
+def test_skew_kurt_brute_force(duck):
+    """Power-sum skewness/kurtosis vs a literal python recomputation of
+    the population moments — an independent derivation, so a formula
+    transcription error on BOTH sides of the parity test cannot hide."""
+    ours = {
+        r[0]: (r[2], r[3])
+        for r in duck.execute(staged_r9.AGG_SKEW_KURT_ORACLE).fetchall()
+    }
+    rows = duck.execute(
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    by_grp: dict[str, list[int]] = {}
+    for g, q in rows:
+        by_grp.setdefault(g, []).append(q)
+    for g, xs in by_grp.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        assert math.isclose(ours[g][0], m3 / m2**1.5, abs_tol=2e-6), g
+        assert math.isclose(ours[g][1], m4 / m2**2 - 3.0, abs_tol=2e-6), g
+
+
+def test_ks_self_distance_is_zero(spark, duck):
+    """KS distance of a distribution against itself is exactly 0, and the
+    statistic is symmetric in its arguments."""
+    r = staged_r9.stat_ks_test(spark, SF_DIR, "click", "click").collect()[0]
+    assert r["ks_d"] == 0.0
+    ab = staged_r9.stat_ks_test(spark, SF_DIR, "click", "error").collect()[0]
+    ba = staged_r9.stat_ks_test(spark, SF_DIR, "error", "click").collect()[0]
+    assert ab["ks_d"] == ba["ks_d"]
+    assert (ab["n_a"], ab["n_b"]) == (ba["n_b"], ba["n_a"])
+
+
+def test_ks_bucketed_equals_single_window(spark, duck):
+    """The bucketed prefix-sum must equal the textbook single-window spec
+    for an arbitrary event-type pair (not just the oracle's default)."""
+    got = staged_r9.stat_ks_test(spark, SF_DIR, "signup", "view").collect()[0]
+    want = duck.execute(
+        staged_r9.STAT_KS_TEST_ORACLE.replace("'click'", "'signup'").replace(
+            "'purchase'", "'view'"
+        )
+    ).fetchone()
+    assert (got["n_a"], got["n_b"], got["ks_d"]) == (want[2], want[3], want[4])
+
+
+def test_mad_brute_force(duck):
+    """MAD oracle vs a literal python recomputation on the fixture."""
+    import statistics
+
+    rows = duck.execute(
+        "SELECT o_orderpriority, o_totalprice FROM orders"
+    ).fetchall()
+    by_grp: dict[str, list[float]] = {}
+    for g, v in rows:
+        # HALF_UP cents, matching money_cents (python round() is banker's)
+        by_grp.setdefault(g, []).append(
+            int(math.copysign(math.floor(abs(v) * 100 + 0.5), v))
+        )
+    got = {
+        r[0]: (r[2], r[3])
+        for r in duck.execute(staged_r9.AGG_MAD_ORACLE).fetchall()
+    }
+    for g, cents in by_grp.items():
+        med = statistics.median(cents)
+        mad = statistics.median(abs(c - med) for c in cents)
+        # the operator reports 2-dp dollars; an even-count median can sit
+        # on a half-cent, so allow exactly that quantization
+        assert math.isclose(got[g][0], med / 100.0, abs_tol=0.005 + 1e-9), g
+        assert math.isclose(got[g][1], mad / 100.0, abs_tol=0.005 + 1e-9), g
+
+
+def test_concurrency_brute_force(spark, duck):
+    """Peak concurrency vs a literal per-day sweep in python."""
+    rows = duck.execute("SELECT epoch_ns(ts) // 1000 FROM events").fetchall()
+    ttl = staged_r9._CONC_TTL_US
+    pts: list[tuple[int, int]] = []
+    for (us,) in rows:
+        pts.append((us, 1))
+        pts.append((us + ttl, -1))
+    by_day: dict[int, list[tuple[int, int]]] = {}
+    for us, delta in pts:
+        by_day.setdefault(us // 86_400_000_000, []).append((us, delta))
+    want = {}
+    for day, dpts in by_day.items():
+        cur = peak = 0
+        for _, delta in sorted(dpts):
+            cur += delta
+            peak = max(peak, cur)
+        want[day] = peak
+    got = {
+        r["day"]: r["peak_concurrency"]
+        for r in staged_r9.event_concurrency(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_dq_all_checks_pass_on_clean_fixture(spark):
+    """The generator's fixture satisfies every declared expectation, and
+    the suite emits exactly one row per check."""
+    rows = staged_r9.dq_expectations(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    assert len({r["check_name"] for r in rows}) == 6
+    for r in rows:
+        assert r["passed"] and r["n_violations"] == 0, r["check_name"]
+        assert r["n_rows"] > 0
+
+
+def test_dq_catches_planted_violations(spark, duck, tmp_path):
+    """Corrupt a copy of the fixture (null custkey, duplicated orderkey,
+    negative price) and the right checks must flip to failed with exact
+    violation counts."""
+    import shutil
+
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    src = f"{SF_DIR}"
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    o = load_table(spark, src, "orders")
+    from pyspark.sql import functions as F
+
+    # deterministic plants: duplicate the 3 smallest orderkeys with a null
+    # custkey; negate the price of the single largest orderkey
+    lo1, lo2, lo3 = (
+        r[0]
+        for r in duck.execute(
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3"
+        ).fetchall()
+    )
+    hi = duck.execute("SELECT max(o_orderkey) FROM orders").fetchone()[0]
+    corrupted = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == hi, -5.0).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        o.where(F.col("o_orderkey").isin(lo1, lo2, lo3)).withColumn(
+            "o_custkey", F.lit(None).cast("long")
+        )
+    )
+    corrupted.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    rows = {
+        r["check_name"]: r
+        for r in staged_r9.dq_expectations(spark, str(tmp_path)).collect()
+    }
+    assert rows["orders.o_custkey not_null"]["n_violations"] == 3
+    assert not rows["orders.o_custkey not_null"]["passed"]
+    assert rows["orders.o_orderkey unique"]["n_violations"] == 3
+    assert rows["orders.o_totalprice positive"]["n_violations"] == 1
+    # lineitem checks still pass against the untouched copy
+    assert rows["lineitem.l_returnflag accepted_values"]["passed"]
+
+
+def test_dedup_spans_every_row_is_cross_doc(spark, duck):
+    """Every emitted span appears in >1 distinct doc, and the registry
+    finds the corpus's planted duplicate docs (identical text => their
+    full-length spans are shared)."""
+    rows = staged_r9.dedup_spans(spark, SF_DIR).collect()
+    assert all(r["n_docs"] >= 2 for r in rows)
+    assert all(r["n_occur"] >= r["n_docs"] for r in rows)
+    dup_docs = duck.execute(
+        "SELECT count(*) FROM (SELECT text FROM documents"
+        " GROUP BY text HAVING count(*) > 1 AND len(string_split(text,' ')) >= 8)"
+    ).fetchone()[0]
+    if dup_docs:
+        assert rows, "identical multi-doc texts must surface shared spans"
+
+
+def test_burstiness_function_vs_content_words(spark):
+    """Sanity of the statistic itself: for every reported word VMR >= the
+    Poisson floor would not hold in general, but VMR must be positive,
+    and words concentrated in fewer docs at equal volume must score
+    higher (clumpier)."""
+    rows = staged_r9.text_burstiness(spark, SF_DIR).collect()
+    assert rows
+    from .conftest import SF_DIR as _sf  # corpus size for the bounds
+
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{_sf}/documents.parquet')"
+    ).fetchone()[0]
+    for r in rows:
+        s = r["n_total"]
+        # VMR = (N·Σc² − S²)/(N·S): the extremes over integer per-doc
+        # counts with fixed total S are all-ones (Σc² = S, maximally
+        # spread) and one-doc (Σc² = S², maximally clumped) — every
+        # word's VMR must land inside [1 − S/N, S·(N−1)/N]
+        assert 1 - s / n - 1e-6 <= r["vmr"] <= s * (n - 1) / n + 1e-6, r
+        # and a word present in >1 doc with repeats is strictly above the
+        # all-ones floor
+        if r["n_docs"] < s:
+            assert r["vmr"] > 1 - s / n, r
