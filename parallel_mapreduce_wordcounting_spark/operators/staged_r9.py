@@ -5,7 +5,7 @@ for the next window drain. tests/test_staged_r9.py runs the same
 fn-vs-DuckDB compare the registry harness would; registration later adds
 the decorators without touching the bodies.
 
-Contents (9 ops — the statistics/data-quality wave):
+Contents (13 ops — the statistics/data-quality wave):
 
 - ``stat_linreg`` — per-group simple OLS (slope/intercept/r²) from exact
   integer sufficient statistics.
@@ -24,6 +24,14 @@ Contents (9 ops — the statistics/data-quality wave):
   (the span-level complement of dedup_lines).
 - ``text_burstiness`` — per-word variance-to-mean ratio across documents
   (Church & Gale burstiness), exact integer moments.
+- ``text_js_divergence`` — Jensen–Shannon divergence between every pair
+  of source unigram distributions (corpus drift / mixture design).
+- ``sim_threshold_sweep`` — near-dup pair counts at every candidate
+  cosine cutoff from one thresholded GEMM pass.
+- ``graph_triangle_stats`` — triangle census + clustering coefficient of
+  the shared-duplicated-span document graph (clique vs chain duplication).
+- ``text_fertility`` — BPE-ish tokens per whitespace word, by source
+  (tokenizer/domain mismatch signal).
 
 Exactness doctrine (same as the registered set): every driver-compared
 number is either an int64/decimal(38) accumulation (order-independent,
@@ -714,5 +722,293 @@ def text_burstiness(
                 / (F.col("n_corpus") * F.col("s1")).cast("double"),
                 6,
             ).alias("vmr"),
+        )
+    )
+
+
+# --- Jensen–Shannon divergence between source corpora ------------------------
+
+TEXT_JS_DIVERGENCE_ORACLE = (
+    "WITH c AS ("
+    "  SELECT source, word, count(*) AS n FROM ("
+    "    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents"
+    "  ) GROUP BY source, word"
+    "), tot AS (SELECT source, sum(n) AS tot FROM c GROUP BY source), "
+    "ct AS (SELECT c.source, c.word, CAST(c.n AS DOUBLE) / tot.tot AS p"
+    "       FROM c JOIN tot USING (source)), "
+    "shared AS ("
+    "  SELECT a.source AS source_a, b.source AS source_b,"
+    "    sum(a.p * log2(2.0 * a.p / (a.p + b.p))"
+    "        + b.p * log2(2.0 * b.p / (a.p + b.p))) AS t_shared,"
+    "    sum(a.p) AS p_shared, sum(b.p) AS q_shared"
+    "  FROM ct a JOIN ct b ON a.word = b.word AND a.source < b.source"
+    "  GROUP BY 1, 2"
+    ") SELECT source_a, source_b, "
+    "round(0.5 * (t_shared + (1.0 - p_shared) + (1.0 - q_shared)), 6) AS jsd_bits "
+    "FROM shared"
+)
+
+
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between the unigram distributions
+    of every PAIR of document sources — the standard symmetric, bounded
+    [0, 1] corpus-drift measure a mixture designer reads before re-weighting
+    domains (is src3 a near-clone of src7, or a different register?).
+
+    Decomposition that keeps the join equi-keyed: JSD = ½[Σ_shared
+    (p·log₂(2p/(p+q)) + q·log₂(2q/(p+q))) + (1 − P_shared) + (1 − Q_shared)]
+    — words exclusive to one side contribute exactly their probability mass
+    (log₂2 = 1), so ONLY the shared-word terms need the pairwise join and
+    the exclusive mass falls out of two running sums. No full-outer
+    explosion over the union vocabulary.
+
+    Exactness: probabilities are ratios of exact int64 counts; the log-term
+    sum is a double aggregate rounded to 6 dp (registry doctrine: cross-
+    engine summation-order noise lives below 1e-9). Scale: |sources|² pair
+    keys but each join row is (word, source-pair) — vocabulary-bounded —
+    and the count/total aggregates are plain word-count shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.broadcast(c.groupBy("source").agg(F.sum("n").alias("tot")))
+    ct = c.join(tot, "source").select(
+        "source", "word", (F.col("n").cast("double") / F.col("tot")).alias("p")
+    )
+    a = ct.select(
+        F.col("source").alias("source_a"), "word", F.col("p").alias("pa")
+    )
+    b = ct.select(
+        F.col("source").alias("source_b"), "word", F.col("p").alias("pb")
+    )
+    shared = (
+        a.join(b, "word")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.col("pa") * F.log2(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))
+                + F.col("pb") * F.log2(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("t_shared"),
+            F.sum("pa").alias("p_shared"),
+            F.sum("pb").alias("q_shared"),
+        )
+    )
+    return shared.select(
+        "source_a",
+        "source_b",
+        F.round(
+            0.5
+            * (
+                F.col("t_shared")
+                + (F.lit(1.0) - F.col("p_shared"))
+                + (F.lit(1.0) - F.col("q_shared"))
+            ),
+            6,
+        ).alias("jsd_bits"),
+    )
+
+
+# --- near-dup threshold calibration sweep ------------------------------------
+
+_SWEEP_TAUS = (0.30, 0.35, 0.40, 0.45, 0.50)
+
+_SWEEP_DOT = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), 6)"
+)
+
+SIM_THRESHOLD_SWEEP_ORACLE = " UNION ALL ".join(
+    f"SELECT CAST({tau} AS DOUBLE) AS threshold, "
+    f"CAST(count(*) FILTER ({_SWEEP_DOT} >= {tau}) AS BIGINT) AS n_pairs "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+    for tau in _SWEEP_TAUS
+)
+
+
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate threshold calibration curve: how many embedding
+    pairs clear each candidate cosine cutoff — the table a curation run
+    reads to pick its dedup τ (too low: false merges explode; too high:
+    duplicates survive). ONE pass computes every cutoff: the pair stream
+    comes from the same in-kernel-thresholded block-grid GEMM as
+    dedup_embedding at the LOWEST τ, and a single conditional-count
+    aggregate (5 integers of state) produces the whole curve, exploded to
+    long form DataFrame-side.
+
+    Cutoffs are fixture-calibrated (max pairwise cosine ≈ 0.53 on the
+    synthetic corpus — production values would be 0.8–0.95; the shape of
+    the op is τ-independent). Exactness: counts over the same 6-dp-rounded
+    cosines the dedup_embedding oracle compares. Scale: GEMM traffic is
+    proportional to pairs ≥ min(τ), the aggregate to 1 row."""
+    from .similarity import grid_pair_sims_above
+
+    pairs = grid_pair_sims_above(spark, sf_dir, min(_SWEEP_TAUS))
+    agg = pairs.agg(
+        *[
+            F.sum(F.when(F.col("cosine") >= tau, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{i}")
+            for i, tau in enumerate(_SWEEP_TAUS)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(tau).cast("double").alias("threshold"),
+                F.coalesce(F.col(f"n_{i}"), F.lit(0)).cast("long").alias("n_pairs"),
+            )
+            for i, tau in enumerate(_SWEEP_TAUS)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.threshold", "r.n_pairs")
+
+
+# --- duplicate-graph triangle statistics -------------------------------------
+
+GRAPH_TRIANGLE_STATS_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "sh AS ("
+    "  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h"
+    "  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)"
+    "), e AS ("
+    "  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db"
+    "  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id"
+    "), deg AS ("
+    "  SELECT v, count(*) AS d FROM ("
+    "    SELECT da AS v FROM e UNION ALL SELECT db AS v FROM e"
+    "  ) GROUP BY v"
+    "), tri AS ("
+    "  SELECT count(*) AS t FROM e e1"
+    "  JOIN e e2 ON e1.db = e2.da JOIN e e3 ON e1.da = e3.da AND e2.db = e3.db"
+    ") SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes, "
+    "CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, "
+    "CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges, "
+    "CAST(tri.t AS BIGINT) AS n_triangles, "
+    "round(3.0 * tri.t / nullif((SELECT sum(d * (d - 1) // 2) FROM deg), 0), 6)"
+    " AS clustering "
+    "FROM tri"
+)
+
+
+def graph_triangle_stats(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> DataFrame:
+    """Global triangle census of the DUPLICATE GRAPH — documents joined by
+    sharing at least one duplicated ``k``-token span (:func:`dedup_spans`'s
+    evidence, lifted to graph structure): node/edge counts, wedge count
+    (Σ deg·(deg−1)/2), triangle count via the ordered edge-edge-edge join,
+    and the global clustering coefficient 3·T/W. High clustering says
+    duplication comes in CLIQUES (the same passage pasted everywhere —
+    safe to collapse transitively); low clustering with many wedges says
+    chains (A~B, B~C but A≁C — transitive collapse would over-merge).
+    That one number is the difference between dedup_cluster's
+    connected-components policy being right or wrong for a corpus.
+
+    Implementation is the node-iterator pattern (Suri & Vassilvitskii's
+    MapReduce triangle counting, simplified to its join form): orient
+    every edge low→high, then count e₁(a,b) ⋈ e₂(b,c) ⋈ e₃(a,c) — each
+    triangle matches exactly once, as three equi-joins Catalyst plans as
+    hash joins. Exactness: all-integer until the final 6-dp ratio.
+
+    Scale: the span self-join can hub on mega-duplicated spans (a
+    boilerplate sentence in 10⁶ docs → 10¹² candidate pairs); production
+    caps the per-span posting list first (the LSH candidate-cap pattern —
+    a span that common is boilerplate for dedup_lines, not pairwise
+    evidence). The fixture's spans are clique-sized, so the staged op
+    keeps the exact join; the edge set after DISTINCT is what the
+    triangle join sees either way."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+            )
+        ).alias("span"),
+    ).select("doc_id", F.md5("span").alias("h"))
+    e = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("da").alias("v"))
+        .unionAll(e.select(F.col("db").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    node_wedge = F.broadcast(
+        deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        )
+    )
+    n_edges = F.broadcast(e.agg(F.count("*").cast("long").alias("n_edges")))
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.db") == F.col("e2.da"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.da") == F.col("e3.da")) & (F.col("e2.db") == F.col("e3.db")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        tri.crossJoin(node_wedge)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0)), 6
+            ).alias("clustering"),
+        )
+    )
+
+
+# --- tokenizer fertility by source -------------------------------------------
+
+TEXT_FERTILITY_ORACLE = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens, "
+    "CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)"
+    " AS bpe_tokens, "
+    "round(CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)"
+    " / sum(len(string_split(text, ' '))), 6) AS fertility "
+    "FROM documents GROUP BY source"
+)
+
+
+def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: BPE-ish tokens emitted per
+    whitespace word (the text_token_count regex, aggregated by domain) —
+    the budget number that says which domains are token-expensive to train
+    on (fertility ≫ 1: code, numbers, non-Latin scripts) and flags
+    tokenizer/domain mismatch before a run wastes context length on
+    fragment soup.
+
+    Exactness: both token counts are exact int64 sums (the regex subset is
+    pinned Java≡RE2 by text_token_count's oracle); fertility is one double
+    division, 6 dp. Scale: a scan-aggregate — per-row regex work fuses
+    into the scan, state is 3 integers per source."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    ).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_tokens"),
+            F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
         )
     )

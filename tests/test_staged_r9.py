@@ -23,6 +23,22 @@ CASES = [
     ("dq_expectations", staged_r9.dq_expectations, staged_r9.DQ_EXPECTATIONS_ORACLE),
     ("dedup_spans", staged_r9.dedup_spans, staged_r9.DEDUP_SPANS_ORACLE),
     ("text_burstiness", staged_r9.text_burstiness, staged_r9.TEXT_BURSTINESS_ORACLE),
+    (
+        "text_js_divergence",
+        staged_r9.text_js_divergence,
+        staged_r9.TEXT_JS_DIVERGENCE_ORACLE,
+    ),
+    (
+        "sim_threshold_sweep",
+        staged_r9.sim_threshold_sweep,
+        staged_r9.SIM_THRESHOLD_SWEEP_ORACLE,
+    ),
+    (
+        "graph_triangle_stats",
+        staged_r9.graph_triangle_stats,
+        staged_r9.GRAPH_TRIANGLE_STATS_ORACLE,
+    ),
+    ("text_fertility", staged_r9.text_fertility, staged_r9.TEXT_FERTILITY_ORACLE),
 ]
 
 
@@ -269,3 +285,100 @@ def test_burstiness_function_vs_content_words(spark):
         # all-ones floor
         if r["n_docs"] < s:
             assert r["vmr"] > 1 - s / n, r
+
+
+def test_jsd_bounds_and_symmetry_decomposition(spark, duck):
+    """JSD is bounded in [0, 1] bits, and the shared/exclusive-mass
+    decomposition must agree with a literal python recomputation over the
+    full union vocabulary for a spot-checked pair."""
+    rows = staged_r9.text_js_divergence(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["jsd_bits"] <= 1 + 1e-9, r
+    import collections
+
+    a, b = rows[0]["source_a"], rows[0]["source_b"]
+    counts: dict[str, collections.Counter] = {
+        a: collections.Counter(),
+        b: collections.Counter(),
+    }
+    for src, text in duck.execute(
+        f"SELECT source, text FROM documents WHERE source IN ('{a}', '{b}')"
+    ).fetchall():
+        counts[src].update(text.split(" "))
+    na, nb = sum(counts[a].values()), sum(counts[b].values())
+    jsd = 0.0
+    for w in set(counts[a]) | set(counts[b]):
+        p, q = counts[a][w] / na, counts[b][w] / nb
+        for x in (p, q):
+            if x > 0:
+                jsd += 0.5 * x * math.log2(2 * x / (p + q))
+    assert math.isclose(rows[0]["jsd_bits"], jsd, abs_tol=5.1e-7)
+
+
+def test_threshold_sweep_monotone_and_anchored(spark):
+    """Counts must be non-increasing in the threshold, and the count at
+    dedup_embedding's own cutoff (0.45) must equal that operator's pair
+    count (same kernel, same rounding)."""
+    from parallel_mapreduce_wordcounting_spark.operators.dedup import dedup_embedding
+
+    rows = sorted(
+        staged_r9.sim_threshold_sweep(spark, SF_DIR).collect(),
+        key=lambda r: r["threshold"],
+    )
+    counts = [r["n_pairs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0  # calibrated to be nonvacuous on the fixture
+    at_045 = next(r["n_pairs"] for r in rows if abs(r["threshold"] - 0.45) < 1e-9)
+    assert at_045 == dedup_embedding(spark, SF_DIR).count()
+
+
+def test_triangle_stats_brute_force(spark, duck):
+    """Triangle census vs a literal python recomputation of the
+    shared-span graph."""
+    import itertools
+
+    rows = duck.execute(
+        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), "
+        "sh AS (SELECT doc_id, md5(array_to_string(t[i:i+7],' ')) AS h "
+        "FROM toks, unnest(generate_series(1, greatest(len(t)-7,0))) AS g(i)) "
+        "SELECT h, list(DISTINCT doc_id) FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1"
+    ).fetchall()
+    edges = set()
+    for _, docs in rows:
+        for x, y in itertools.combinations(sorted(docs), 2):
+            edges.add((x, y))
+    adj: dict[int, set[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    tris = sum(
+        1
+        for x, y in edges
+        for z in adj[x] & adj[y]
+        if z > y
+    )
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    got = staged_r9.graph_triangle_stats(spark, SF_DIR).collect()[0]
+    assert got["n_nodes"] == len(adj)
+    assert got["n_edges"] == len(edges)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tris
+
+
+def test_fertility_consistent_with_token_count(spark, duck):
+    """Source-level fertility must equal the ratio of the registered
+    text_token_count's per-doc sums — same regex, different aggregation."""
+    per_doc = duck.execute(
+        "SELECT d.source, sum(len(string_split(d.text, ' '))) AS ws, "
+        "sum(len(regexp_extract_all(d.text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe "
+        "FROM documents d GROUP BY 1"
+    ).fetchall()
+    got = {
+        r["source"]: (r["ws_tokens"], r["bpe_tokens"], r["fertility"])
+        for r in staged_r9.text_fertility(spark, SF_DIR).collect()
+    }
+    for src, ws, bpe in per_doc:
+        g = got[src]
+        assert (g[0], g[1]) == (ws, bpe)
+        assert math.isclose(g[2], bpe / ws, abs_tol=5.1e-7)
