@@ -5,7 +5,7 @@ for the next window drain. tests/test_staged_r9.py runs the same
 fn-vs-DuckDB compare the registry harness would; registration later adds
 the decorators without touching the bodies.
 
-Contents (13 ops — the statistics/data-quality wave):
+Contents (15 ops — the statistics/data-quality wave):
 
 - ``stat_linreg`` — per-group simple OLS (slope/intercept/r²) from exact
   integer sufficient statistics.
@@ -32,6 +32,10 @@ Contents (13 ops — the statistics/data-quality wave):
   the shared-duplicated-span document graph (clique vs chain duplication).
 - ``text_fertility`` — BPE-ish tokens per whitespace word, by source
   (tokenizer/domain mismatch signal).
+- ``stat_anova`` — one-way ANOVA F + η² across k groups from the same
+  sufficient-statistics shape.
+- ``pipeline_split_leakage`` — composed hash-split + 5-gram overlap:
+  what fraction of val/test n-grams also occur in train.
 
 Exactness doctrine (same as the registered set): every driver-compared
 number is either an int64/decimal(38) accumulation (order-independent,
@@ -1010,5 +1014,161 @@ def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ws).alias("ws_tokens"),
             F.sum(bpe).alias("bpe_tokens"),
             F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
+        )
+    )
+
+
+# --- one-way ANOVA ------------------------------------------------------------
+
+STAT_ANOVA_ORACLE = (
+    "WITH g AS ("
+    "  SELECT l_returnflag, count(*) AS n,"
+    "    sum(CAST(l_quantity AS BIGINT)) AS s1,"
+    "    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2"
+    "  FROM lineitem GROUP BY l_returnflag"
+    "), t AS ("
+    "  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,"
+    "    CAST(sum(s1) AS BIGINT) AS s1_all, CAST(sum(s2) AS BIGINT) AS s2_all,"
+    "    sum(CAST(s1 AS DOUBLE) * s1 / n) AS ssb_part"
+    "  FROM g"
+    ") SELECT k - 1 AS df_between, n_total - k AS df_within, "
+    "round(((ssb_part - CAST(s1_all AS DOUBLE) * s1_all / n_total) / (k - 1)) / "
+    "((s2_all - ssb_part) / (n_total - k)), 6) AS f_stat, "
+    "round((ssb_part - CAST(s1_all AS DOUBLE) * s1_all / n_total) / "
+    "(s2_all - CAST(s1_all AS DOUBLE) * s1_all / n_total), 6) AS eta_sq "
+    "FROM t"
+)
+
+
+def stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of l_quantity across the returnflag groups — the
+    F-statistic (between-group over within-group variance) and effect size
+    η² that complete the inference family beside the staged two-sample
+    tests (event_ab_test's z, stat_ks_test's D): does ANY of k groups
+    differ, before pairwise drilling.
+
+    Same sufficient-statistics shape as :func:`stat_linreg`: per-group
+    (n, Σx, Σx²) integers reduce in one partial-agg pass, a second
+    k-row aggregate folds them into SSB = Σ(Σx_g)²/n_g − (Σx)²/N and
+    SSW = Σx² − Σ(Σx_g)²/n_g, and F/η² are single double expressions,
+    6 dp (the k-row double fold's order noise is far below the rounding).
+    Scale: shuffle is |groups| rows of 3 integers; nothing else moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s1").cast("long").alias("s1_all"),
+        F.sum("s2").cast("long").alias("s2_all"),
+        F.sum(F.col("s1").cast("double") * F.col("s1") / F.col("n")).alias("ssb_part"),
+    )
+    ssb = F.col("ssb_part") - F.col("s1_all").cast("double") * F.col("s1_all") / F.col(
+        "n_total"
+    )
+    ssw = F.col("s2_all") - F.col("ssb_part")
+    sst = F.col("s2_all") - F.col("s1_all").cast("double") * F.col("s1_all") / F.col(
+        "n_total"
+    )
+    return t.select(
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n_total") - F.col("k")).alias("df_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+# --- train/val split leakage --------------------------------------------------
+
+_SPLIT_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))"
+    " AS BIGINT) % 100"
+)
+
+PIPELINE_SPLIT_LEAKAGE_ORACLE = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split(text, ' ') AS w, "
+    f"  CASE WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train' "
+    f"  WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'val' ELSE 'test' END AS split"
+    "  FROM documents WHERE len(string_split(text, ' ')) >= 5"
+    "), g AS ("
+    "  SELECT doc_id, split, array_to_string(w[i:i+4], ' ') AS gram"
+    "  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) t"
+    "), tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'), "
+    "ev AS (SELECT split, doc_id, gram FROM g WHERE split <> 'train') "
+    "SELECT ev.split, "
+    "CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_docs, "
+    "CAST(count(*) AS BIGINT) AS n_grams, "
+    "CAST(count(*) FILTER (tr.gram IS NOT NULL) AS BIGINT) AS n_leaked, "
+    "round(count(*) FILTER (tr.gram IS NOT NULL) / (1.0 * count(*)), 6) AS leakage "
+    "FROM ev LEFT JOIN tr ON ev.gram = tr.gram GROUP BY ev.split"
+)
+
+
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed split-hygiene check: apply the engine's deterministic
+    hash split (split_train_val's salted-md5 buckets, restated literally
+    so both engines assign identical splits), then measure what fraction
+    of each held-out split's word 5-grams ALSO occur in train — the
+    number that says whether val/test loss is measuring generalization
+    or memorized overlap. This inverts text_contamination's roles: there
+    a tiny eval set broadcasts against training docs; here TRAIN is the
+    large side, so the distinct train-gram set joins the held-out gram
+    stream as an ordinary shuffle hash join on gram — broadcast would be
+    a 100 TB hazard, and the oracle states the same left join.
+
+    Exactness: gram counts are exact int64; leakage is one double
+    division, 6 dp. Docs shorter than 5 words carry no 5-gram evidence
+    and are excluded (text_contamination's documented contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    toks = (
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("w"),
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .where(F.size("w") >= 5)
+    )
+    grams = toks.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 5),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, 5)),
+            )
+        ).alias("gram"),
+    )
+    tr = grams.where(F.col("split") == "train").select("gram").distinct()
+    ev = grams.where(F.col("split") != "train")
+    return (
+        ev.join(tr.withColumn("hit", F.lit(1)), "gram", "left")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_leaked"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / (1.0 * F.count("*")), 6
+            ).alias("leakage"),
         )
     )

@@ -39,6 +39,12 @@ CASES = [
         staged_r9.GRAPH_TRIANGLE_STATS_ORACLE,
     ),
     ("text_fertility", staged_r9.text_fertility, staged_r9.TEXT_FERTILITY_ORACLE),
+    ("stat_anova", staged_r9.stat_anova, staged_r9.STAT_ANOVA_ORACLE),
+    (
+        "pipeline_split_leakage",
+        staged_r9.pipeline_split_leakage,
+        staged_r9.PIPELINE_SPLIT_LEAKAGE_ORACLE,
+    ),
 ]
 
 
@@ -382,3 +388,46 @@ def test_fertility_consistent_with_token_count(spark, duck):
         g = got[src]
         assert (g[0], g[1]) == (ws, bpe)
         assert math.isclose(g[2], bpe / ws, abs_tol=5.1e-7)
+
+
+def test_anova_brute_force(duck):
+    """ANOVA F and eta-squared vs a literal python recomputation."""
+    rows = duck.execute(
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    by_grp: dict[str, list[int]] = {}
+    for g, q in rows:
+        by_grp.setdefault(g, []).append(q)
+    all_x = [x for xs in by_grp.values() for x in xs]
+    n, k = len(all_x), len(by_grp)
+    mu = sum(all_x) / n
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - mu) ** 2 for xs in by_grp.values())
+    ssw = sum(
+        (x - sum(xs) / len(xs)) ** 2 for xs in by_grp.values() for x in xs
+    )
+    got = duck.execute(staged_r9.STAT_ANOVA_ORACLE).fetchone()
+    assert got[0] == k - 1 and got[1] == n - k
+    assert math.isclose(got[2], (ssb / (k - 1)) / (ssw / (n - k)), abs_tol=2e-6)
+    assert math.isclose(got[3], ssb / (ssb + ssw), abs_tol=2e-6)
+
+
+def test_split_leakage_consistent_with_split_op(spark):
+    """The leakage op's split assignment must be the registered
+    split_train_val's, and every reported fraction lands in [0, 1] with
+    n_leaked <= n_grams."""
+    from parallel_mapreduce_wordcounting_spark.operators.curation_ext import (
+        split_train_val,
+    )
+
+    splits = {
+        r["doc_id"]: r["split"] for r in split_train_val(spark, SF_DIR).collect()
+    }
+    rows = staged_r9.pipeline_split_leakage(spark, SF_DIR).collect()
+    assert {r["split"] for r in rows} <= {"val", "test"}
+    for r in rows:
+        assert 0 <= r["n_leaked"] <= r["n_grams"]
+        assert 0.0 <= r["leakage"] <= 1.0
+        # doc counts consistent with the registered split op (only docs
+        # with >= 5 words carry grams, so <=)
+        n_split = sum(1 for s in splits.values() if s == r["split"])
+        assert 0 < r["n_docs"] <= n_split
