@@ -9,8 +9,10 @@ wc_topk, join_star, agg_basic, stream_tumbling, sim_topk_cosine — plus the
 engine's own scale paths (sim_topk_blocked, dedup_fuzzy_minhash), two
 TPC-H shapes (tpch_q1 scan-agg, tpch_q9 five-way join), and per-round
 headliners reported for visibility (round 6: dedup_lines,
-pipeline_rag_index; round 7: cdc_apply, agg_percentile_iterative). Timing is median of 3 runs after one warm-up, collect()
-included, session startup excluded (matching BASELINE.md's method).
+pipeline_rag_index; round 7: cdc_apply, agg_percentile_iterative;
+round 8: pipeline_sft_pack). Timing is median of 3 runs after one warm-up,
+collect() included, session startup excluded (matching BASELINE.md's
+method).
 """
 
 from __future__ import annotations
@@ -42,6 +44,9 @@ BENCH_KEYS = [
     # per-job overhead, reported honestly)
     "cdc_apply",
     "agg_percentile_iterative",
+    # round-8 headliner: composed SFT packing pipeline (quality gate →
+    # exact dedup → distributed prefix-sum packing)
+    "pipeline_sft_pack",
 ]
 
 
