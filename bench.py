@@ -10,7 +10,7 @@ engine's own scale paths (sim_topk_blocked, dedup_fuzzy_minhash), two
 TPC-H shapes (tpch_q1 scan-agg, tpch_q9 five-way join), and per-round
 headliners reported for visibility (round 6: dedup_lines,
 pipeline_rag_index; round 7: cdc_apply, agg_percentile_iterative;
-round 8: pipeline_sft_pack). Timing is median of 3 runs after one warm-up,
+round 8: pipeline_sft_pack). Timing is median of 5 runs after one warm-up,
 collect() included, session startup excluded (matching BASELINE.md's
 method).
 """

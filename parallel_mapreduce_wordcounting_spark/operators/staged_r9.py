@@ -107,7 +107,10 @@ def stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (n38 * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")).cast("double")
     den_x = (n38 * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")).cast("double")
     den_y = (n38 * F.col("syy") - F.col("sy").cast(d38) * F.col("sy")).cast("double")
-    slope = num / den_x
+    # try_divide, not /: ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO on
+    # a zero denominator (a group with constant x or y), where the DuckDB
+    # oracle's x/0 yields NULL — try_divide restores the NULL parity.
+    slope = F.try_divide(num, den_x)
     return s.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
@@ -117,7 +120,7 @@ def stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * F.col("n")),
             6,
         ).alias("intercept"),
-        F.round((num * num) / (den_x * den_y), 6).alias("r2"),
+        F.round(F.try_divide(num * num, den_x * den_y), 6).alias("r2"),
     )
 
 
@@ -185,7 +188,9 @@ def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         di = (n38 * F.col(f"q{i}") - F.col(f"s{i}").cast(d38) * F.col(f"s{i}")).cast("double")
         dj = (n38 * F.col(f"q{j}") - F.col(f"s{j}").cast(d38) * F.col(f"s{j}")).cast("double")
-        return F.round(num / (F.sqrt(di) * F.sqrt(dj)), 6)
+        # try_divide: a zero-variance column must yield NULL (oracle x/0
+        # semantics), not an ANSI DIVIDE_BY_ZERO abort
+        return F.round(F.try_divide(num, F.sqrt(di) * F.sqrt(dj)), 6)
 
     rows = F.array(
         *[
@@ -246,15 +251,19 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = F.col("s3").cast("double") / F.col("n")
     m4 = F.col("s4").cast("double") / F.col("n")
     var = m2 - m1 * m1
+    # try_divide: a constant-valued group has var = 0 and must yield NULL
+    # (oracle x/0 semantics), not an ANSI DIVIDE_BY_ZERO abort
     return s.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
-        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
-            "skewness"
-        ),
         F.round(
-            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
-            / F.pow(var, 2.0)
+            F.try_divide(m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1, F.pow(var, 1.5)), 6
+        ).alias("skewness"),
+        F.round(
+            F.try_divide(
+                m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1,
+                F.pow(var, 2.0),
+            )
             - F.lit(3.0),
             6,
         ).alias("kurtosis"),
@@ -344,11 +353,19 @@ def stat_ks_test(
             F.first(F.lit(type_b)).alias("type_b"),
             F.first("n1").alias("n_a"),
             F.first("n2").alias("n_b"),
+            # try_divide: a type with zero rows makes its n 0 and the CDF
+            # NULL (oracle x/0 semantics), not an ANSI DIVIDE_BY_ZERO abort
             F.round(
                 F.max(
                     F.abs(
-                        (F.col("o1") + F.col("r1_local")).cast("double") / F.col("n1")
-                        - (F.col("o2") + F.col("r2_local")).cast("double") / F.col("n2")
+                        F.try_divide(
+                            (F.col("o1") + F.col("r1_local")).cast("double"),
+                            F.col("n1"),
+                        )
+                        - F.try_divide(
+                            (F.col("o2") + F.col("r2_local")).cast("double"),
+                            F.col("n2"),
+                        )
                     )
                 ),
                 6,
@@ -605,6 +622,32 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 8
 
+
+def _span_hashes(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, h) for every ``k``-token window of every document — the
+    shared shingle stream under :func:`dedup_spans` and
+    :func:`graph_triangle_stats`. Documents shorter than ``k`` tokens are
+    filtered out FIRST: without the guard, ``sequence(0, size-k)`` with
+    size < k descends (Spark yields [0, …, size-k] downward, not an empty
+    array) and the i = −1 element makes ``slice(t, 0, k)`` throw
+    INVALID_PARAMETER_VALUE — the DuckDB mirror's ``generate_series(1,
+    greatest(len-k+1, 0))`` is simply empty for those docs. The lambda
+    stays pure slicing; md5 runs scalar after the explode (r7 lesson:
+    higher-order lambdas are interpreted)."""
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= k
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+            )
+        ).alias("span"),
+    ).select("doc_id", F.md5("span").alias("h"))
+
+
 DEDUP_SPANS_ORACLE = (
     "WITH toks AS ("
     "  SELECT doc_id, string_split(text, ' ') AS t FROM documents"
@@ -641,18 +684,9 @@ def dedup_spans(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> DataFrame
     never cross the shuffle in full. At 100 TB the same registry is the
     first stage of a two-pass mask-and-rewrite."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    spans = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(-1))),
-                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
-            )
-        ).alias("span"),
-    )
     return (
-        spans.select("doc_id", F.md5("span").alias("span_hash"))
+        _span_hashes(d, k)
+        .withColumnRenamed("h", "span_hash")
         .groupBy("span_hash")
         .agg(
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
@@ -923,23 +957,16 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> 
     keeps the exact join; the edge set after DISTINCT is what the
     triangle join sees either way."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(-1))),
-                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
-            )
-        ).alias("span"),
-    ).select("doc_id", F.md5("span").alias("h"))
+    sh = _span_hashes(d, k)
     e = (
         sh.alias("a")
         .join(sh.alias("b"), "h")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
-    )
+    ).cache()  # referenced 6x below (degrees, edge count, 3-way triangle join):
+    # without the cache Spark re-runs the shingle explode + self-join per
+    # reference (the dedup.py:189 convention for self-joined intermediates)
     deg = (
         e.select(F.col("da").alias("v"))
         .unionAll(e.select(F.col("db").alias("v")))
@@ -1074,13 +1101,20 @@ def stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     sst = F.col("s2_all") - F.col("s1_all").cast("double") * F.col("s1_all") / F.col(
         "n_total"
     )
+    # try_divide throughout: k = 1 (single group), n = k (one row per
+    # group) or zero within-variance must yield NULL (oracle x/0
+    # semantics), not an ANSI DIVIDE_BY_ZERO abort
     return t.select(
         (F.col("k") - 1).alias("df_between"),
         (F.col("n_total") - F.col("k")).alias("df_within"),
         F.round(
-            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k"))), 6
+            F.try_divide(
+                F.try_divide(ssb, F.col("k") - 1),
+                F.try_divide(ssw, F.col("n_total") - F.col("k")),
+            ),
+            6,
         ).alias("f_stat"),
-        F.round(ssb / sst, 6).alias("eta_sq"),
+        F.round(F.try_divide(ssb, sst), 6).alias("eta_sq"),
     )
 
 

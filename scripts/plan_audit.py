@@ -75,11 +75,15 @@ def main() -> int:
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)
+            already_registered = (
+                name in engine.REGISTRY and engine.REGISTRY[name].fn is fn
+            )  # identity, not name: a staged REWORK of a registered key must
+            # still be audited under its staged: prefix
             if (
                 callable(fn)
                 and not name.startswith("_")
                 and getattr(fn, "__module__", "").endswith(suffix)
-                and name not in engine.REGISTRY  # already audited as registered
+                and not already_registered
             ):
                 targets[f"staged:{name}"] = fn
 

@@ -431,3 +431,78 @@ def test_split_leakage_consistent_with_split_op(spark):
         # with >= 5 words carry grams, so <=)
         n_split = sum(1 for s in splits.values() if s == r["split"])
         assert 0 < r["n_docs"] <= n_split
+
+
+def test_short_docs_yield_no_spans_not_a_crash(spark, tmp_path):
+    """CODE-REVIEW r8 finding 1: a document shorter than k tokens used to
+    make sequence(0, size-k) descend to -1 and slice(t, 0, k) throw.
+    Short docs must contribute zero spans (the oracle's empty
+    generate_series), and both span consumers must run."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    for t in ("documents",):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tmp_path / f"{t}.parquet")
+    d = load_table(spark, SF_DIR, "documents")
+    with_short = d.unionByName(
+        spark.createDataFrame(
+            [(10_000_001, "too short", "en", "srcX", 9),
+             (10_000_002, "a b c d e f g", "en", "srcX", 13)],
+            d.schema,
+        )
+    )
+    with_short.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    base = {
+        r["span_hash"]: (r["n_docs"], r["n_occur"])
+        for r in staged_r9.dedup_spans(spark, SF_DIR).collect()
+    }
+    got = {
+        r["span_hash"]: (r["n_docs"], r["n_occur"])
+        for r in staged_r9.dedup_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == base  # sub-k docs are invisible to the registry
+    assert staged_r9.graph_triangle_stats(spark, str(tmp_path)).count() == 1
+
+
+def test_degenerate_groups_yield_null_not_ansi_abort(spark, tmp_path):
+    """CODE-REVIEW r8 finding 2: under Spark 4's default ANSI mode a
+    zero denominator (constant x, zero variance, empty sample) aborted
+    the job with DIVIDE_BY_ZERO while the DuckDB oracle yields NULL.
+    try_divide must restore NULL parity on exactly that data."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    # constant quantity everywhere -> den_x = 0 (linreg slope/r2), zero
+    # variance (skew/kurt), zero qty-price covariance denominator (corr)
+    li.withColumn("l_quantity", F.lit(7.0)).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    con = duckdb.connect()
+    # Spark writes a part-file directory, so DuckDB needs the glob form
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    for fn, oracle in [
+        (staged_r9.stat_linreg, staged_r9.STAT_LINREG_ORACLE),
+        (staged_r9.agg_skew_kurt, staged_r9.AGG_SKEW_KURT_ORACLE),
+        (staged_r9.stat_corr_matrix, staged_r9.STAT_CORR_MATRIX_ORACLE),
+    ]:
+        res = con.execute(oracle)
+        cols = [d[0] for d in res.description]
+        compare_frames(fn(spark, str(tmp_path)), res.fetchall(), cols)
+    # slope really is NULL (not some fallback number)
+    rows = staged_r9.stat_linreg(spark, str(tmp_path)).collect()
+    assert rows and all(r["slope"] is None and r["r2"] is None for r in rows)
+    skews = staged_r9.agg_skew_kurt(spark, str(tmp_path)).collect()
+    assert skews and all(r["skewness"] is None and r["kurtosis"] is None for r in skews)
+    # KS against an event type with no rows: NULL D, no abort
+    r = staged_r9.stat_ks_test(spark, SF_DIR, "click", "no_such_type").collect()[0]
+    assert r["ks_d"] is None
