@@ -429,7 +429,11 @@ def event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.crossJoin(st).select(
         "day",
         "n_events",
-        F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        # try_divide: perfectly flat daily volume makes sigma 0 — the
+        # oracle's x/0 yields NULL where ANSI `/` would abort the job
+        F.round(
+            F.try_divide(F.col("n_events") - F.col("mu"), F.col("sigma")), 6
+        ).alias("z"),
     )
 
 

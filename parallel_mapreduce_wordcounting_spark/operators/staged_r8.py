@@ -501,9 +501,14 @@ def event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).alias("c0"),
         F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).alias("c1"),
     )
-    p0 = F.col("c0") / (1.0 * F.col("n0"))
-    p1 = F.col("c1") / (1.0 * F.col("n1"))
-    pp = (F.col("c0") + F.col("c1")) / (1.0 * (F.col("n0") + F.col("n1")))
+    # try_divide: an empty arm (every user hashed to one side — single-user
+    # corpora hit it) must yield NULL rates like the oracle's x/0, not an
+    # ANSI DIVIDE_BY_ZERO abort
+    p0 = F.try_divide(F.col("c0"), 1.0 * F.col("n0"))
+    p1 = F.try_divide(F.col("c1"), 1.0 * F.col("n1"))
+    pp = F.try_divide(
+        F.col("c0") + F.col("c1"), 1.0 * (F.col("n0") + F.col("n1"))
+    )
     return s.select(
         "n0",
         "n1",
@@ -517,7 +522,14 @@ def event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (p1 - p0)
             / F.nullif(
-                F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+                F.sqrt(
+                    pp
+                    * (1 - pp)
+                    * (
+                        F.try_divide(F.lit(1.0), F.col("n0"))
+                        + F.try_divide(F.lit(1.0), F.col("n1"))
+                    )
+                ),
                 F.lit(0.0),
             ),
             4,

@@ -157,3 +157,22 @@ def test_domain_mix_temperature_is_honored(spark, tmp_path):
         assert got == quota(alpha), f"alpha={alpha}"
     # and the two mixtures genuinely differ on a skewed corpus
     assert quota(0.5) != quota(1.0)
+
+
+def test_event_anomaly_flat_volume_yields_null_z(spark, tmp_path):
+    """ANSI-mode hardening (round-8 division sweep): perfectly flat daily
+    volume makes sigma 0 — z must be NULL (the oracle's x/0), not a
+    DIVIDE_BY_ZERO job abort."""
+    import datetime
+
+    rows = [
+        (day * 10 + i, datetime.datetime(2024, 3, 1 + day, 12, 0, i), 1, "click", 1.0, "{}")
+        for day in range(4)
+        for i in range(5)  # exactly 5 events every day
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = engine.REGISTRY["event_anomaly"].fn(spark, str(tmp_path)).collect()
+    assert len(got) == 4
+    assert all(r["n_events"] == 5 and r["z"] is None for r in got)
