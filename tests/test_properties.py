@@ -194,3 +194,29 @@ def test_zorder_spark_matches_python_mirror(spark):
             z += ((x >> i) & 1) << (2 * i)
             z += ((y >> i) & 1) << (2 * i + 1)
         assert out[r.o_orderkey] == z
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(WORDS, min_size=1, max_size=5), st.integers(min_value=2, max_value=6))
+def test_span_hashes_count_and_content(spark, docs, k):
+    """The shared shingle helper emits exactly max(0, len-k+1) spans per
+    document for ANY corpus and window size — including documents shorter
+    than k, which used to crash (round-8 review): they must contribute
+    zero rows, not an error. Hashes are md5 of the literal k-token join."""
+    import hashlib
+
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r9 import _span_hashes
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [(r["doc_id"], r["h"]) for r in _span_hashes(df, k).collect()]
+    want = []
+    for i, ws in enumerate(docs):
+        # split(" ") on an empty text yields [""]: mirror the operator's
+        # tokenization exactly
+        toks = " ".join(ws).split(" ")
+        for s in range(max(0, len(toks) - k + 1)):
+            joined = " ".join(toks[s : s + k])
+            want.append((i, hashlib.md5(joined.encode()).hexdigest()))
+    assert sorted(got) == sorted(want)
