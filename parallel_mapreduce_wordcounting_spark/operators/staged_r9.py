@@ -5,7 +5,7 @@ for the next window drain. tests/test_staged_r9.py runs the same
 fn-vs-DuckDB compare the registry harness would; registration later adds
 the decorators without touching the bodies.
 
-Contents (15 ops — the statistics/data-quality wave):
+Contents (19 ops — the statistics/data-quality wave):
 
 - ``stat_linreg`` — per-group simple OLS (slope/intercept/r²) from exact
   integer sufficient statistics.
@@ -36,6 +36,14 @@ Contents (15 ops — the statistics/data-quality wave):
   sufficient-statistics shape.
 - ``pipeline_split_leakage`` — composed hash-split + 5-gram overlap:
   what fraction of val/test n-grams also occur in train.
+- ``stat_chi2_independence`` — Pearson χ² of event type × ISO weekday
+  (engine-independent epoch-day weekday).
+- ``event_forecast_ewma`` — truncated EWMA of daily volume as an
+  equi-join lag fan-out (no range join, no window sort).
+- ``agg_hist2d`` — quantity × discount joint histogram over exact
+  integer-cents bins.
+- ``event_stickiness`` — DAU / trailing-30-day MAU via the same lag
+  fan-out.
 
 Exactness doctrine (same as the registered set): every driver-compared
 number is either an int64/decimal(38) accumulation (order-independent,
@@ -48,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table, ts_us
+from ..sources.loader import load_table, ts_day, ts_us
 from .exact import floor_day_us_sql, money_cents, money_cents_sql
 
 # --- per-group OLS regression -------------------------------------------------
@@ -1205,4 +1213,221 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.coalesce(F.col("hit"), F.lit(0))) / (1.0 * F.count("*")), 6
             ).alias("leakage"),
         )
+    )
+
+
+# --- chi-square independence test --------------------------------------------
+
+_ISODOW = "((({d}) + 3) % 7 + 7) % 7 + 1"  # 1970-01-01 is a Thursday (=4)
+
+STAT_CHI2_INDEPENDENCE_ORACLE = (
+    "WITH o AS ("
+    f"  SELECT event_type, {_ISODOW.format(d=floor_day_us_sql())} AS dow,"
+    "    count(*) AS obs"
+    "  FROM events GROUP BY 1, 2"
+    "), rt AS (SELECT event_type, sum(obs) AS r FROM o GROUP BY 1), "
+    "ct AS (SELECT dow, sum(obs) AS c FROM o GROUP BY 1), "
+    "n AS (SELECT sum(obs) AS n FROM o) "
+    "SELECT CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)"
+    " * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS df, "
+    "CAST(sum(CAST(obs AS BIGINT)) AS BIGINT) AS n_obs, "
+    "round(sum(pow(obs - CAST(rt.r AS DOUBLE) * ct.c / n.n, 2)"
+    " / (CAST(rt.r AS DOUBLE) * ct.c / n.n)), 6) AS chi2 "
+    "FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n"
+)
+
+
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between event type and ISO weekday
+    — "does behavior depend on the day of week?" — completing the
+    inference family (two-sample z, KS, k-group ANOVA; this one is
+    two-CATEGORICAL). Returns χ², its degrees of freedom and N; a 5×7
+    contingency table with χ² ≫ df rejects independence.
+
+    Weekday comes from the epoch-day arithmetic form ((day+3) mod 7)+1 —
+    engine-independent, sidestepping the Spark-dayofweek-1=Sunday vs
+    DuckDB-isodow trap (the fn_date_dim lesson). Observed counts are
+    exact integers; expected counts r·c/N and the χ² terms are doubles
+    over identical integers, summed over ≤ |types|·7 cells (far below the
+    6-dp round). Scale: one count shuffle to the contingency table, then
+    everything is cell-count-sized; the margins join back as broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = ((ts_day("ts") + 3) % 7 + 7) % 7 + 1
+    o = ev.groupBy(F.col("event_type"), dow.alias("dow")).agg(
+        F.count("*").alias("obs")
+    )
+    rt = F.broadcast(o.groupBy("event_type").agg(F.sum("obs").alias("r")))
+    ct = F.broadcast(o.groupBy("dow").agg(F.sum("obs").alias("c")))
+    n = F.broadcast(o.agg(F.sum("obs").alias("n")))
+    dims = F.broadcast(
+        o.agg(
+            ((F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1))
+            .cast("long")
+            .alias("df")
+        )
+    )
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    return (
+        o.join(rt, "event_type")
+        .join(ct, "dow")
+        .crossJoin(n)
+        .agg(
+            F.sum(F.col("obs").cast("long")).cast("long").alias("n_obs"),
+            F.round(F.sum(F.pow(F.col("obs") - exp, 2) / exp), 6).alias("chi2"),
+        )
+        .crossJoin(dims)
+        .select("df", "n_obs", "chi2")
+    )
+
+
+# --- trailing-window EWMA forecast -------------------------------------------
+
+_EWMA_ALPHA, _EWMA_WINDOW = 0.3, 14
+
+EVENT_FORECAST_EWMA_ORACLE = (
+    "WITH daily AS ("
+    f"  SELECT {floor_day_us_sql()} AS day, count(*) AS x"
+    "  FROM events GROUP BY 1"
+    "), lags AS (SELECT unnest(generate_series(0, 13)) AS lag), "
+    "w AS ("
+    f"  SELECT d.day, d2.x, pow(1.0 - {_EWMA_ALPHA}, l.lag) AS wt"
+    "  FROM daily d CROSS JOIN lags l"
+    "  JOIN daily d2 ON d2.day = d.day - l.lag"
+    ") SELECT day, "
+    "round(sum(wt * x) / sum(wt), 6) AS ewma "
+    "FROM w GROUP BY day"
+)
+
+
+def event_forecast_ewma(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = _EWMA_ALPHA,
+    window: int = _EWMA_WINDOW,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average of daily event
+    volume — the level-smoothing baseline beside the staged seasonal-naive
+    forecast: each day's EWMA is the (1−α)^lag-weighted mean of the
+    trailing ``window`` observed days, re-normalized over the weights
+    actually present (so leading days and gap days are handled without
+    special cases).
+
+    The trailing window is an EQUI-join, not a range join: the lag list
+    [0..window) explodes against the daily series once, and day = day−lag
+    is a plain hash-join key — no BroadcastNestedLoopJoin, no
+    window-function global sort, and the join fans each daily row out
+    exactly ``window`` times (calendar-bounded). Weights pow(1−α, lag)
+    with integer lag are bit-identical cross-engine; the ≤``window``-term
+    double sums sit far below the 6-dp round.
+
+    Scale: the daily aggregate is one shuffle; everything after is
+    calendar-sized (rows = days·window)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(ts_day("ts").alias("day")).agg(F.count("*").alias("x"))
+    # the lag fan-out is explode(sequence(...)) — a generator inside the
+    # same stage, not a join: crossJoin(broadcast(lags)) plans as a
+    # BroadcastNestedLoopJoin for nothing
+    fan = daily.select(
+        "day",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("lag"),
+    ).select(
+        (F.col("day") + F.col("lag")).alias("day"),
+        F.col("x"),
+        F.pow(F.lit(1.0 - alpha), F.col("lag")).alias("wt"),
+    )
+    return (
+        daily.select("day")
+        .join(fan, "day")
+        .groupBy("day")
+        .agg(F.round(F.sum(F.col("wt") * F.col("x")) / F.sum("wt"), 6).alias("ewma"))
+    )
+
+
+# --- 2-D histogram ------------------------------------------------------------
+
+AGG_HIST2D_ORACLE = (
+    "SELECT CAST(CAST(l_quantity AS BIGINT) // 10 AS BIGINT) AS qty_bin, "
+    f"CAST({money_cents_sql('l_discount')} // 2 AS BIGINT) AS disc_bin, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY 1, 2"
+)
+
+
+def agg_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram of quantity × discount — the joint-distribution
+    profile a mixture/pricing analysis reads (1-D margins hide the
+    correlation structure; agg_hist is the 1-D sibling). Bins: quantity
+    div 10 (integral quantities), discount in exact integer cents div 2
+    (2-cent-wide bins) — the cents conversion dodges the 0.07·100 ≠ 7
+    float trap, so bin assignment is bit-identical cross-engine and every
+    count is an exact int64.
+
+    Scale: one partial-agg shuffle keyed by (qty_bin, disc_bin) — state
+    is the occupied-cell count, not the row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.expr("CAST(l_quantity AS BIGINT) div 10").alias("qty_bin"),
+            money_cents(F.col("l_discount")).cast("long").alias("_dc"),
+        )
+        .agg(F.count("*").alias("_n"))
+        .groupBy("qty_bin", F.expr("_dc div 2").alias("disc_bin"))
+        .agg(F.sum("_n").cast("long").alias("n"))
+    )
+
+
+# --- DAU/MAU stickiness -------------------------------------------------------
+
+_STICKY_WINDOW = 30
+
+EVENT_STICKINESS_ORACLE = (
+    "WITH ud AS ("
+    f"  SELECT DISTINCT user_id, {floor_day_us_sql()} AS day FROM events"
+    "), days AS (SELECT DISTINCT day FROM ud), "
+    "lags AS (SELECT unnest(generate_series(0, 29)) AS lag), "
+    "mau AS ("
+    "  SELECT d.day, count(DISTINCT u.user_id) AS mau"
+    "  FROM days d CROSS JOIN lags l JOIN ud u ON u.day = d.day - l.lag"
+    "  GROUP BY d.day"
+    "), dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day) "
+    "SELECT day, CAST(dau.dau AS BIGINT) AS dau, CAST(mau.mau AS BIGINT) AS mau, "
+    "round(dau.dau / (1.0 * mau.mau), 6) AS stickiness "
+    "FROM dau JOIN mau USING (day)"
+)
+
+
+def event_stickiness(
+    spark: SparkSession, sf_dir: str, window: int = _STICKY_WINDOW
+) -> DataFrame:
+    """DAU / trailing-``window``-day MAU per day — the stickiness ratio
+    product analytics watches (→1: the monthly audience shows up daily;
+    →1/window: every active user is a drive-by). Same equi-join lag
+    fan-out as :func:`event_forecast_ewma`: (user, day) distinct pairs
+    explode against the lag list once and join back on the shifted day,
+    so the trailing-window distinct count is a hash join + count-distinct
+    — no range join, no window sort. All counts exact int64; the ratio is
+    one double division (MAU ≥ DAU ≥ 1 whenever the day exists), 6 dp.
+
+    Scale: the (user, day) dedup is the only data-sized shuffle; the
+    fan-out is days·window rows ≤ calendar-bounded, and the per-day
+    count-distinct shuffles user ids already deduped per day."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", ts_day("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    # explode(sequence(...)) fan-out, not a crossJoin — see event_forecast_ewma
+    fan = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("lag"),
+    ).select((F.col("day") + F.col("lag")).alias("day"), "user_id")
+    mau = days.join(fan, "day").groupBy("day").agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return dau.join(mau, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        F.round(F.col("dau") / (1.0 * F.col("mau")), 6).alias("stickiness"),
     )

@@ -45,6 +45,22 @@ CASES = [
         staged_r9.pipeline_split_leakage,
         staged_r9.PIPELINE_SPLIT_LEAKAGE_ORACLE,
     ),
+    (
+        "stat_chi2_independence",
+        staged_r9.stat_chi2_independence,
+        staged_r9.STAT_CHI2_INDEPENDENCE_ORACLE,
+    ),
+    (
+        "event_forecast_ewma",
+        staged_r9.event_forecast_ewma,
+        staged_r9.EVENT_FORECAST_EWMA_ORACLE,
+    ),
+    ("agg_hist2d", staged_r9.agg_hist2d, staged_r9.AGG_HIST2D_ORACLE),
+    (
+        "event_stickiness",
+        staged_r9.event_stickiness,
+        staged_r9.EVENT_STICKINESS_ORACLE,
+    ),
 ]
 
 
@@ -506,3 +522,75 @@ def test_degenerate_groups_yield_null_not_ansi_abort(spark, tmp_path):
     # KS against an event type with no rows: NULL D, no abort
     r = staged_r9.stat_ks_test(spark, SF_DIR, "click", "no_such_type").collect()[0]
     assert r["ks_d"] is None
+
+
+def test_chi2_independence_brute_force(duck):
+    """Contingency chi-square vs a literal python recomputation."""
+    rows = duck.execute(
+        "SELECT event_type, ((epoch_ns(ts) // 1000 // 86400000000) + 3) % 7 + 1, count(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    obs: dict[tuple, int] = {(t, d): n for t, d, n in rows}
+    types = sorted({t for t, _ in obs})
+    dows = sorted({d for _, d in obs})
+    n = sum(obs.values())
+    rt = {t: sum(v for (tt, _), v in obs.items() if tt == t) for t in types}
+    ct = {d: sum(v for (_, dd), v in obs.items() if dd == d) for d in dows}
+    chi2 = sum(
+        (obs.get((t, d), 0) - rt[t] * ct[d] / n) ** 2 / (rt[t] * ct[d] / n)
+        for t in types
+        for d in dows
+        if obs.get((t, d)) is not None
+    )
+    got = duck.execute(staged_r9.STAT_CHI2_INDEPENDENCE_ORACLE).fetchone()
+    assert got[0] == (len(types) - 1) * (len(dows) - 1)
+    assert got[1] == n
+    assert math.isclose(got[2], chi2, abs_tol=2e-6)
+
+
+def test_ewma_first_day_equals_actual_and_smooths(spark, duck):
+    """A day with no observed history smooths to exactly its own value
+    (weights renormalize), and every EWMA lies within the window's
+    min..max actuals."""
+    daily = dict(
+        duck.execute(
+            "SELECT epoch_ns(ts) // 1000 // 86400000000 AS day, count(*)"
+            " FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    got = {r["day"]: r["ewma"] for r in staged_r9.event_forecast_ewma(spark, SF_DIR).collect()}
+    first = min(daily)
+    assert math.isclose(got[first], daily[first], abs_tol=1e-6)
+    lo, hi = min(daily.values()), max(daily.values())
+    for day, ewma in got.items():
+        assert lo - 1e-6 <= ewma <= hi + 1e-6
+
+
+def test_hist2d_margins_match_total(spark, duck):
+    """Cell counts must sum to the table row count, and the qty margin
+    must match a direct 1-D histogram."""
+    rows = staged_r9.agg_hist2d(spark, SF_DIR).collect()
+    total = duck.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+    assert sum(r["n"] for r in rows) == total
+    margin: dict[int, int] = {}
+    for r in rows:
+        margin[r["qty_bin"]] = margin.get(r["qty_bin"], 0) + r["n"]
+    want = dict(
+        duck.execute(
+            "SELECT CAST(l_quantity AS BIGINT) // 10, count(*) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert margin == want
+
+
+def test_stickiness_bounds_and_day1_identity(spark, duck):
+    """DAU <= MAU always; on the corpus's FIRST day there is no trailing
+    history, so MAU == DAU and stickiness == 1."""
+    rows = {r["day"]: r for r in staged_r9.event_stickiness(spark, SF_DIR).collect()}
+    assert rows
+    for r in rows.values():
+        assert 1 <= r["dau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+    first = min(rows)
+    assert rows[first]["dau"] == rows[first]["mau"]
+    assert rows[first]["stickiness"] == 1.0
