@@ -136,7 +136,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("t").alias("w")).groupBy("w").agg(F.count("*").alias("c"))
     )
     nu = ucnt.agg(F.sum("c").alias("nu"))
-    bigrams = toks.select(
+    # the size filter only gates the BIGRAM branch (unigram counts must see
+    # every doc): a 1-token doc makes sequence(0, size-2) descend to [0,-1]
+    # and element_at(t, 0)/element_at(t, 2) throw — the oracle's
+    # generate_series is simply empty for it (round-8 hazard sweep)
+    bigrams = toks.where(F.size("t") >= 2).select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("t") - 2),

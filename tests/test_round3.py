@@ -8,6 +8,8 @@ from __future__ import annotations
 import pytest
 
 import parallel_mapreduce_wordcounting_spark as engine
+
+from .conftest import SF_DIR
 from parallel_mapreduce_wordcounting_spark.operators.dedup import (
     min_label_propagation,
 )
@@ -120,3 +122,29 @@ def test_tpch_q20_matches_duckdb_directly(spark, duck):
     want = sorted(map(tuple, duck.execute(TPCH_Q20_ORACLE).fetchall()))
     assert len(got) > 0
     assert got == want
+
+
+def test_bigram_pmi_survives_one_token_docs(spark, tmp_path):
+    """Round-8 hazard sweep: a 1-token document used to crash the bigram
+    branch (sequence(0, size-2) descends to [0,-1]; element_at(t, 0) and
+    the out-of-bounds element_at(t, 2) both throw under ANSI). Short docs
+    must contribute unigrams but no bigrams — identical PMI output."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    fn = engine.REGISTRY["text_bigram_pmi"].fn
+    # append docs whose only effect is +1 on two unigram counts; PMI rows
+    # (bigram-derived) keep their bigram counts, and the unigram totals
+    # they divide by shift only for the two touched words
+    with_short = d.unionByName(
+        spark.createDataFrame(
+            [(20_000_001, "solo", "en", "srcY", 4)], d.schema
+        )
+    )
+    with_short.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = fn(spark, str(tmp_path)).collect()
+    assert got  # ran to completion, non-empty — the crash is the regression
