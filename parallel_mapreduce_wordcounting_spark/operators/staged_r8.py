@@ -238,9 +238,14 @@ def agg_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "obs_a",
         "obs_b",
+        # try_divide: a corpus containing only ONE of the two populations
+        # zeroes na or nb — the oracle's x/0 yields NULL chi2_term rows
+        # where a bare ANSI `/` would abort the job (round-8 sweep)
         F.round(
-            F.pow(F.col("obs_b") * F.col("na") - F.col("obs_a") * F.col("nb"), 2)
-            / (1.0 * F.col("na") * F.col("nb") * (F.col("obs_a") + F.col("obs_b"))),
+            F.try_divide(
+                F.pow(F.col("obs_b") * F.col("na") - F.col("obs_a") * F.col("nb"), 2),
+                1.0 * F.col("na") * F.col("nb") * (F.col("obs_a") + F.col("obs_b")),
+            ),
             6,
         ).alias("chi2_term"),
     )
@@ -693,7 +698,15 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: binaryFile scans parallelize per file (maxPartitionBytes also
     splits large blobs' metadata listing); the sha/length projection keeps
-    whole blobs out of the shuffle — only 40-byte digests move."""
+    whole blobs out of the shuffle — only 40-byte digests move. Staging
+    note: the 50-file fixture is written to a DETERMINISTIC per-sf_dir
+    temp directory (idempotent rewrite — repeat invocations reuse it
+    instead of leaking a fresh mkdtemp each call), and staging to
+    driver-local disk is a single-process demo device: on a real cluster
+    the blobs already live on shared storage and ONLY the
+    ``format('binaryFile')`` scan below is the operator."""
+    import hashlib
+    import os
     import tempfile
 
     d = (
@@ -701,7 +714,11 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < 50)
         .select("doc_id", "text")
     )
-    stage = tempfile.mkdtemp(prefix="pmrwc_blobs_")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pmrwc_blobs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
     for r in d.collect():  # 50 bounded fixture rows — staging only, not the scan
         with open(f"{stage}/{r.doc_id}.bin", "wb") as f:
             f.write(r.text.encode("utf-8"))
@@ -763,12 +780,23 @@ def dedup_lsh_cosine(
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    first = e.select("embedding").first()
+    if first is None or first[0] is None:
+        # empty table (or null leading embedding): every other op degrades
+        # to an empty frame — match that instead of a TypeError on None
+        return spark.createDataFrame(
+            [], "vec_id_a long, vec_id_b long, cosine double"
+        )
+    dim = len(first[0])
     if n_bits is None:
         import math
 
         n = e.count()
         n_bits = n_bands * max(8, math.ceil(math.log2(max(n, 2) / 25)))
+    elif n_bits % n_bands:
+        # silently truncating to n_bits//n_bands per band would use fewer
+        # bits than the caller asked (and still pay the full GEMM)
+        raise ValueError(f"n_bits={n_bits} must be a multiple of n_bands={n_bands}")
     planes = np.random.RandomState(seed).standard_normal((dim, n_bits))
     bplanes = spark.sparkContext.broadcast(planes)
     bits_per_band = n_bits // n_bands
@@ -779,19 +807,17 @@ def dedup_lsh_cosine(
             X = np.array(pdf["v"].tolist(), dtype=np.float64)
             bits = (X @ P) > 0  # (n, n_bits) sign pattern
             out = {"vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands)}
-            band = np.tile(np.arange(n_bands), len(X))
             codes = np.zeros((len(X), n_bands), dtype=np.int64)
             for b in range(n_bands):
                 for k in range(bits_per_band):
                     codes[:, b] = codes[:, b] * 2 + bits[:, b * bits_per_band + k]
                 codes[:, b] += b << 32  # band id disambiguates buckets
             out["band_key"] = codes.reshape(-1)
-            out["band"] = band
             yield pd.DataFrame(out)
 
     keyed = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    ).mapInPandas(band_keys, "vec_id long, band_key long, band int")
+    ).mapInPandas(band_keys, "vec_id long, band_key long")
     a = keyed.select(F.col("band_key"), F.col("vec_id").alias("vec_id_a"))
     b = keyed.select(F.col("band_key"), F.col("vec_id").alias("vec_id_b"))
     cands = (
@@ -842,13 +868,19 @@ def dedup_simhash_pairs(
     inverted index per distinct fingerprint, never all-pairs; the verify
     is integer xor/popcount on candidates only; group sizes come from one
     map-side-combining fingerprint groupBy."""
+    if max_hamming > 3:
+        # the 4-block pigeonhole only GUARANTEES a shared block for
+        # distance <= 3; beyond that, candidates are silently incomplete
+        # (e.g. one flipped bit in each block shares no bucket) — refuse
+        # rather than return wrong results
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-block pigeonhole "
+            "recall guarantee (<= 3); use more blocks for larger radii"
+        )
     from .dedup import dedup_simhash
 
     raw = dedup_simhash(spark, sf_dir)  # doc_id, simhash (long)
-    groups = raw.groupBy("simhash").agg(
-        F.count("*").alias("n_members"), F.min("doc_id").alias("keep_doc_id")
-    )
-    fp = groups.select("simhash", "n_members")
+    fp = raw.groupBy("simhash").agg(F.count("*").alias("n_members"))
     keyed = fp.select(
         "simhash",
         "n_members",
@@ -884,7 +916,7 @@ def dedup_simhash_pairs(
     near = cands.select("fp_a", "fp_b", "n_a", "n_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
-    diagonal = groups.where(F.col("n_members") > 1).select(
+    diagonal = fp.where(F.col("n_members") > 1).select(
         F.col("simhash").alias("fp_a"),
         F.col("simhash").alias("fp_b"),
         F.col("n_members").alias("n_a"),

@@ -9,7 +9,7 @@ import pytest
 
 from parallel_mapreduce_wordcounting_spark.operators import staged_r8
 
-from .conftest import compare_frames
+from .conftest import SF_DIR, compare_frames
 
 CASES = [
     ("event_assoc_rules", staged_r8.event_assoc_rules, staged_r8.EVENT_ASSOC_RULES_ORACLE),
@@ -217,3 +217,44 @@ def test_markov_stationary_is_distribution(spark):
     rows = staged_r8.event_markov_stationary(spark, SF_DIR).collect()
     assert rows and all(r.pi >= 0 for r in rows)
     assert abs(sum(r.pi for r in rows) - 1.0) < 1e-4
+
+
+def test_simhash_pairs_rejects_radius_beyond_guarantee(spark):
+    """CODE-REVIEW r8: max_hamming > 3 used to silently return incomplete
+    candidates (the 4-block pigeonhole only covers distance <= 3) — it
+    must refuse instead."""
+    with pytest.raises(ValueError, match="pigeonhole"):
+        staged_r8.dedup_simhash_pairs(spark, SF_DIR, max_hamming=4)
+
+
+def test_lsh_rejects_nondivisible_bits_and_survives_empty_table(spark, tmp_path):
+    """CODE-REVIEW r8: n_bits not divisible by n_bands silently used fewer
+    bits than requested; an empty embeddings table raised TypeError on
+    first()[0]. Both now have defined behavior."""
+    with pytest.raises(ValueError, match="multiple of n_bands"):
+        staged_r8.dedup_lsh_cosine(spark, SF_DIR, n_bits=20, n_bands=8)
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    empty = load_table(spark, SF_DIR, "embeddings").limit(0)
+    empty.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = staged_r8.dedup_lsh_cosine(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["vec_id_a", "vec_id_b", "cosine"]
+
+
+def test_binary_files_staging_dir_is_reused(spark):
+    """CODE-REVIEW r8: scan_binary_files used to mkdtemp a fresh leaked
+    directory per call; the staging dir is now deterministic per sf_dir,
+    so consecutive calls reuse one path with exactly the 50 fixture
+    files."""
+    import hashlib
+    import os
+    import tempfile
+
+    staged_r8.scan_binary_files(spark, SF_DIR).count()
+    staged_r8.scan_binary_files(spark, SF_DIR).count()
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pmrwc_blobs_{hashlib.md5(SF_DIR.encode()).hexdigest()[:8]}",
+    )
+    assert len(os.listdir(stage)) == 50
