@@ -716,9 +716,12 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"pmrwc_blobs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        # uid-scoped (no cross-user /tmp collision) + per-sf_dir
+        f"pmrwc_blobs_{os.getuid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     os.makedirs(stage, exist_ok=True)
+    for stale in os.listdir(stage):  # purge: a changed source table must not
+        os.unlink(os.path.join(stage, stale))  # leave ghost blobs behind
     for r in d.collect():  # 50 bounded fixture rows — staging only, not the scan
         with open(f"{stage}/{r.doc_id}.bin", "wb") as f:
             f.write(r.text.encode("utf-8"))
@@ -780,10 +783,12 @@ def dedup_lsh_cosine(
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    first = e.select("embedding").first()
-    if first is None or first[0] is None:
-        # empty table (or null leading embedding): every other op degrades
-        # to an empty frame — match that instead of a TypeError on None
+    # probe the dimension from a NON-NULL row (first() has no ordering — a
+    # null embedding landing first must not masquerade as an empty table)
+    first = e.select("embedding").where(F.col("embedding").isNotNull()).first()
+    if first is None:
+        # genuinely no vectors: degrade to an empty typed frame like every
+        # other op instead of a TypeError on None
         return spark.createDataFrame(
             [], "vec_id_a long, vec_id_b long, cosine double"
         )

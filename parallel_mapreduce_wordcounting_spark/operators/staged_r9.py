@@ -1451,15 +1451,17 @@ STAT_MANN_WHITNEY_ORACLE = (
     "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s"
     "  FROM pts"
     "), t AS ("
+    # r2x (~2n² per pooled mass) and the tie term (c³ per value) outgrow
+    # int64 on heavily tied corpora — accumulate in HUGEINT/decimal(38)
     "  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,"
-    "    CAST(sum(c1 * (2 * s + c + 1)) AS BIGINT) AS r2x,"
-    "    CAST(sum(CAST(c AS BIGINT) * c * c - c) AS BIGINT) AS ties"
+    "    sum(CAST(c1 AS HUGEINT) * (2 * s + c + 1)) AS r2x,"
+    "    sum(CAST(c AS HUGEINT) * c * c - c) AS ties"
     "  FROM r"
     f") SELECT '{_KS_A}' AS type_a, '{_KS_B}' AS type_b, n1 AS n_a, n2 AS n_b, "
-    "(r2x - n1 * (n1 + 1)) / 2.0 AS u_a, "
-    "round((((r2x - n1 * (n1 + 1)) / 2.0) - n1 * n2 / 2.0) / "
+    "CAST(r2x - n1 * (CAST(n1 AS HUGEINT) + 1) AS DOUBLE) / 2.0 AS u_a, "
+    "round(((CAST(r2x - n1 * (CAST(n1 AS HUGEINT) + 1) AS DOUBLE) / 2.0) - CAST(n1 AS DOUBLE) * n2 / 2.0) / "
     "sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0) * ((n1 + n2 + 1) - "
-    "CAST(ties AS DOUBLE) / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z "
+    "CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z "
     "FROM t"
 )
 
@@ -1477,8 +1479,10 @@ def stat_mann_whitney(
     group once; midranks come from the exclusive cumulative count ``s``
     via the bucketed distributed prefix-sum, since the rank-sum over a
     tied value group [s+1 .. s+c] contributes c₁·(2s+c+1)/2 — kept
-    doubled (``r2x``) so every accumulation is an exact int64 (U is then
-    an exact half-integer). The tie term Σ(c³−c) is int64 too.
+    doubled (``r2x``) so every accumulation is an exact integer (U is
+    then an exact half-integer). ``r2x`` (~2n² of pooled rank mass) and
+    the tie term Σ(c³−c) accumulate in decimal(38)/HUGEINT — a single
+    value tied ~2.1M times already pushes c³ past int64.
 
     Exactness: z is ONE double expression over those integers, 6 dp.
     Scale: identical profile to stat_ks_test — value group-by, bucket
@@ -1513,28 +1517,36 @@ def stat_mann_whitney(
             F.coalesce(F.sum("tc").over(w_bucket), F.lit(0)).alias("off"),
         )
     )
+    d38 = "decimal(38,0)"
     t = (
         local.join(offsets, "bucket")
         .withColumn("s", F.col("off") + F.col("s_local"))
         .agg(
             F.sum("c1").cast("long").alias("n1"),
             F.sum("c2").cast("long").alias("n2"),
-            F.sum(F.col("c1") * (2 * F.col("s") + F.col("c") + 1))
-            .cast("long")
-            .alias("r2x"),
-            F.sum(F.col("c").cast("long") * F.col("c") * F.col("c") - F.col("c"))
-            .cast("long")
-            .alias("ties"),
+            # r2x (~2n² per pooled mass) and the tie term (c³ per value)
+            # outgrow int64 on heavily tied corpora — accumulate in
+            # decimal(38)/HUGEINT like stat_linreg's syy
+            F.sum(
+                F.col("c1").cast(d38) * (2 * F.col("s") + F.col("c") + 1)
+            ).alias("r2x"),
+            F.sum(
+                F.col("c").cast(d38) * F.col("c") * F.col("c") - F.col("c")
+            ).alias("ties"),
         )
     )
-    u_a = (F.col("r2x") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+    u_a = (
+        (F.col("r2x") - F.col("n1").cast(d38) * (F.col("n1") + 1)).cast("double")
+        / 2.0
+    )
     n = F.col("n1") + F.col("n2")
     sigma = F.sqrt(
         (F.col("n1").cast("double") * F.col("n2") / 12.0)
         * (
             (n + 1)
             - F.try_divide(
-                F.col("ties").cast("double"), n * (n - 1).cast("double")
+                F.col("ties").cast("double"),
+                n.cast("double") * (n - 1).cast("double"),
             )
         )
     )
@@ -1545,7 +1557,8 @@ def stat_mann_whitney(
         F.col("n2").alias("n_b"),
         u_a.alias("u_a"),
         F.round(
-            F.try_divide(u_a - F.col("n1") * F.col("n2") / 2.0, sigma), 6
+            F.try_divide(u_a - F.col("n1").cast("double") * F.col("n2") / 2.0, sigma),
+            6,
         ).alias("z"),
     )
 
@@ -1558,11 +1571,14 @@ EVENT_DECAY_SCORE_ORACLE = (
     "WITH e AS ("
     f"  SELECT user_id, {floor_day_us_sql()} AS day, {money_cents_sql('value')} AS vc"
     "  FROM events"
-    "), mx AS (SELECT max(day) AS mday FROM e) "
-    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
-    f"round(sum(vc * pow(1.0 - {_DECAY_ALPHA}, mx.mday - e.day)) / 100.0, 6)"
+    "), pd AS ("
+    "  SELECT user_id, day, count(*) AS n, sum(vc) AS vc_day"
+    "  FROM e GROUP BY user_id, day"
+    "), mx AS (SELECT max(day) AS mday FROM pd) "
+    "SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events, "
+    f"round(sum(vc_day * pow(1.0 - {_DECAY_ALPHA}, mx.mday - pd.day)) / 100.0, 6)"
     " AS decay_score "
-    "FROM e CROSS JOIN mx GROUP BY user_id"
+    "FROM pd CROSS JOIN mx GROUP BY user_id"
 )
 
 
@@ -1572,29 +1588,37 @@ def event_decay_score(
     """Time-decayed per-user engagement score: Σ value·(1−α)^(days before
     the corpus end) — recency-weighted value, the standard ranking signal
     for churn/LTV models where yesterday's purchase should dominate last
-    month's. One scan: the corpus max day is a broadcast 1-row aggregate,
-    the decay weight is pow with an exact integer day difference
-    (bit-identical cross-engine), values enter as exact integer cents,
-    and the per-user sum is the only shuffle (map-side combining).
+    month's.
 
-    Exactness: each term vc·pow(1−α, Δdays) is the same double on both
-    engines; the per-user sums are ≤ thousands of terms, far below the
-    6-dp round."""
+    Exactness discipline (the EWMA precedent): events first reduce to
+    exact integer-cent subtotals PER (user, day) — an order-independent
+    int64 aggregation that absorbs the data-sized summation — and only
+    the CALENDAR-BOUNDED fold over a user's distinct active days
+    multiplies by pow(1−α, Δdays) and sums doubles (identical per-term
+    operands, ≤ corpus-span terms per user, far below the 6-dp round).
+    A raw per-event double sum would accumulate in engine-dependent order
+    as per-user event counts grow. The corpus max day is a broadcast
+    1-row aggregate; the (user, day) group-by is the only data-sized
+    shuffle, map-side combining."""
     ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id",
-        ts_day("ts").alias("day"),
-        money_cents(F.col("value")).alias("vc"),
+    per_day = (
+        ev.select(
+            "user_id",
+            ts_day("ts").alias("day"),
+            money_cents(F.col("value")).alias("vc"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n"), F.sum("vc").alias("vc_day"))
     )
-    mx = F.broadcast(e.agg(F.max("day").alias("mday")))
+    mx = F.broadcast(per_day.agg(F.max("day").alias("mday")))
     return (
-        e.crossJoin(mx)
+        per_day.crossJoin(mx)
         .groupBy("user_id")
         .agg(
-            F.count("*").cast("long").alias("n_events"),
+            F.sum("n").cast("long").alias("n_events"),
             F.round(
                 F.sum(
-                    F.col("vc")
+                    F.col("vc_day")
                     * F.pow(F.lit(1.0 - alpha), F.col("mday") - F.col("day"))
                 )
                 / 100.0,

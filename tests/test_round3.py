@@ -128,23 +128,31 @@ def test_bigram_pmi_survives_one_token_docs(spark, tmp_path):
     """Round-8 hazard sweep: a 1-token document used to crash the bigram
     branch (sequence(0, size-2) descends to [0,-1]; element_at(t, 0) and
     the out-of-bounds element_at(t, 2) both throw under ANSI). Short docs
-    must contribute unigrams but no bigrams — identical PMI output."""
-    import shutil
+    must contribute their UNIGRAM but no bigrams — verified value-for-value
+    against the DuckDB oracle over the same modified table (so a
+    regression that drops short docs from the unigram totals too would
+    hash-mismatch, not just crash)."""
+    import duckdb
 
     from pyspark.sql import functions as F
 
     from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
 
+    from .conftest import compare_frames
+
     d = load_table(spark, SF_DIR, "documents")
     fn = engine.REGISTRY["text_bigram_pmi"].fn
-    # append docs whose only effect is +1 on two unigram counts; PMI rows
-    # (bigram-derived) keep their bigram counts, and the unigram totals
-    # they divide by shift only for the two touched words
     with_short = d.unionByName(
         spark.createDataFrame(
             [(20_000_001, "solo", "en", "srcY", 4)], d.schema
         )
     )
     with_short.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    got = fn(spark, str(tmp_path)).collect()
-    assert got  # ran to completion, non-empty — the crash is the regression
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(engine.REGISTRY["text_bigram_pmi"].oracle)
+    cols = [c[0] for c in res.description]
+    compare_frames(fn(spark, str(tmp_path)), res.fetchall(), cols)

@@ -650,18 +650,45 @@ def test_mann_whitney_u_symmetry(spark):
     assert math.isclose(ab["z"], -ba["z"], abs_tol=2e-6)
 
 
-def test_decay_score_monotone_in_recency(spark, duck):
-    """Two users with identical values, one strictly more recent, must
-    rank in recency order; and an all-last-day user's score equals the
-    plain value sum."""
-    rows = {r["user_id"]: r for r in staged_r9.event_decay_score(spark, SF_DIR).collect()}
+def test_decay_score_monotone_in_recency(spark, duck, tmp_path):
+    """Planted recency ordering: two users with IDENTICAL values, one
+    strictly more recent, must rank in recency order; an all-last-day
+    user's score equals their plain value sum exactly; and on the real
+    fixture decay can only shrink nonnegative value mass."""
+    import datetime
+
+    rows = []
+    eid = 0
+    # equal TOTAL value (20.0) per user — only the timing differs:
+    # u1 all on the last day, u2 all 5 days earlier, u3 split across both
+    for day, users in [(10, [1, 1, 3]), (5, [2, 2, 3])]:
+        for u in users:
+            rows.append(
+                (eid, datetime.datetime(2024, 3, day, 12, 0, 0), u,
+                 "click", 10.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["user_id"]: r["decay_score"]
+        for r in staged_r9.event_decay_score(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == 20.0  # all-last-day: no decay at all
+    assert got[1] > got[3] > got[2]  # strictly more recent => strictly higher
+    assert math.isclose(got[2], 20.0 * 0.9**5, abs_tol=1e-6)
+    # fixture-wide: nonnegative and bounded by the undecayed sum
+    real = {
+        r["user_id"]: r
+        for r in staged_r9.event_decay_score(spark, SF_DIR).collect()
+    }
     n_users = duck.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
-    assert len(rows) == n_users
-    for r in rows.values():
-        assert r["decay_score"] >= 0
-        # decay can only shrink value mass
+    assert len(real) == n_users
+    for r in real.values():
         plain = duck.execute(
             "SELECT sum(CAST(sign(value)*floor(abs(value)*100+0.5) AS BIGINT))/100.0"
             f" FROM events WHERE user_id = {r['user_id']}"
         ).fetchone()[0]
-        assert r["decay_score"] <= plain + 1e-6
+        assert 0 <= r["decay_score"] <= plain + 1e-6
