@@ -280,3 +280,65 @@ def test_round7_golden_pins_sf0001(spark):
 
     (r,) = engine.REGISTRY["obs_metrics"].fn(spark, SF0001).collect()
     assert tuple(r) == (4778, 1568, 25224225928)
+
+
+def test_round8_staged_golden_pins_sf0001(spark):
+    """Round-8 staged keys (operators/staged_r9.py) pinned to values
+    measured from the seed=42 fixture via the oracle-verified paths —
+    catches silent semantic drift that a self-consistent Spark/DuckDB
+    pair could miss together."""
+    import pyspark.sql.functions as F
+
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r9 as s9
+
+    lin = sorted(tuple(r) for r in s9.stat_linreg(spark, SF0001).collect())
+    assert lin == [
+        ("A", 1962, -42.561751, 52906.76046, 0.000406),
+        ("N", 2070, -21.120325, 53890.115298, 0.000108),
+        ("R", 1968, 0.65978, 53454.949302, 0.0),
+    ]
+
+    (an,) = s9.stat_anova(spark, SF0001).collect()
+    assert tuple(an) == (2, 5997, 0.758104, 0.000253)
+
+    (c2,) = s9.stat_chi2_independence(spark, SF0001).collect()
+    assert tuple(c2) == (24, 1000, 23.493663)
+
+    (mw,) = s9.stat_mann_whitney(spark, SF0001).collect()
+    assert tuple(mw) == ("click", "purchase", 210, 202, 20447.5, -0.631059)
+
+    (ks,) = s9.stat_ks_test(spark, SF0001).collect()
+    assert tuple(ks) == ("click", "purchase", 210, 202, 0.055257)
+
+    (conc,) = (
+        s9.event_concurrency(spark, SF0001)
+        .agg(F.count("*"), F.max("peak_concurrency"), F.sum("peak_concurrency"))
+        .collect()
+    )
+    assert tuple(conc) == (30, 4, 77)
+
+    (sp,) = (
+        s9.dedup_spans(spark, SF0001)
+        .agg(F.count("*"), F.sum("n_occur"), F.max("n_docs"))
+        .collect()
+    )
+    assert tuple(sp) == (1115, 2382, 4)
+
+    (tri,) = s9.graph_triangle_stats(spark, SF0001).collect()
+    assert tuple(tri) == (45, 28, 15, 5, 1.0)  # duplication is pure cliques
+
+    sweep = sorted(tuple(r) for r in s9.sim_threshold_sweep(spark, SF0001).collect())
+    assert sweep == [(0.3, 920), (0.35, 257), (0.4, 66), (0.45, 7), (0.5, 0)]
+
+    leak = sorted(tuple(r) for r in s9.pipeline_split_leakage(spark, SF0001).collect())
+    assert leak == [
+        ("test", 25, 1374, 0, 0.0),
+        ("val", 23, 1426, 252, 0.176718),
+    ]
+
+    (dec,) = (
+        s9.event_decay_score(spark, SF0001)
+        .agg(F.count("*"), F.round(F.sum("decay_score"), 2))
+        .collect()
+    )
+    assert tuple(dec) == (15, 14878.1)
