@@ -5,7 +5,7 @@ for the next window drain. tests/test_staged_r9.py runs the same
 fn-vs-DuckDB compare the registry harness would; registration later adds
 the decorators without touching the bodies.
 
-Contents (21 ops — the statistics/data-quality wave):
+Contents (24 ops — the statistics/data-quality wave):
 
 - ``stat_linreg`` — per-group simple OLS (slope/intercept/r²) from exact
   integer sufficient statistics.
@@ -48,6 +48,12 @@ Contents (21 ops — the statistics/data-quality wave):
   no-global-sort prefix-sum ranks.
 - ``event_decay_score`` — recency-weighted per-user engagement value
   (exact integer day deltas and cents).
+- ``event_time_to_convert`` — hours from first signup to first
+  subsequent purchase per user.
+- ``text_vocab_coverage`` — token coverage of the top-k vocabulary
+  types (the tokenizer budget curve).
+- ``agg_topk_share`` — revenue share of the top-k customers (the
+  acted-on point on the concentration curve beside Gini).
 
 Exactness doctrine (same as the registered set): every driver-compared
 number is either an int64/decimal(38) accumulation (order-independent,
@@ -1625,4 +1631,175 @@ def event_decay_score(
                 6,
             ).alias("decay_score"),
         )
+    )
+
+
+# --- conversion lag -----------------------------------------------------------
+
+EVENT_TIME_TO_CONVERT_ORACLE = (
+    "WITH s AS ("
+    "  SELECT user_id, min(epoch_ns(ts) // 1000) AS signup_us FROM events"
+    "  WHERE event_type = 'signup' GROUP BY user_id"
+    "), p AS ("
+    "  SELECT user_id, min(epoch_ns(ts) // 1000) AS purchase_us FROM events"
+    "  WHERE event_type = 'purchase' GROUP BY user_id"
+    ") SELECT s.user_id, s.signup_us, p.purchase_us, "
+    "round((p.purchase_us - s.signup_us) / 3600000000.0, 6) AS hours_to_convert "
+    "FROM s JOIN p USING (user_id) WHERE p.purchase_us > s.signup_us"
+)
+
+
+def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion lag per user: hours from FIRST signup to FIRST
+    subsequent purchase — the activation metric growth teams distribute
+    and percentile. Two conditional min-aggregates over one scan (the
+    filter disjuncts fuse), an equi-join on user, and an exact integer µs
+    difference; only users whose first purchase follows their first
+    signup qualify (the join + predicate states the funnel order).
+
+    Exactness: µs are exact int64; hours is one double division, 6 dp.
+    Scale: two map-side-combining aggs + a user-key join — no window, no
+    event-order shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    us = ts_us("ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("signup_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("purchase_us"))
+    )
+    return (
+        s.join(p, "user_id")
+        .where(F.col("purchase_us") > F.col("signup_us"))
+        .select(
+            "user_id",
+            "signup_us",
+            "purchase_us",
+            F.round(
+                (F.col("purchase_us") - F.col("signup_us")) / 3_600_000_000.0, 6
+            ).alias("hours_to_convert"),
+        )
+    )
+
+
+# --- vocabulary coverage curve ------------------------------------------------
+
+_COVERAGE_KS = (5, 10, 20)
+
+TEXT_VOCAB_COVERAGE_ORACLE = (
+    "WITH wc AS ("
+    "  SELECT word, count(*) AS n FROM ("
+    "    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents"
+    "  ) WHERE word <> '' GROUP BY word"
+    "), ranked AS ("
+    "  SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rnk FROM wc"
+    "), tot AS (SELECT sum(n) AS t FROM wc) "
+    + " UNION ALL ".join(
+        f"SELECT {k} AS k, "
+        f"CAST((SELECT coalesce(sum(n), 0) FROM ranked WHERE rnk <= {k}) AS BIGINT)"
+        " AS n_tokens_covered, "
+        f"round((SELECT coalesce(sum(n), 0) FROM ranked WHERE rnk <= {k})"
+        " / (1.0 * tot.t), 6) AS coverage FROM tot"
+        for k in _COVERAGE_KS
+    )
+)
+
+
+def text_vocab_coverage(
+    spark: SparkSession, sf_dir: str, ks: tuple = _COVERAGE_KS
+) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens the
+    top-k most frequent types cover, for each candidate k — the number a
+    tokenizer/vocab-size decision reads (k where the curve flattens IS
+    the vocabulary budget). One word-count shuffle; ranking and the
+    cumulative shares run over the AGGREGATED vocabulary (|V| rows — the
+    text_zipf precedent, a bounded single-partition window over types,
+    never the token stream), and all k values come from one pass via an
+    explode fan-out.
+
+    Exactness: token counts are exact int64; coverage is one double
+    division, 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "word")
+    ranked = wc.select("n", F.row_number().over(w).alias("rnk"))
+    tot = F.broadcast(wc.agg(F.sum("n").alias("t")))
+    fan = ranked.select(
+        "n", "rnk", F.explode(F.array(*[F.lit(k) for k in ks])).alias("k")
+    )
+    return (
+        fan.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_covered")
+        )
+        .crossJoin(tot)
+        .select(
+            "k",
+            "n_tokens_covered",
+            F.round(F.col("n_tokens_covered") / (1.0 * F.col("t")), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+# --- revenue concentration (top-k share) -------------------------------------
+
+_TOPK_CUSTOMERS = 10
+
+AGG_TOPK_SHARE_ORACLE = (
+    "WITH rev AS ("
+    f"  SELECT o_custkey, sum({money_cents_sql('o_totalprice')}) AS r"
+    "  FROM orders GROUP BY o_custkey"
+    "), top AS ("
+    f"  SELECT r FROM rev ORDER BY r DESC, o_custkey LIMIT {_TOPK_CUSTOMERS}"
+    ") SELECT "
+    f"CAST({_TOPK_CUSTOMERS} AS BIGINT) AS k, "
+    "CAST((SELECT sum(r) FROM top) AS BIGINT) / 100.0 AS topk_revenue, "
+    "CAST((SELECT sum(r) FROM rev) AS BIGINT) / 100.0 AS total_revenue, "
+    "round((SELECT sum(r) FROM top) / (1.0 * (SELECT sum(r) FROM rev)), 6)"
+    " AS share"
+)
+
+
+def agg_topk_share(
+    spark: SparkSession, sf_dir: str, k: int = _TOPK_CUSTOMERS
+) -> DataFrame:
+    """Revenue concentration: the share of total order revenue held by
+    the top-``k`` customers — the '80/20' number beside the staged Gini
+    coefficient (Gini summarizes the whole curve; this reads one point a
+    business actually acts on). Per-customer revenue is one map-side-
+    combining aggregate in exact integer cents; the top-k is
+    TakeOrderedAndProject (heap, never a global sort — custkey breaks
+    revenue ties deterministically), and both sums fold k and |customers|
+    rows respectively.
+
+    Exactness: all cents sums are exact int64 (decimal-safe far past this
+    fixture); share is one double division, 6 dp."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(money_cents(F.col("o_totalprice"))).alias("r")
+    )
+    top = F.broadcast(
+        rev.orderBy(F.col("r").desc(), "o_custkey")
+        .limit(k)
+        .agg(F.sum("r").alias("top_r"))
+    )
+    total = F.broadcast(rev.agg(F.sum("r").alias("tot_r")))
+    return top.crossJoin(total).select(
+        F.lit(k).cast("long").alias("k"),
+        (F.col("top_r").cast("long") / 100.0).alias("topk_revenue"),
+        (F.col("tot_r").cast("long") / 100.0).alias("total_revenue"),
+        F.round(F.col("top_r") / (1.0 * F.col("tot_r")), 6).alias("share"),
     )

@@ -40,6 +40,7 @@ ALLOW = {
     "staged:stat_ks_test": {"GlobalWindow"},  # bucket offsets over one row per floor(value) bucket (~330 rows), staged_r9.py
     "staged:stat_mann_whitney": {"GlobalWindow"},  # same bucket-offset prefix as stat_ks_test (midrank cumulative counts)
     "text_zipf": {"GlobalWindow"},  # rank over the aggregated vocabulary (~|V| rows), not the token stream
+    "staged:text_vocab_coverage": {"GlobalWindow"},  # same aggregated-vocabulary rank as text_zipf
     # broadcast NLJs whose build side is a bounded constant (> 1 row, so the
     # keys=[] 1-row-aggregate detector can't clear them):
     "sim_knn_query": {"BroadcastNestedLoopJoin"},  # 1 query row broadcast (range condition)

@@ -71,6 +71,17 @@ CASES = [
         staged_r9.event_decay_score,
         staged_r9.EVENT_DECAY_SCORE_ORACLE,
     ),
+    (
+        "event_time_to_convert",
+        staged_r9.event_time_to_convert,
+        staged_r9.EVENT_TIME_TO_CONVERT_ORACLE,
+    ),
+    (
+        "text_vocab_coverage",
+        staged_r9.text_vocab_coverage,
+        staged_r9.TEXT_VOCAB_COVERAGE_ORACLE,
+    ),
+    ("agg_topk_share", staged_r9.agg_topk_share, staged_r9.AGG_TOPK_SHARE_ORACLE),
 ]
 
 
@@ -692,3 +703,41 @@ def test_decay_score_monotone_in_recency(spark, duck, tmp_path):
             f" FROM events WHERE user_id = {r['user_id']}"
         ).fetchone()[0]
         assert 0 <= r["decay_score"] <= plain + 1e-6
+
+
+def test_vocab_coverage_monotone_and_saturates(spark, duck):
+    """Coverage is non-decreasing in k and reaches 1.0 once k >= |V|."""
+    rows = sorted(
+        staged_r9.text_vocab_coverage(spark, SF_DIR, ks=(5, 10, 100)).collect(),
+        key=lambda r: r["k"],
+    )
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)
+    vocab = duck.execute(
+        "SELECT count(DISTINCT word) FROM (SELECT unnest(string_split(lower(text),' '))"
+        " AS word FROM documents) WHERE word <> ''"
+    ).fetchone()[0]
+    assert vocab <= 100  # fixture vocabulary is tiny by construction
+    assert covs[-1] == 1.0
+
+
+def test_topk_share_bounds_and_full_k(spark, duck):
+    """share is in (0, 1]; with k >= |customers| it is exactly 1 and
+    topk_revenue equals the exact cents total."""
+    (r,) = staged_r9.agg_topk_share(spark, SF_DIR).collect()
+    assert 0.0 < r["share"] <= 1.0
+    assert r["topk_revenue"] <= r["total_revenue"]
+    n_cust = duck.execute("SELECT count(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    (full,) = staged_r9.agg_topk_share(spark, SF_DIR, k=n_cust).collect()
+    assert full["share"] == 1.0
+    assert full["topk_revenue"] == full["total_revenue"]
+
+
+def test_time_to_convert_positive_and_funnel_ordered(spark):
+    """Every emitted lag is strictly positive and the per-user pair is
+    (first signup, first purchase after it)."""
+    rows = staged_r9.event_time_to_convert(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["purchase_us"] > r["signup_us"]
+        assert r["hours_to_convert"] > 0
