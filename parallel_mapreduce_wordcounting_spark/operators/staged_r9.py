@@ -5,7 +5,7 @@ for the next window drain. tests/test_staged_r9.py runs the same
 fn-vs-DuckDB compare the registry harness would; registration later adds
 the decorators without touching the bodies.
 
-Contents (24 ops — the statistics/data-quality wave):
+Contents (25 ops — the statistics/data-quality wave):
 
 - ``stat_linreg`` — per-group simple OLS (slope/intercept/r²) from exact
   integer sufficient statistics.
@@ -54,6 +54,8 @@ Contents (24 ops — the statistics/data-quality wave):
   types (the tokenizer budget curve).
 - ``agg_topk_share`` — revenue share of the top-k customers (the
   acted-on point on the concentration curve beside Gini).
+- ``pipeline_corpus_report`` — one-row corpus health KPI summary
+  (docs, dup rate, length, language share, source-mix entropy).
 
 Exactness doctrine (same as the registered set): every driver-compared
 number is either an int64/decimal(38) accumulation (order-independent,
@@ -1802,4 +1804,107 @@ def agg_topk_share(
         (F.col("top_r").cast("long") / 100.0).alias("topk_revenue"),
         (F.col("tot_r").cast("long") / 100.0).alias("total_revenue"),
         F.round(F.col("top_r") / (1.0 * F.col("tot_r")), 6).alias("share"),
+    )
+
+
+# --- one-row corpus health report --------------------------------------------
+
+PIPELINE_CORPUS_REPORT_ORACLE = (
+    "WITH base AS ("
+    "  SELECT doc_id, text, lang, source,"
+    "    len(string_split(text, ' ')) AS ws_tokens"
+    "  FROM documents"
+    "), dup AS ("
+    "  SELECT count(*) AS n_dup_docs FROM ("
+    "    SELECT text FROM base GROUP BY text HAVING count(*) > 1"
+    "  ) g JOIN base b ON b.text = g.text"
+    "), src AS ("
+    "  SELECT source, count(*) AS n FROM base GROUP BY source"
+    "), ent AS ("
+    "  SELECT sum((n / (1.0 * t)) * log2(t / (1.0 * n))) AS bits"
+    "  FROM src, (SELECT sum(n) AS t FROM src)"
+    ") SELECT "
+    "CAST((SELECT count(*) FROM base) AS BIGINT) AS n_docs, "
+    "CAST(dup.n_dup_docs AS BIGINT) AS n_exact_dup_docs, "
+    "round(dup.n_dup_docs / (1.0 * (SELECT count(*) FROM base)), 6) AS dup_rate, "
+    "round((SELECT sum(ws_tokens) FROM base) / (1.0 * (SELECT count(*) FROM base)), 6)"
+    " AS mean_ws_tokens, "
+    "round((SELECT count(*) FILTER (ws_tokens < 20) FROM base)"
+    " / (1.0 * (SELECT count(*) FROM base)), 6) AS short_rate, "
+    "round((SELECT count(*) FILTER (lang = 'en') FROM base)"
+    " / (1.0 * (SELECT count(*) FROM base)), 6) AS lang_en_rate, "
+    "round(ent.bits, 6) AS source_entropy_bits "
+    "FROM dup, ent"
+)
+
+
+def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report — the KPI summary a curation run
+    prints before anyone drills in: document count, exact-duplicate
+    count/rate, mean whitespace-token length, short-document rate,
+    English share, and the source-mix entropy in bits (log₂|sources| =
+    perfectly balanced; → 0 = one source dominates). Composes the
+    engine's existing signal definitions (exact dedup's text-equality
+    grouping, text_token_count's whitespace tokens, the JSD op's source
+    distribution) into the single row dashboards consume.
+
+    Plan economy: ONE scan feeds a global aggregate carrying every
+    per-doc statistic (conditional sums — the dq_expectations shape), the
+    dup count is the engine's text group-by re-joined only against group
+    sizes, and the source entropy folds over the |sources|-row mix. No
+    window, no driver math.
+
+    Exactness: all counts exact int64; each rate is one double division
+    and the entropy a ≤|sources|-term double fold, 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+    )
+    scalars = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws_tokens").alias("sum_tokens"),
+        F.sum(F.when(F.col("ws_tokens") < 20, 1).otherwise(0)).alias("n_short"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    dup = F.broadcast(
+        base.groupBy("text")
+        .agg(F.count("*").alias("g"))
+        .where(F.col("g") > 1)
+        .agg(F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("n_dup_docs"))
+    )
+    src = base.groupBy("source").agg(F.count("*").alias("n"))
+    ent = F.broadcast(
+        src.crossJoin(F.broadcast(src.agg(F.sum("n").alias("t"))))
+        .agg(
+            F.sum(
+                (F.col("n") / (1.0 * F.col("t")))
+                * F.log2(F.col("t") / (1.0 * F.col("n")))
+            ).alias("bits")
+        )
+    )
+    return (
+        scalars.crossJoin(dup)
+        .crossJoin(ent)
+        .select(
+            "n_docs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / (1.0 * F.col("n_docs")), 6).alias(
+                "dup_rate"
+            ),
+            F.round(F.col("sum_tokens") / (1.0 * F.col("n_docs")), 6).alias(
+                "mean_ws_tokens"
+            ),
+            F.round(F.col("n_short") / (1.0 * F.col("n_docs")), 6).alias(
+                "short_rate"
+            ),
+            F.round(F.col("n_en") / (1.0 * F.col("n_docs")), 6).alias(
+                "lang_en_rate"
+            ),
+            F.round(F.col("bits"), 6).alias("source_entropy_bits"),
+        )
+        .withColumnRenamed("n_dup_docs", "n_exact_dup_docs")
     )

@@ -82,6 +82,11 @@ CASES = [
         staged_r9.TEXT_VOCAB_COVERAGE_ORACLE,
     ),
     ("agg_topk_share", staged_r9.agg_topk_share, staged_r9.AGG_TOPK_SHARE_ORACLE),
+    (
+        "pipeline_corpus_report",
+        staged_r9.pipeline_corpus_report,
+        staged_r9.PIPELINE_CORPUS_REPORT_ORACLE,
+    ),
 ]
 
 
@@ -741,3 +746,20 @@ def test_time_to_convert_positive_and_funnel_ordered(spark):
     for r in rows:
         assert r["purchase_us"] > r["signup_us"]
         assert r["hours_to_convert"] > 0
+
+
+def test_corpus_report_internal_consistency(spark, duck):
+    """The report's rates must reproduce from its own counts, the dup
+    count must match dedup_exact's group arithmetic, and the source
+    entropy is bounded by log2(|sources|) (balanced mix)."""
+    (r,) = staged_r9.pipeline_corpus_report(spark, SF_DIR).collect()
+    assert r["n_docs"] == duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    dup = duck.execute(
+        "SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM documents"
+        " GROUP BY text HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert r["n_exact_dup_docs"] == dup
+    assert math.isclose(r["dup_rate"], dup / r["n_docs"], abs_tol=5.1e-7)
+    n_src = duck.execute("SELECT count(DISTINCT source) FROM documents").fetchone()[0]
+    assert 0.0 <= r["source_entropy_bits"] <= math.log2(n_src) + 1e-9
+    assert 0.0 <= r["short_rate"] <= 1.0 and 0.0 <= r["lang_en_rate"] <= 1.0
