@@ -55,6 +55,7 @@ from .operators import (  # noqa: F401,E402
     scale_ops,
     graph,
     staged_r8,
+    staged_r9,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

@@ -482,33 +482,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None, tier="B")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (rows-only: no DuckDB xxhash64 to mirror).
+# 60-bit md5-derived token hash, identical on both engines: the first 15
+# hex chars of md5(token) parsed as an integer. 15 chars (not 16) keeps the
+# value < 2^60, inside signed int64 on BOTH engines with no unsigned-wrap
+# divergence; Spark parses with conv(hex, 16, 10), DuckDB (which has no
+# conv) with an exact shift-sum over the hex digits — all-integer, no
+# double precision loss (verified equal to Python's int(md5[:15], 16)).
+SIMHASH_BITS = 60
 
-    Pure array expressions: per doc, each of the 64 bits is the sign of the
-    sum over distinct tokens of ±1 according to that bit of xxhash64(token).
-    Near-identical docs agree on almost all bits; identical token sets agree
-    on all. No shuffle at all — fingerprinting is embarrassingly parallel.
+_ORACLE_TOKEN_H60 = (
+    "list_sum(list_transform(range(0, 15), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(w), 15 - CAST(i AS INT), 1)) - 1 "
+    "AS BIGINT) << CAST(4 * i AS INT)))"
+)
+
+# Shared fingerprint pipeline (doc_id, simhash) as DuckDB CTEs — the exact
+# spec of dedup_simhash below, reused by dedup_simhash_pairs' oracle.
+ORACLE_SIMHASH_FP = (
+    "WITH t AS ("
+    "  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w"
+    "  FROM documents"
+    f"), h AS (SELECT doc_id, CAST({_ORACLE_TOKEN_H60} AS BIGINT) AS h FROM t), "
+    "v AS ("
+    "  SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote"
+    f"  FROM h CROSS JOIN range(0, {SIMHASH_BITS}) r(b) GROUP BY doc_id, b"
+    "), fp AS ("
+    "  SELECT doc_id, CAST(sum(CASE WHEN vote > 0 "
+    "  THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash"
+    "  FROM v GROUP BY doc_id"
+    ")"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"{ORACLE_SIMHASH_FP} SELECT doc_id, simhash FROM fp",
+    tier="B",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints, hash-oracled: per doc, each bit is the
+    sign of the sum over distinct tokens of ±1 according to that bit of the
+    md5-derived 60-bit token hash. Near-identical docs agree on almost all
+    bits; identical token sets agree on all. No shuffle at all —
+    fingerprinting is embarrassingly parallel.
+
+    Was xxhash64/64-bit (rows-only — DuckDB has no xxhash64); the md5
+    token hash (see _ORACLE_TOKEN_H60) is computable exactly on both
+    engines, upgrading this key AND dedup_simhash_pairs to full value-hash
+    verification. 60 bits (15 hex chars) rather than 64 keeps the hash and
+    the fingerprint inside signed int64 on both engines — the pigeonhole
+    pairing splits 60 bits into 4×15-bit blocks with the same d≤3 recall
+    theorem.
 
     The bit-vote accumulation is a SINGLE aggregate over the token hashes
-    carrying a 64-int vote array (each step fans a hash out to all 64
+    carrying a 60-int vote array (each step fans a hash out to all 60
     counters via zip_with) — the per-bit outer loop form re-walks the hash
-    array 64 times in interpreted lambda eval and measured 5× slower at
+    array 60 times in interpreted lambda eval and measured 5× slower at
     sf0.1 (3.3 s → 0.66 s, identical output).
     """
     d = load_table(spark, sf_dir, "documents")
     hashes = F.transform(
-        F.array_distinct(F.split(F.lower("text"), " ")), lambda w: F.xxhash64(w)
+        F.array_distinct(F.split(F.lower("text"), " ")),
+        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
     )
     # Column-valued shift amounts need the SQL expression form (the Python
     # shiftright/shiftleft wrappers only take literal ints).
     simhash = F.expr(
         "aggregate("
         "  zip_with("
-        "    aggregate(hs, array_repeat(0, 64),"
-        "      (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) -> a + IF(((h >> b) & 1) = 1, 1, -1))),"
-        "    sequence(0, 63),"
+        f"    aggregate(hs, array_repeat(0, {SIMHASH_BITS}),"
+        f"      (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), (a, b) -> a + IF(((h >> b) & 1) = 1, 1, -1))),"
+        f"    sequence(0, {SIMHASH_BITS - 1}),"
         "    (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)"
         "  ), 0L, (acc, x) -> acc | x)"
     )

@@ -145,8 +145,7 @@ SIM_QUANTIZE_ORACLE = (
 )
 
 
-@register("sim_quantize_int8", oracle=SIM_QUANTIZE_ORACLE, tier="B")
-def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_quantize_int8_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column:
     scale = max|x|/127, q = round(x/scale), plus the reconstruction MSE —
     the 4x storage/bandwidth compression every 100 TB embedding store
@@ -182,6 +181,48 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("e"),
             9,
         ).alias("mse_r"),
+    )
+
+
+# The registered surface projects qvec to a sha256 digest of its
+# comma-joined components: the driver's canonicalizer sorts result columns
+# with pandas, where an array<int> column is unhashable (the exact r04
+# mm_embed / r06 sim_quantize_int8 failure — TypeError: unhashable type:
+# 'list' before any comparison ran). The digest preserves full bit-level
+# verification of every component (any differing element changes the hash)
+# while keeping every compared column scalar; sim_quantize_int8_vec above
+# stays the library form for consumers that want the codes themselves.
+SIM_QUANTIZE_SHA_ORACLE = (
+    "WITH v AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+    "s AS (SELECT vec_id, e, "
+    "  greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale FROM v), "
+    "q AS (SELECT vec_id, e, scale, "
+    "  list_transform(e, x -> CAST(round(x / scale) AS INTEGER)) AS qvec FROM s) "
+    "SELECT vec_id, sha256(array_to_string(qvec, ',')) AS qvec_sha, "
+    "round(scale, 9) AS scale_r, "
+    "round(list_sum(list_transform(e, (x, i) -> pow(x - qvec[i] * scale, 2))) / len(e), 9) "
+    "AS mse_r FROM q"
+)
+
+
+@register("sim_quantize_int8", oracle=SIM_QUANTIZE_SHA_ORACLE, tier="B")
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable surface of :func:`sim_quantize_int8_vec` — same
+    quantization, with the int8 code vector projected to
+    ``sha256(join(qvec, ','))`` so every compared column is a hashable
+    scalar (see SIM_QUANTIZE_SHA_ORACLE's note). The digest is
+    cross-engine exact because qvec itself is bit-identical cross-engine
+    (the _vec docstring's rounding argument) and both engines render int32
+    components identically in decimal."""
+    v = sim_quantize_int8_vec(spark, sf_dir)
+    return v.select(
+        "vec_id",
+        F.sha2(
+            F.array_join(F.transform("qvec", lambda x: x.cast("string")), ","), 256
+        ).alias("qvec_sha"),
+        "scale_r",
+        "mse_r",
     )
 
 
@@ -340,9 +381,10 @@ def sim_pq(
        state.
     2. top-``shortlist`` candidates by approximate score (heap via
        orderBy+limit -> TakeOrderedAndProject, no global sort);
-    3. exact re-rank: the 100-row shortlist broadcast-joins back to the
-       float vectors and the final top-``k`` uses the TRUE cosine — the
-       standard PQ serving topology (ADC recall, exact precision).
+    3. exact re-rank: the ``shortlist``-row (default 200) shortlist
+       broadcast-joins back to the float vectors and the final top-``k``
+       uses the TRUE cosine — the standard PQ serving topology (ADC
+       recall, exact precision).
 
     Recall@10 vs the exact scan is pinned in tests/test_round7.py on this
     near-uniform corpus (ANN-adversarial, same caveat as
@@ -368,7 +410,8 @@ def sim_pq(
     (qrow,) = e.where(F.col("vec_id") == 0).select("embedding").collect()
     q = np.array(qrow[0], dtype=np.float64)
     dsub = q.shape[0] // m
-    # 8×16 asymmetric lookup table: dot(query_sub, centroid) per subspace
+    # 8×32 (m × ksub) asymmetric lookup table: dot(query_sub, centroid)
+    # per subspace
     table = np.stack(
         [books[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]
     )

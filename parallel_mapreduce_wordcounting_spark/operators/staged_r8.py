@@ -1,22 +1,18 @@
-"""Operators STAGED for round-8 registration (implemented + oracle-tested
-now, deliberately NOT ``@register``-ed yet): the driver verifies only the
-first 50 ``queries()`` keys per round and round 7's additions filled the
-window to 49/50 (COVERAGE.md "verification budget"), so registering these
-now would push never-verified keys outside the window. tests/test_staged_r8.py
-runs the same fn-vs-DuckDB compare the registry harness would; round 8 adds
-the decorators (and moves each oracle constant into the decorator call)
-without touching the bodies.
+"""Second events/statistics operator wave — staged while the driver
+verification window (first 50 ``queries()`` keys per round) was full, now
+fully ``@register``-ed: the post-r06 window had 49 spare slots, so every
+staged key joined the rotation's unverified front tier in one round.
+tests/test_staged_r8.py additionally runs the same fn-vs-DuckDB compare
+the registry harness applies, plus brute-force/property checks.
 
-The one spare window slot went to ``pipeline_sft_pack`` (registered below —
-the composed training-data headliner). Contents (16 ops still staged; each
-listed in COVERAGE.md's "Staged for round 8" with its one-line design):
-association rules, radius similarity search, seasonal-naive forecast eval,
-χ² drift table, point-in-time SCD2 join, Gini, schema-drift union, cohort
-LTV curves, A/B z-test, date dimension, winsorized mean, sequence-pattern
-detection, binaryFile blob source, random-hyperplane LSH dedup, SimHash
-hamming pairing, and Markov stationary distribution. Every fn is
-fn-vs-DuckDB compared at sf0.001 AND sf0.01, plan-audited, and ×10-scale
-measured (SCALE.md) before registration.
+Contents: association rules, radius similarity search, seasonal-naive
+forecast eval, χ² drift table, point-in-time SCD2 join, Gini,
+schema-drift union, cohort LTV curves, A/B z-test, date dimension,
+winsorized mean, sequence-pattern detection, binaryFile blob source,
+random-hyperplane LSH dedup, SimHash hamming pairing, Markov stationary
+distribution, and the composed ``pipeline_sft_pack`` headliner. Every fn
+is fn-vs-DuckDB compared at sf0.001 AND sf0.01, plan-audited, and
+×10-scale measured (SCALE.md).
 """
 
 from __future__ import annotations
@@ -26,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.loader import load_table, ts_day
+from .dedup import ORACLE_SIMHASH_FP
 from .exact import floor_day_us_sql
 from .similarity import _DOT_ORACLE, dot
 
@@ -49,6 +46,7 @@ EVENT_ASSOC_RULES_ORACLE = (
 )
 
 
+@register("event_assoc_rules", oracle=EVENT_ASSOC_RULES_ORACLE, tier="C")
 def event_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over daily per-user event baskets: for every
     unordered event-type pair, its co-occurrence support, both directional
@@ -114,6 +112,7 @@ SIM_RANGE_SEARCH_ORACLE = (
 )
 
 
+@register("sim_range_search", oracle=SIM_RANGE_SEARCH_ORACLE, tier="B")
 def sim_range_search(
     spark: SparkSession, sf_dir: str, threshold: float = 0.25
 ) -> DataFrame:
@@ -154,6 +153,7 @@ EVENT_FORECAST_BASELINE_ORACLE = (
 )
 
 
+@register("event_forecast_baseline", oracle=EVENT_FORECAST_BASELINE_ORACLE, tier="C")
 def event_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast evaluation: predict each day's event volume
     as the volume 7 days earlier and score per-day absolute/relative error
@@ -204,6 +204,7 @@ AGG_DRIFT_CHI2_ORACLE = (
 )
 
 
+@register("agg_drift_chi2", oracle=AGG_DRIFT_CHI2_ORACLE, tier="B")
 def agg_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift table between two event populations ('click' vs
     'view' values), χ²-style: per value bucket, both observed counts and the
@@ -266,6 +267,7 @@ JOIN_PIT_SCD2_ORACLE = (
 )
 
 
+@register("join_pit_scd2", oracle=JOIN_PIT_SCD2_ORACLE, tier="C")
 def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join against the SCD2 dimension built by
     ``scd2_build``: each probe event (a deterministic 1-in-50 sample) picks
@@ -323,6 +325,7 @@ AGG_GINI_ORACLE = (
 )
 
 
+@register("agg_gini", oracle=AGG_GINI_ORACLE, tier="C")
 def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order value per customer segment — the
     concentration/inequality metric (is revenue dominated by a few whale
@@ -378,6 +381,7 @@ SET_UNION_BY_NAME_ORACLE = (
 )
 
 
+@register("set_union_by_name", oracle=SET_UNION_BY_NAME_ORACLE, tier="C")
 def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union across DIFFERENT schemas by column NAME with missing columns
     null-filled (`unionByName(allowMissingColumns=True)` ≡ DuckDB's
@@ -417,6 +421,7 @@ EVENT_COHORT_LTV_ORACLE = (
 )
 
 
+@register("event_cohort_ltv", oracle=EVENT_COHORT_LTV_ORACLE, tier="C")
 def event_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: users grouped by first-activity day,
     revenue summed per cohort-week, and the running (cumulative) LTV per
@@ -480,6 +485,7 @@ EVENT_AB_TEST_ORACLE = (
 )
 
 
+@register("event_ab_test", oracle=EVENT_AB_TEST_ORACLE, tier="C")
 def event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test between experiment arms (variant = user_id % 2,
     conversion = any 'purchase' event): per-arm sizes, conversion rates, and
@@ -553,19 +559,22 @@ FN_DATE_DIM_ORACLE = (
     "CAST(quarter(dt) AS INTEGER) AS quarter, "
     "CAST(month(dt) AS INTEGER) AS month, "
     "CAST(dayofmonth(dt) AS INTEGER) AS dom, "
-    "CAST(((day + 3) % 7) + 1 AS INTEGER) AS dow_iso, "
-    "((day + 3) % 7) + 1 >= 6 AS is_weekend "
+    "CAST((((day + 3) % 7 + 7) % 7) + 1 AS INTEGER) AS dow_iso, "
+    "(((day + 3) % 7 + 7) % 7) + 1 >= 6 AS is_weekend "
     "FROM d"
 )
 
 
+@register("fn_date_dim", oracle=FN_DATE_DIM_ORACLE, tier="C")
 def fn_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar (date-dimension) derivation for every active day:
     year/quarter/month/day-of-month plus an ENGINE-INDEPENDENT ISO weekday
-    computed from the epoch-day number ((day+3) % 7 + 1, anchored on
-    1970-01-01 = Thursday) — sidestepping the classic cross-engine
-    dayofweek trap (Spark counts 1=Sunday, DuckDB 0=Sunday, ISO 1=Monday).
-    This is the dimension every warehouse date-joins against.
+    computed from the epoch-day number (((day+3) % 7 + 7) % 7 + 1, anchored
+    on 1970-01-01 = Thursday; the double mod guards pre-epoch days, where a
+    single % yields a negative remainder on both engines) — sidestepping the
+    classic cross-engine dayofweek trap (Spark counts 1=Sunday, DuckDB
+    0=Sunday, ISO 1=Monday). This is the dimension every warehouse
+    date-joins against.
 
     Scale: runs on the DISTINCT active-day aggregate (calendar-sized), pure
     column arithmetic after one map-side-combining distinct."""
@@ -573,7 +582,7 @@ def fn_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.select(
         ts_day("ts").alias("day"), F.to_date(F.date_trunc("day", "ts")).alias("dt")
     ).distinct()
-    dow_iso = ((F.col("day") + 3) % 7 + 1).cast("int")
+    dow_iso = (((F.col("day") + 3) % 7 + 7) % 7 + 1).cast("int")
     return d.select(
         "day",
         F.year("dt").alias("year"),
@@ -598,6 +607,7 @@ AGG_WINSORIZED_MEAN_ORACLE = (
 )
 
 
+@register("agg_winsorized_mean", oracle=AGG_WINSORIZED_MEAN_ORACLE, tier="C")
 def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean per group: clamp values into the [P5, P95] band
     before averaging — the robust central-tendency metric that tames whale
@@ -642,6 +652,7 @@ EVENT_STATE_MACHINE_ORACLE = (
 )
 
 
+@register("event_state_machine", oracle=EVENT_STATE_MACHINE_ORACLE, tier="C")
 def event_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-pattern detection per user (MATCH_RECOGNIZE-lite): did the
     user's event-time-ordered journey contain signup → … → click → … →
@@ -685,6 +696,7 @@ SCAN_BINARY_FILES_ORACLE = (
 )
 
 
+@register("scan_binary_files", oracle=SCAN_BINARY_FILES_ORACLE, tier="B")
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-blob ingestion via Spark's ``binaryFile`` source — the REAL
     entry path for image/audio/video corpora (one file per asset, content
@@ -736,6 +748,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- random-hyperplane LSH near-dup (cosine) ---------------------------------
 
 
+@register("dedup_lsh_cosine", oracle=None, tier="B")
 def dedup_lsh_cosine(
     spark: SparkSession,
     sf_dir: str,
@@ -805,6 +818,15 @@ def dedup_lsh_cosine(
     planes = np.random.RandomState(seed).standard_normal((dim, n_bits))
     bplanes = spark.sparkContext.broadcast(planes)
     bits_per_band = n_bits // n_bands
+    # band_key packs (band id << 32) | bucket code; the auto-sizing rule
+    # could in principle exceed 32 bits/band for astronomically large n,
+    # which would silently collide bucket codes across bands — make the
+    # packing invariant explicit instead
+    if bits_per_band > 32:
+        raise ValueError(
+            f"bits_per_band={bits_per_band} exceeds the 32-bit band_key "
+            "packing budget; raise n_bands or widen the packing"
+        )
 
     def band_keys(batches):
         P = bplanes.value
@@ -848,18 +870,33 @@ def dedup_lsh_cosine(
 # --- SimHash hamming pairing (Manku et al., WWW 2007) ------------------------
 
 
+DEDUP_SIMHASH_PAIRS_ORACLE = (
+    f"{ORACLE_SIMHASH_FP}, "
+    "g AS (SELECT simhash, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY simhash) "
+    "SELECT a.simhash AS fp_a, b.simhash AS fp_b, a.n AS n_a, b.n AS n_b, "
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+    "FROM g a JOIN g b ON a.simhash < b.simhash "
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 "
+    "UNION ALL SELECT simhash, simhash, n, n, CAST(0 AS INTEGER) FROM g WHERE n > 1"
+)
+
+
+@register("dedup_simhash_pairs", oracle=DEDUP_SIMHASH_PAIRS_ORACLE, tier="B")
 def dedup_simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-duplicate clusters from the 64-bit SimHash fingerprints — the
+    """Near-duplicate clusters from the 60-bit SimHash fingerprints — the
     missing half of :func:`..dedup.dedup_simhash` (which only fingerprints):
     Manku-style block pigeonholing over the DISTINCT fingerprints. Any two
     fingerprints within hamming distance ``max_hamming`` ≤ 3 differ in ≤ 3
-    of the 4 16-bit blocks, so they MUST agree on one — recall 1.0 is a
+    of the 4 15-bit blocks, so they MUST agree on one — recall 1.0 is a
     THEOREM at the contract distance (no probabilistic miss, unlike
     MinHash/LSH banding), and the exact ``bit_count(xor)`` verify makes
-    precision 1.0. Rows-only when registered (the fingerprint has no
-    DuckDB mirror); brute-force-verified in tests/test_staged_r8.py.
+    precision 1.0. Fully hash-oracled since the md5 fingerprint upgrade:
+    the oracle states the SPEC (brute-force hamming ≤ 3 over distinct
+    fingerprints, quadratic — fine at oracle scale) while the operator
+    runs the bucketed candidate join; the pigeonhole theorem is what makes
+    the two coincide. Also brute-force-verified in tests/test_staged_r8.py.
 
     Output is per DISTINCT-FINGERPRINT pair with both group sizes
     (n_a·n_b doc pairs implied), plus hamming-0 groups as the diagonal
@@ -882,8 +919,10 @@ def dedup_simhash_pairs(
             f"max_hamming={max_hamming} exceeds the 4-block pigeonhole "
             "recall guarantee (<= 3); use more blocks for larger radii"
         )
-    from .dedup import dedup_simhash
+    from .dedup import SIMHASH_BITS, dedup_simhash
 
+    block_bits = SIMHASH_BITS // 4  # 4 blocks of 15 bits over the 60-bit fp
+    block_mask = (1 << block_bits) - 1
     raw = dedup_simhash(spark, sf_dir)  # doc_id, simhash (long)
     fp = raw.groupBy("simhash").agg(F.count("*").alias("n_members"))
     keyed = fp.select(
@@ -894,8 +933,8 @@ def dedup_simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("block"),
-                        F.shiftright("simhash", 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", block_bits * b)
+                        .bitwiseAND(F.lit(block_mask))
                         .alias("val"),
                     )
                     for b in range(4)
@@ -966,6 +1005,7 @@ EVENT_MARKOV_STATIONARY_ORACLE = (
 )
 
 
+@register("event_markov_stationary", oracle=EVENT_MARKOV_STATIONARY_ORACLE, tier="C")
 def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the behavioral Markov chain (where does a
     user's session settle long-run?): 3 power-iteration steps x·P from the

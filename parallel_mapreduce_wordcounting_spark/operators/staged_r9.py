@@ -1,9 +1,8 @@
-"""Operators STAGED for round-9 registration (implemented + oracle-tested
-now, deliberately NOT ``@register``-ed yet): the round-8 verification window
-closed at exactly 50/50 (COVERAGE.md "verification budget"), so these wait
-for the next window drain. tests/test_staged_r9.py runs the same
-fn-vs-DuckDB compare the registry harness would; registration later adds
-the decorators without touching the bodies.
+"""The statistics/data-quality operator wave — staged while the driver
+verification window (first 50 ``queries()`` keys per round) was full, now
+fully ``@register``-ed alongside staged_r8's wave (the post-r06 window had
+49 spare slots). tests/test_staged_r9.py additionally runs the same
+fn-vs-DuckDB compare the registry harness applies, at sf0.001 AND sf0.01.
 
 Contents (25 ops — the statistics/data-quality wave):
 
@@ -68,6 +67,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..registry import register
 from ..sources.loader import load_table, ts_day, ts_us
 from .exact import floor_day_us_sql, money_cents, money_cents_sql
 
@@ -92,6 +92,7 @@ STAT_LINREG_ORACLE = (
 )
 
 
+@register("stat_linreg", oracle=STAT_LINREG_ORACLE, tier="C")
 def stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group simple linear regression (extendedprice ~ quantity per
     returnflag) computed from SUFFICIENT STATISTICS — the one-pass,
@@ -175,6 +176,7 @@ STAT_CORR_MATRIX_ORACLE = (
 )
 
 
+@register("stat_corr_matrix", oracle=STAT_CORR_MATRIX_ORACLE, tier="C")
 def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations of the four lineitem numeric columns
     in long form (col_a, col_b, corr) — the profiling matrix, computed in
@@ -247,6 +249,7 @@ AGG_SKEW_KURT_ORACLE = (
 )
 
 
+@register("agg_skew_kurt", oracle=AGG_SKEW_KURT_ORACLE, tier="C")
 def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population skewness and excess kurtosis of l_quantity per
     returnflag from exact integer POWER SUMS (Σx..Σx⁴): the same
@@ -310,6 +313,7 @@ STAT_KS_TEST_ORACLE = (
 )
 
 
+@register("stat_ks_test", oracle=STAT_KS_TEST_ORACLE, tier="C")
 def stat_ks_test(
     spark: SparkSession,
     sf_dir: str,
@@ -391,6 +395,10 @@ def stat_ks_test(
                 6,
             ).alias("ks_d"),
         )
+        # a corpus with ZERO qualifying events makes the global agg emit one
+        # all-NULL row while the oracle's GROUP BY emits zero rows — drop the
+        # degenerate row so both engines agree on the empty case
+        .where(F.col("n_a").isNotNull() | F.col("n_b").isNotNull())
     )
 
 
@@ -411,6 +419,7 @@ AGG_MAD_ORACLE = (
 )
 
 
+@register("agg_mad", oracle=AGG_MAD_ORACLE, tier="C")
 def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median absolute deviation of o_totalprice per order priority —
     the robust spread statistic — via the TWO-PASS doubled-cents design:
@@ -473,6 +482,7 @@ EVENT_CONCURRENCY_ORACLE = (
 )
 
 
+@register("event_concurrency", oracle=EVENT_CONCURRENCY_ORACLE, tier="C")
 def event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent open intervals per day — every event opens a
     15-minute hold, and the question is the day's high-water mark of
@@ -551,6 +561,7 @@ DQ_EXPECTATIONS_ORACLE = (
 )
 
 
+@register("dq_expectations", oracle=DQ_EXPECTATIONS_ORACLE, tier="B")
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (the Deequ/Great-Expectations shape):
     declared checks — not-null, uniqueness, accepted values, numeric
@@ -681,6 +692,7 @@ DEDUP_SPANS_ORACLE = (
 )
 
 
+@register("dedup_spans", oracle=DEDUP_SPANS_ORACLE, tier="B")
 def dedup_spans(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> DataFrame:
     """Cross-document duplicated span registry: every ``k``-token window
     that appears in MORE THAN ONE document, with its document spread and
@@ -735,6 +747,7 @@ TEXT_BURSTINESS_ORACLE = (
 )
 
 
+@register("text_burstiness", oracle=TEXT_BURSTINESS_ORACLE, tier="B")
 def text_burstiness(
     spark: SparkSession, sf_dir: str, min_total: int = _BURST_MIN_TOTAL
 ) -> DataFrame:
@@ -807,6 +820,7 @@ TEXT_JS_DIVERGENCE_ORACLE = (
 )
 
 
+@register("text_js_divergence", oracle=TEXT_JS_DIVERGENCE_ORACLE, tier="B")
 def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen–Shannon divergence (bits) between the unigram distributions
     of every PAIR of document sources — the standard symmetric, bounded
@@ -886,6 +900,7 @@ SIM_THRESHOLD_SWEEP_ORACLE = " UNION ALL ".join(
 )
 
 
+@register("sim_threshold_sweep", oracle=SIM_THRESHOLD_SWEEP_ORACLE, tier="B")
 def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate threshold calibration curve: how many embedding
     pairs clear each candidate cosine cutoff — the table a curation run
@@ -951,6 +966,7 @@ GRAPH_TRIANGLE_STATS_ORACLE = (
 )
 
 
+@register("graph_triangle_stats", oracle=GRAPH_TRIANGLE_STATS_ORACLE, tier="B")
 def graph_triangle_stats(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> DataFrame:
     """Global triangle census of the DUPLICATE GRAPH — documents joined by
     sharing at least one duplicated ``k``-token span (:func:`dedup_spans`'s
@@ -984,9 +1000,13 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> 
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
-    ).cache()  # referenced 6x below (degrees, edge count, 3-way triangle join):
-    # without the cache Spark re-runs the shingle explode + self-join per
-    # reference (the dedup.py:189 convention for self-joined intermediates)
+    ).persist()  # referenced 6x below (degrees, edge count, 3-way triangle
+    # join): without the cache Spark re-runs the shingle explode + self-join
+    # per reference (the dedup.py:189 convention for self-joined
+    # intermediates). The result is a 1-row census, so it is materialized
+    # below while the cache is live and the cache released in a finally —
+    # the agg_percentile_iterative pattern — instead of leaking cached
+    # blocks into long-lived sessions.
     deg = (
         e.select(F.col("da").alias("v"))
         .unionAll(e.select(F.col("db").alias("v")))
@@ -1009,7 +1029,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> 
         )
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
-    return (
+    out = (
         tri.crossJoin(node_wedge)
         .crossJoin(n_edges)
         .select(
@@ -1022,6 +1042,11 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> 
             ).alias("clustering"),
         )
     )
+    try:
+        rows = out.collect()  # 1 row; every cache hit happens here
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 # --- tokenizer fertility by source -------------------------------------------
@@ -1037,6 +1062,7 @@ TEXT_FERTILITY_ORACLE = (
 )
 
 
+@register("text_fertility", oracle=TEXT_FERTILITY_ORACLE, tier="B")
 def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per source: BPE-ish tokens emitted per
     whitespace word (the text_token_count regex, aggregated by domain) —
@@ -1087,6 +1113,7 @@ STAT_ANOVA_ORACLE = (
 )
 
 
+@register("stat_anova", oracle=STAT_ANOVA_ORACLE, tier="C")
 def stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of l_quantity across the returnflag groups — the
     F-statistic (between-group over within-group variance) and effect size
@@ -1165,6 +1192,7 @@ PIPELINE_SPLIT_LEAKAGE_ORACLE = (
 )
 
 
+@register("pipeline_split_leakage", oracle=PIPELINE_SPLIT_LEAKAGE_ORACLE, tier="B")
 def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed split-hygiene check: apply the engine's deterministic
     hash split (split_train_val's salted-md5 buckets, restated literally
@@ -1249,6 +1277,7 @@ STAT_CHI2_INDEPENDENCE_ORACLE = (
 )
 
 
+@register("stat_chi2_independence", oracle=STAT_CHI2_INDEPENDENCE_ORACLE, tier="C")
 def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson χ² test of independence between event type and ISO weekday
     — "does behavior depend on the day of week?" — completing the
@@ -1311,6 +1340,7 @@ EVENT_FORECAST_EWMA_ORACLE = (
 )
 
 
+@register("event_forecast_ewma", oracle=EVENT_FORECAST_EWMA_ORACLE, tier="C")
 def event_forecast_ewma(
     spark: SparkSession,
     sf_dir: str,
@@ -1366,6 +1396,7 @@ AGG_HIST2D_ORACLE = (
 )
 
 
+@register("agg_hist2d", oracle=AGG_HIST2D_ORACLE, tier="C")
 def agg_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D histogram of quantity × discount — the joint-distribution
     profile a mixture/pricing analysis reads (1-D margins hide the
@@ -1409,6 +1440,7 @@ EVENT_STICKINESS_ORACLE = (
 )
 
 
+@register("event_stickiness", oracle=EVENT_STICKINESS_ORACLE, tier="C")
 def event_stickiness(
     spark: SparkSession, sf_dir: str, window: int = _STICKY_WINDOW
 ) -> DataFrame:
@@ -1470,10 +1502,11 @@ STAT_MANN_WHITNEY_ORACLE = (
     "round(((CAST(r2x - n1 * (CAST(n1 AS HUGEINT) + 1) AS DOUBLE) / 2.0) - CAST(n1 AS DOUBLE) * n2 / 2.0) / "
     "sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0) * ((n1 + n2 + 1) - "
     "CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z "
-    "FROM t"
+    "FROM t WHERE n1 IS NOT NULL OR n2 IS NOT NULL"
 )
 
 
+@register("stat_mann_whitney", oracle=STAT_MANN_WHITNEY_ORACLE, tier="C")
 def stat_mann_whitney(
     spark: SparkSession,
     sf_dir: str,
@@ -1568,7 +1601,11 @@ def stat_mann_whitney(
             F.try_divide(u_a - F.col("n1").cast("double") * F.col("n2") / 2.0, sigma),
             6,
         ).alias("z"),
-    )
+        # empty-corpus guard: with zero qualifying events the ungrouped agg
+        # emits one all-NULL row on BOTH engines; both sides filter it (the
+        # oracle carries the matching WHERE n1 IS NOT NULL) so the operator's
+        # contract is "zero rows on an empty corpus", same as stat_ks_test
+    ).where(F.col("n_a").isNotNull() | F.col("n_b").isNotNull())
 
 
 # --- time-decayed engagement score -------------------------------------------
@@ -1590,6 +1627,7 @@ EVENT_DECAY_SCORE_ORACLE = (
 )
 
 
+@register("event_decay_score", oracle=EVENT_DECAY_SCORE_ORACLE, tier="C")
 def event_decay_score(
     spark: SparkSession, sf_dir: str, alpha: float = _DECAY_ALPHA
 ) -> DataFrame:
@@ -1651,6 +1689,7 @@ EVENT_TIME_TO_CONVERT_ORACLE = (
 )
 
 
+@register("event_time_to_convert", oracle=EVENT_TIME_TO_CONVERT_ORACLE, tier="C")
 def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion lag per user: hours from FIRST signup to FIRST
     subsequent purchase — the activation metric growth teams distribute
@@ -1711,6 +1750,7 @@ TEXT_VOCAB_COVERAGE_ORACLE = (
 )
 
 
+@register("text_vocab_coverage", oracle=TEXT_VOCAB_COVERAGE_ORACLE, tier="B")
 def text_vocab_coverage(
     spark: SparkSession, sf_dir: str, ks: tuple = _COVERAGE_KS
 ) -> DataFrame:
@@ -1775,6 +1815,7 @@ AGG_TOPK_SHARE_ORACLE = (
 )
 
 
+@register("agg_topk_share", oracle=AGG_TOPK_SHARE_ORACLE, tier="C")
 def agg_topk_share(
     spark: SparkSession, sf_dir: str, k: int = _TOPK_CUSTOMERS
 ) -> DataFrame:
@@ -1838,6 +1879,7 @@ PIPELINE_CORPUS_REPORT_ORACLE = (
 )
 
 
+@register("pipeline_corpus_report", oracle=PIPELINE_CORPUS_REPORT_ORACLE, tier="B")
 def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report — the KPI summary a curation run
     prints before anyone drills in: document count, exact-duplicate

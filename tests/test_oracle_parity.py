@@ -36,11 +36,14 @@ def test_every_query_has_oracle_or_reason():
     assert set(oracles) <= set(qs)
     # rows-only keys are the documented non-SQL-expressible set
     rows_only = set(qs) - set(oracles)
+    # dedup_simhash left this set at the round-7 md5 oracle upgrade;
+    # dedup_lsh_cosine joins it (random-hyperplane recall has no exact SQL
+    # mirror — the test suite pins its recall floor instead)
     assert rows_only <= {
         "sink_parquet",
         "agg_approx_distinct",
         "agg_sketch_merge",
-        "dedup_simhash",
+        "dedup_lsh_cosine",
         "sim_topk_blocked",
         "sim_pq",
         "udtf_python",

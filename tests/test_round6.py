@@ -225,9 +225,10 @@ def test_quantize_int8_codes_bounded_and_tight(spark):
     error is rounding error, not a scaling bug."""
     from parallel_mapreduce_wordcounting_spark.operators.similarity_ext import (
         sim_quantize_int8,
+        sim_quantize_int8_vec,
     )
 
-    rows = sim_quantize_int8(spark, SF_DIR).collect()
+    rows = sim_quantize_int8_vec(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         amax_q = max(abs(v) for v in r.qvec)
@@ -235,6 +236,16 @@ def test_quantize_int8_codes_bounded_and_tight(spark):
         assert all(-127 <= v <= 127 for v in r.qvec)
         scale = r.scale_r
         assert r.mse_r <= (scale / 2) ** 2 + 1e-12
+    # the registered (driver-verifiable) surface digests the same codes:
+    # recompute sha256(join(qvec, ',')) from the library form's arrays
+    import hashlib
+
+    sha = {
+        r.vec_id: hashlib.sha256(",".join(str(v) for v in r.qvec).encode()).hexdigest()
+        for r in rows
+    }
+    reg = sim_quantize_int8(spark, SF_DIR).collect()
+    assert {r.vec_id: r.qvec_sha for r in reg} == sha
 
 
 def test_layout_zorder_narrows_partition_boxes(spark):

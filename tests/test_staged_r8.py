@@ -194,7 +194,7 @@ def test_simhash_pairs_equal_bruteforce(spark):
     expect = {}
     for i, fa in enumerate(uniq):
         for fb in uniq[i + 1 :]:
-            h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+            h = bin(fa ^ fb).count("1")  # 60-bit fps are nonnegative
             if h <= 3:
                 expect[(fa, fb)] = (sizes[fa], sizes[fb], h)
     for f, n in sizes.items():
