@@ -47,6 +47,12 @@ BENCH_KEYS = [
     # round-8 headliner: composed SFT packing pipeline (quality gate →
     # exact dedup → distributed prefix-sum packing)
     "pipeline_sft_pack",
+    # statistics/data-quality wave headliners (registered with the
+    # staged_r8/r9 waves): no-global-sort KS statistic, span-graph triangle
+    # census, and the composed split + n-gram-overlap leakage check
+    "stat_ks_test",
+    "graph_triangle_stats",
+    "pipeline_split_leakage",
 ]
 
 

@@ -60,6 +60,14 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list the operator inventory")
 
+    rpt = sub.add_parser(
+        "report",
+        help="one-row corpus health report (docs, dup rate, length, "
+        "language share, source-mix entropy) — the composed "
+        "training-data-pipeline demo",
+    )
+    rpt.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     args = parser.parse_args(argv)
 
     import parallel_mapreduce_wordcounting_spark as engine
@@ -89,6 +97,16 @@ def main(argv: list[str] | None = None) -> int:
                 counts = counts.limit(args.top)
             for row in counts.collect():
                 print(f"{row.word}\t{row.cnt}")
+            return 0
+
+        if args.cmd == "report":
+            row = engine.REGISTRY["pipeline_corpus_report"].fn(
+                spark, args.sf_dir
+            ).collect()[0]
+            width = max(len(c) for c in row.asDict())
+            print(f"corpus health @ {args.sf_dir}")
+            for col, val in row.asDict().items():
+                print(f"  {col:<{width}}  {val}")
             return 0
 
         if args.cmd == "sql":

@@ -37,15 +37,15 @@ ALLOW = {
     "sim_kmeans": {"GlobalWindow"},  # row_number over the K=8 seed rows only
     "pack_sequences": {"GlobalWindow"},  # prefix over per-BUCKET totals (shuffle-partition count rows; curation_ext.py:281)
     "pipeline_sft_pack": {"GlobalWindow"},  # same bucket-offset prefix (one row per doc_id-div-64 bucket), staged_r8.py
-    "staged:stat_ks_test": {"GlobalWindow"},  # bucket offsets over one row per floor(value) bucket (~330 rows), staged_r9.py
-    "staged:stat_mann_whitney": {"GlobalWindow"},  # same bucket-offset prefix as stat_ks_test (midrank cumulative counts)
+    "stat_ks_test": {"GlobalWindow"},  # bucket offsets over one row per floor(value) bucket (~330 rows), staged_r9.py (registered round 7)
+    "stat_mann_whitney": {"GlobalWindow"},  # same bucket-offset prefix as stat_ks_test (midrank cumulative counts)
     "text_zipf": {"GlobalWindow"},  # rank over the aggregated vocabulary (~|V| rows), not the token stream
-    "staged:text_vocab_coverage": {"GlobalWindow"},  # same aggregated-vocabulary rank as text_zipf
+    "text_vocab_coverage": {"GlobalWindow"},  # same aggregated-vocabulary rank as text_zipf
     # broadcast NLJs whose build side is a bounded constant (> 1 row, so the
     # keys=[] 1-row-aggregate detector can't clear them):
     "sim_knn_query": {"BroadcastNestedLoopJoin"},  # 1 query row broadcast (range condition)
     "sim_pq": {"BroadcastNestedLoopJoin"},  # same 1-query-row broadcast in the exact re-rank stage
-    "staged:sim_range_search": {"BroadcastNestedLoopJoin"},  # 1 query row broadcast (range condition)
+    "sim_range_search": {"BroadcastNestedLoopJoin"},  # 1 query row broadcast (range condition)
     "sim_label_eval": {"BroadcastNestedLoopJoin"},  # 20 query rows broadcast
     "sim_hard_negatives": {"BroadcastNestedLoopJoin"},  # 20 query rows broadcast
     "sim_pair_hist": {"BroadcastNestedLoopJoin"},  # bounded id-range slice self-pairing (documented demo slice)

@@ -37,6 +37,19 @@ def test_cli_wordcount_matches_golden(tmp_path):
     assert top == [("scan", "4"), ("big", "2")]
 
 
+def test_cli_report_corpus_health():
+    """`report` prints the one-row corpus KPI with the golden sf0.001
+    values (pinned by the pipeline_corpus_report oracle tests)."""
+    r = _run(["--cpus", "2", "report", "--sf-dir", "/root/testdata/sf0.001"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = dict(
+        line.strip().split(None, 1)
+        for line in r.stdout.strip().splitlines()[1:]
+    )
+    assert got["n_docs"] == "500"
+    assert got["source_entropy_bits"] == "4.321928"  # 20 equal sources = log2(20)
+
+
 def test_cli_run_operator():
     r = _run(["--cpus", "2", "run", "wc_topk", "--sf-dir", "/root/testdata/sf0.001"])
     assert r.returncode == 0, r.stderr[-2000:]
