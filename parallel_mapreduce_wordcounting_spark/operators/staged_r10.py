@@ -1,0 +1,1044 @@
+"""ML-evaluation / sparse-retrieval / experimentation wave, STAGED for the
+next verification window (implemented + oracle-tested now, deliberately NOT
+``@register``-ed): the round-7 window is exactly full — 43 unverified keys
+from the staged_r8/r9 registrations plus 7 re-verify slots draining the
+stalest r01 greens — so registering these now would push never-verified keys
+outside the driver's 50-key window (COVERAGE.md "verification budget").
+tests/test_staged_r10.py runs the same fn-vs-DuckDB compare the registry
+harness would, at sf0.001 AND sf0.01; the next round adds the decorators
+without touching the bodies.
+
+Contents:
+
+- ``sim_sparse_cosine`` — exact tf-idf cosine document pairs via the sparse
+  inverted-index join (retrieval/dedup without dense embeddings).
+- ``text_ngram_novelty`` — per-document novel-5-gram rate (the originality /
+  memorization-risk signal complementary to dedup_spans' registry).
+- ``stat_auc`` — exact ROC AUC of a score column against a binary label via
+  tie-corrected midranks, NO global sort (bucketed distributed prefix-sum).
+- ``stat_psi`` — Population Stability Index between two event populations
+  over integer value buckets, with exclusive-mass accounting (drift score
+  beside agg_drift_chi2's χ² table).
+- ``event_survival`` — discrete Kaplan–Meier survival over user activity
+  lifetimes with right-censoring.
+- ``event_ab_cuped`` — CUPED variance-reduced A/B read-out (pre-period
+  covariate adjustment) beside event_ab_test's raw z-test.
+- ``stat_bootstrap_ci`` — deterministic Poisson-bootstrap confidence
+  interval for the mean (B=32 hash-replayable replicates).
+- ``scan_file_stats`` — per-partition-file ingest census over a REAL
+  partitioned-parquet round trip (the small-files/skew observability scan).
+- ``mm_png_meta`` — image metadata (width/height/bit depth) parsed from
+  REAL PNG bytes JVM-side — byte-slice arithmetic, no codec, full oracle.
+- ``text_readability`` — syllable-proxy readability per language (exact
+  integer vowel-group counts, one double at the end).
+
+Exactness doctrine (same as the registered set): every driver-compared
+number is either an int64/decimal(38) accumulation (order-independent,
+engine-identical) or ONE double expression evaluated over identical integer
+operands on both engines, rounded to ≤6 dp — except where a float SUM of
+per-element double terms is itself the statistic (sparse dots, PSI/entropy
+sums), where both engines sum the same ≤1e-15-noise terms and the 6-dp
+round absorbs the order difference (the text_js_divergence precedent,
+hash-verified since r8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table, ts_day
+from .exact import floor_day_us_sql, money_cents, money_cents_sql
+
+# --- sparse tf-idf cosine pairs ----------------------------------------------
+
+# Threshold on the 6-dp ROUNDED cosine (boundary-exact cross-engine).
+# Picked from the measured fixture distribution: pairwise tf-idf cosines
+# peak at 0.985/0.947/~0.99 across sf0.001/0.01/0.1, and τ=0.9 keeps
+# 25/22/2502 pairs — non-vacuous truth at every scale without quadratic
+# output (production near-dup cutoffs sit here too).
+_SPARSE_TAU = 0.9
+
+SIM_SPARSE_COSINE_ORACLE = (
+    "WITH toks AS ("
+    "  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+    "), tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2), "
+    "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "w AS ("
+    "  SELECT tf.doc_id, tf.word, tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS w"
+    "  FROM tf JOIN df USING (word) CROSS JOIN n"
+    "), nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id), "
+    "dots AS ("
+    "  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, sum(a.w * b.w) AS dot"
+    "  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id"
+    "  GROUP BY 1, 2"
+    ") SELECT doc_id_a, doc_id_b, "
+    "round(dot / (na.nrm * nb.nrm), 6) AS cosine "
+    "FROM dots JOIN nrm na ON na.doc_id = doc_id_a "
+    "JOIN nrm nb ON nb.doc_id = doc_id_b "
+    f"WHERE round(dot / (na.nrm * nb.nrm), 6) >= {_SPARSE_TAU}"
+)
+
+
+# auto-strategy cutoff: an active vocabulary this small densifies to
+# ≤ 32 KB/doc vectors — GEMM territory; above it, postings stay sparse
+_DENSE_VOCAB_MAX = 4096
+
+
+def sim_sparse_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = _SPARSE_TAU,
+    strategy: str = "auto",
+) -> DataFrame:
+    """EXACT tf-idf cosine similarity pairs above ``threshold`` —
+    dense-embedding-free retrieval/dedup (the BM25-family geometry):
+    weight w(d,t) = tf·ln((N+1)/(df+1)) (the text_tfidf formula), cosine =
+    Σ w_a·w_b / (‖a‖‖b‖). VOCABULARY-ADAPTIVE execution, same results
+    either way (tests/test_staged_r10.py asserts path equality):
+
+    - ``postings`` — the sparse inverted-index join: candidate pairs ONLY
+      from shared postings, cost Σ_term df² (dedup_ngram_jaccard's PPJoin
+      core). Near-linear on real corpora (power-law df, huge vocabulary);
+      QUADRATIC on this fixture's dense 31-word vocabulary — measured
+      167 s at sf0.1, the known adversarial extreme for inverted indexes.
+    - ``gemm`` — when the ACTIVE vocabulary fits a dense row
+      (≤ ``_DENSE_VOCAB_MAX``): broadcast the (term → index, idf) table
+      (bounded quantizer-class metadata, the IVF-centroid convention),
+      densify each doc's normalized tf-idf vector in one mapInPandas
+      pass, and run the sim_topk_cosine block-grid threshold kernel
+      (similarity.py:67) — BLAS does Σ df² as n²·|V| FLOPs instead of
+      join rows: 167 s → ~2 s at sf0.1. This is the production answer for
+      head-heavy corpora; ``auto`` (default) picks by measuring |V|.
+
+    The threshold compares the 6-dp ROUNDED cosine so the boundary set is
+    identical cross-engine (the dedup_embedding convention); dots/norms
+    carry ~1e-15 association noise between the paths and the engines,
+    absorbed by the round."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    df_ = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    if strategy == "auto":
+        strategy = "gemm" if df_.count() <= _DENSE_VOCAB_MAX else "postings"
+    if strategy == "gemm":
+        return _sparse_cosine_gemm(spark, sf_dir, df_, n, threshold)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    w = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("doc_id_a"), "word", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_id_b"), "word", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "word")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "doc_id_a")
+        .join(F.broadcast(nb), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _sparse_cosine_gemm(
+    spark: SparkSession, sf_dir: str, df_: DataFrame, n: DataFrame, threshold: float
+) -> DataFrame:
+    """GEMM path of :func:`sim_sparse_cosine`: densify normalized tf-idf
+    rows over the broadcast vocabulary, then the block-grid threshold
+    kernel (the similarity.grid_pair_sims_above structure on derived
+    vectors instead of the embeddings table)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import N_GRID, round_half_up
+
+    n_docs = n.collect()[0][0]  # 1-row aggregate
+    vocab = {
+        r.word: (i, math.log((n_docs + 1.0) / (r.df + 1.0)))
+        for i, r in enumerate(df_.orderBy("word").collect())  # bounded ≤ 4096
+    }
+    bvocab = spark.sparkContext.broadcast(vocab)
+    dim = len(vocab)
+
+    def densify(batches):
+        from collections import Counter
+
+        v = bvocab.value
+        for pdf in batches:
+            vecs = []
+            for text in pdf["text"]:
+                x = np.zeros(dim)
+                for t, c in Counter(text.split(" ")).items():
+                    e = v.get(t)
+                    if e is not None:
+                        x[e[0]] = c * e[1]
+                nn = np.linalg.norm(x)
+                vecs.append(x / nn if nn else x)
+            yield pd.DataFrame({"vec_id": pdf["doc_id"], "embedding": vecs})
+
+    vdf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(densify, "vec_id long, embedding array<double>")
+    )
+    blk = (F.col("vec_id") % N_GRID).cast("int")
+    with_blk = vdf.withColumn("blk", blk)
+    side_a = with_blk.select(
+        "vec_id",
+        "embedding",
+        F.col("blk").alias("i"),
+        F.explode(F.sequence(F.col("blk"), F.lit(N_GRID - 1))).alias("j"),
+        F.lit("a").alias("side"),
+    )
+    side_b = with_blk.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("i"),
+        F.col("blk").alias("j"),
+        F.lit("b").alias("side"),
+    )
+    both = side_a.unionByName(side_b)
+
+    def block_threshold(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        empty = pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "cosine": []})
+        if a.empty or b.empty:
+            return empty
+        A = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        S = round_half_up(A @ B.T)
+        ida = a["vec_id"].to_numpy()
+        idb = b["vec_id"].to_numpy()
+        if pdf["i"].iloc[0] == pdf["j"].iloc[0]:
+            valid = (ida[:, None] < idb[None, :]) & (S >= threshold)
+        else:
+            valid = S >= threshold
+        ii, jj = np.nonzero(valid)
+        if ii.size == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.minimum(ida[ii], idb[jj]),
+                "doc_id_b": np.maximum(ida[ii], idb[jj]),
+                "cosine": S[ii, jj],
+            }
+        )
+
+    return both.groupBy("i", "j").applyInPandas(
+        block_threshold, schema="doc_id_a long, doc_id_b long, cosine double"
+    )
+
+
+# --- per-document n-gram novelty ---------------------------------------------
+
+_NOVELTY_K = 5
+
+TEXT_NGRAM_NOVELTY_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "sh AS ("
+    "  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS h"
+    "  FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS g(i)"
+    "), dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h) "
+    "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+    "CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+    "round(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) / (1.0 * count(*)), 6)"
+    " AS novelty "
+    "FROM sh JOIN dfreq USING (h) GROUP BY sh.doc_id"
+)
+
+
+def text_ngram_novelty(
+    spark: SparkSession, sf_dir: str, k: int = _NOVELTY_K
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT ``k``-gram
+    set that occurs in NO other document — the originality signal training
+    pipelines use to downweight boilerplate-heavy documents and flag
+    memorization risk (a doc whose 5-grams all recur elsewhere adds little;
+    one that is all-novel is either fresh signal or noise). Complementary
+    to dedup_spans, which registers the duplicated spans themselves.
+
+    Counting DISTINCT grams per doc (not occurrences) makes the metric a
+    set property: df = 1 means the gram's only home is this doc. Docs
+    shorter than ``k`` tokens contribute no grams and emit no row (the
+    sequence-descends guard, staged_r9._span_hashes).
+
+    Scale: explode → md5 → two map-side-combining aggregates on the gram
+    hash, linear in corpus token count; the doc↔gram join rides the same
+    hash shuffle. Exact integers until one division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= k
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+                )
+            ).alias("span"),
+        )
+        .select("doc_id", F.md5("span").alias("h"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / (1.0 * F.count("*")),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+# --- exact ROC AUC ------------------------------------------------------------
+
+_AUC_POS = "purchase"  # label: event_type == 'purchase'; score: value
+
+STAT_AUC_ORACLE = (
+    "WITH pts AS ("
+    "  SELECT value AS v,"
+    f"    count(*) FILTER (event_type = '{_AUC_POS}') AS c1,"
+    f"    count(*) FILTER (event_type <> '{_AUC_POS}') AS c0"
+    "  FROM events GROUP BY value"
+    "), r AS ("
+    "  SELECT c1, c0, c1 + c0 AS c,"
+    "    coalesce(sum(c1 + c0) OVER (ORDER BY v"
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s"
+    "  FROM pts"
+    "), t AS ("
+    "  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,"
+    "    sum(CAST(c1 AS HUGEINT) * (2 * s + c + 1)) AS r2x"
+    "  FROM r"
+    ") SELECT n1 AS n_pos, n0 AS n_neg, "
+    "round(CAST(r2x - n1 * (CAST(n1 AS HUGEINT) + 1) AS DOUBLE) / 2.0 "
+    "/ nullif(CAST(n1 AS DOUBLE) * n0, 0), 6) AS auc "
+    "FROM t WHERE n1 IS NOT NULL OR n0 IS NOT NULL"
+)
+
+
+def stat_auc(
+    spark: SparkSession, sf_dir: str, pos_type: str = _AUC_POS
+) -> DataFrame:
+    """Exact ROC AUC of ``value`` as a score for the binary label
+    ``event_type == pos_type`` — THE ranking-quality metric for quality
+    scorers, dedup classifiers, and reward models. Computed via the
+    rank-sum identity AUC = (Σ_pos midrank − n₁(n₁+1)/2) / (n₁·n₀), which
+    handles ties exactly (a tied group [s+1..s+c] contributes c₁·(2s+c+1)/2
+    to the doubled rank sum) — equivalently P(score⁺ > score⁻) +
+    ½P(score⁺ = score⁻).
+
+    NO global sort: scores group by exact value once, then the bucketed
+    distributed prefix-sum (floor(v) buckets; the stat_ks_test /
+    stat_mann_whitney machinery) produces every exclusive cumulative count
+    with one value shuffle plus a bucket-count-sized broadcast. The rank
+    mass accumulates in decimal(38) (≈2n² for the pooled corpus — past
+    int64 by ~10⁹ rows). One double division at the end, 6 dp;
+    ``try_divide`` + the null-row filter give the single-class and empty
+    corpora zero rows like the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.groupBy(F.col("value").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == pos_type, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") != pos_type, 1).otherwise(0)).alias("c0"),
+        )
+        .withColumn("c", F.col("c1") + F.col("c0"))
+        .withColumn("bucket", F.floor("v").cast("long"))
+    )
+    w_local = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = pts.select(
+        "bucket",
+        "c1",
+        "c0",
+        "c",
+        F.coalesce(F.sum("c").over(w_local), F.lit(0)).alias("s_local"),
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = F.broadcast(
+        pts.groupBy("bucket")
+        .agg(F.sum("c").alias("tc"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("tc").over(w_bucket), F.lit(0)).alias("off"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    t = (
+        local.join(offsets, "bucket")
+        .withColumn("s", F.col("off") + F.col("s_local"))
+        .agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c0").cast("long").alias("n0"),
+            F.sum(
+                F.col("c1").cast(d38) * (2 * F.col("s") + F.col("c") + 1)
+            ).alias("r2x"),
+        )
+    )
+    return t.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            F.try_divide(
+                (F.col("r2x") - F.col("n1").cast(d38) * (F.col("n1") + 1)).cast(
+                    "double"
+                )
+                / 2.0,
+                F.col("n1").cast("double") * F.col("n0"),
+            ),
+            6,
+        ).alias("auc"),
+    ).where(F.col("n_pos").isNotNull() | F.col("n_neg").isNotNull())
+
+
+# --- Population Stability Index ----------------------------------------------
+
+_PSI_A, _PSI_B = "click", "view"  # baseline vs current population
+
+STAT_PSI_ORACLE = (
+    "WITH b AS ("
+    "  SELECT CAST(floor(value) AS BIGINT) AS bucket,"
+    f"    count(*) FILTER (event_type = '{_PSI_A}') AS ca,"
+    f"    count(*) FILTER (event_type = '{_PSI_B}') AS cb"
+    f"  FROM events WHERE event_type IN ('{_PSI_A}', '{_PSI_B}') GROUP BY 1"
+    "), tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM b) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_buckets, "
+    "CAST(count(*) FILTER (ca > 0 AND cb > 0) AS BIGINT) AS n_shared, "
+    "round(sum(CASE WHEN cb = 0 THEN ca END) / (1.0 * tot.na), 6) AS a_excl_mass, "
+    "round(sum(CASE WHEN ca = 0 THEN cb END) / (1.0 * tot.nb), 6) AS b_excl_mass, "
+    "round(sum(CASE WHEN ca > 0 AND cb > 0 THEN "
+    "  (ca / (1.0 * tot.na) - cb / (1.0 * tot.nb)) "
+    "  * ln((ca / (1.0 * tot.na)) / (cb / (1.0 * tot.nb))) END), 6) AS psi "
+    "FROM b, tot GROUP BY tot.na, tot.nb"
+)
+
+
+def stat_psi(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = _PSI_A,
+    type_b: str = _PSI_B,
+) -> DataFrame:
+    """Population Stability Index between two event populations' ``value``
+    distributions over integer buckets — the model-monitoring drift score
+    (PSI < 0.1 stable, > 0.25 act) beside agg_drift_chi2's χ² table. PSI's
+    log term is undefined where either side has zero mass, and silently
+    epsilon-padding hides exactly the buckets that scream loudest — so the
+    PSI sums over SHARED-support buckets only and the exclusive masses are
+    reported as their own columns (the text_js_divergence decomposition).
+
+    Exactness: bucket counts are exact int64; each shared-bucket term is a
+    double expression of those integers; the term sum carries ~1e-16
+    engine-order noise absorbed by the 6-dp round. Empty-corpus guard: the
+    oracle's GROUP BY emits zero rows, the Spark side filters its
+    degenerate all-NULL row to match (the stat_ks_test convention).
+
+    Scale: one map-side-combining bucket aggregate (bucket cardinality ≈
+    value range, ~330 here) + a 1-row total broadcast — calendar-sized
+    state no matter the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.where(F.col("event_type").isin(type_a, type_b))
+        .groupBy(F.floor("value").cast("long").alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == type_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("event_type") == type_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = F.broadcast(b.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")))
+    pa = F.col("ca") / (1.0 * F.col("na"))
+    pb = F.col("cb") / (1.0 * F.col("nb"))
+    shared = (F.col("ca") > 0) & (F.col("cb") > 0)
+    return (
+        b.crossJoin(tot)
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(shared.cast("int")).cast("long").alias("n_shared"),
+            F.round(
+                F.sum(F.when(F.col("cb") == 0, F.col("ca"))) / (1.0 * F.first("na")),
+                6,
+            ).alias("a_excl_mass"),
+            F.round(
+                F.sum(F.when(F.col("ca") == 0, F.col("cb"))) / (1.0 * F.first("nb")),
+                6,
+            ).alias("b_excl_mass"),
+            F.round(
+                F.sum(F.when(shared, (pa - pb) * F.log(pa / pb))), 6
+            ).alias("psi"),
+        )
+        .where(F.col("n_buckets") > 0)
+    )
+
+
+# --- discrete Kaplan–Meier survival ------------------------------------------
+
+_US_PER_HOUR = 3_600_000_000
+_CENSOR_US = 24 * _US_PER_HOUR  # users seen in the final 24 h may still be active
+
+# µs-since-epoch from the nanosecond fixture timestamp (positive range, so
+# truncation == floor on both engines)
+_TS_US = "(epoch_ns(ts) // 1000)"
+
+EVENT_SURVIVAL_ORACLE = (
+    "WITH span AS ("
+    f"  SELECT user_id,"
+    f"    (max({_TS_US}) - min({_TS_US})) // {_US_PER_HOUR} AS lifetime,"
+    f"    max({_TS_US}) >= (SELECT max({_TS_US}) FROM events) - {_CENSOR_US}"
+    "     AS censored"
+    "  FROM events GROUP BY user_id"
+    "), lt AS ("
+    "  SELECT lifetime AS dur,"
+    "    count(*) FILTER (NOT censored) AS deaths,"
+    "    count(*) AS leaving"
+    "  FROM span GROUP BY lifetime"
+    "), km AS ("
+    "  SELECT dur, deaths,"
+    "    sum(leaving) OVER (ORDER BY dur DESC) AS n_risk"
+    "  FROM lt"
+    "), f AS ("
+    "  SELECT dur, deaths, n_risk,"
+    "    1.0 - deaths / (1.0 * n_risk) AS factor"
+    "  FROM km"
+    ") SELECT dur AS duration_hours, CAST(n_risk AS BIGINT) AS n_risk, "
+    "CAST(deaths AS BIGINT) AS n_deaths, "
+    "round(CASE WHEN min(factor) OVER (ORDER BY dur) = 0 THEN 0.0 "
+    "ELSE exp(sum(ln(factor)) OVER (ORDER BY dur)) END, 6) AS survival "
+    "FROM f"
+)
+
+
+def event_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Kaplan–Meier survival over user activity lifetimes with
+    right-censoring — the retention curve done properly: a user's lifetime
+    is last-active − first-active in whole HOURS (day granularity collapses
+    this always-on fixture to 2 durations; hours give a real curve at every
+    sf); users last seen within 24 h of the corpus' final event are
+    CENSORED (they may still be alive, so they leave the risk set without
+    counting as churn). S(d) = Π_{j≤d} (1 − deaths_j / n_risk_j), the
+    estimator that naive retention curves (event_retention) bias by
+    treating censored users as churned.
+
+    Cross-engine exactness: deaths/n_risk are exact integers; each factor
+    is one double division; the cumulative product runs as exp(Σ ln f) over
+    IDENTICAL doubles in IDENTICAL dur order on both engines (bit-equal
+    before the 6-dp round — the text_js_divergence log-parity precedent),
+    with an explicit zero-factor cutoff because ln(0) diverges.
+
+    Scale: one user_id shuffle for lifetimes, then ALL window work happens
+    on the ~hundreds-of-rows per-duration aggregate — the global windows
+    here order a duration-bounded frame (≤ corpus span in hours), not the
+    event stream (the text_zipf bounded-input exemption, plan-audit
+    allowlisted)."""
+    from ..sources.loader import ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    us = ts_us("ts")
+    corpus_end = F.broadcast(ev.agg(F.max(us).alias("end_us")))
+    span = (
+        ev.groupBy("user_id")
+        .agg(F.min(us).alias("first_us"), F.max(us).alias("last_us"))
+        .crossJoin(corpus_end)
+        .select(
+            # integer `div`, not float `/`+cast: the µs span is ~1e12 and a
+            # double round-trip could truncate a hair below the true hour
+            F.expr(f"(last_us - first_us) div {_US_PER_HOUR}").alias("lifetime"),
+            (F.col("last_us") >= F.col("end_us") - _CENSOR_US).alias("censored"),
+        )
+    )
+    lt = span.groupBy(F.col("lifetime").alias("dur")).agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("deaths"),
+        F.count("*").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = lt.select(
+        "dur", "deaths", F.sum("leaving").over(w_desc).alias("n_risk")
+    ).withColumn("factor", 1.0 - F.col("deaths") / (1.0 * F.col("n_risk")))
+    w_asc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return km.select(
+        F.col("dur").alias("duration_hours"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("deaths").cast("long").alias("n_deaths"),
+        F.round(
+            F.when(F.min("factor").over(w_asc) == 0, F.lit(0.0)).otherwise(
+                F.exp(F.sum(F.log("factor")).over(w_asc))
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+# --- CUPED variance-reduced A/B read-out -------------------------------------
+
+_CUPED_SPLIT_DOM = 16  # pre-period: day-of-month < 16; post-period: >= 16
+
+_DOM = "dayofmonth(CAST(date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS DATE))"
+
+EVENT_AB_CUPED_ORACLE = (
+    "WITH per_user AS ("
+    "  SELECT user_id, user_id % 2 AS variant, "
+    f"    sum(CASE WHEN event_type = 'purchase' AND {_DOM} < {_CUPED_SPLIT_DOM} "
+    f"        THEN {money_cents_sql('value')} ELSE 0 END) AS x, "
+    f"    sum(CASE WHEN event_type = 'purchase' AND {_DOM} >= {_CUPED_SPLIT_DOM} "
+    f"        THEN {money_cents_sql('value')} ELSE 0 END) AS y"
+    "  FROM events GROUP BY user_id"
+    "), s AS ("
+    "  SELECT CAST(count(*) AS HUGEINT) AS n, "
+    "    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy, "
+    "    sum(CAST(x AS HUGEINT) * x) AS sxx, "
+    "    sum(CAST(y AS HUGEINT) * y) AS syy, "
+    "    sum(CAST(x AS HUGEINT) * y) AS sxy"
+    "  FROM per_user"
+    "), arm AS ("
+    "  SELECT variant, CAST(count(*) AS BIGINT) AS n_arm, "
+    "    sum(CAST(x AS HUGEINT)) AS sx_arm, sum(CAST(y AS HUGEINT)) AS sy_arm"
+    "  FROM per_user GROUP BY variant"
+    "), th AS ("
+    "  SELECT CAST(n * sxy - sx * sy AS DOUBLE) "
+    "       / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS theta, "
+    "    CAST(sx AS DOUBLE) / n AS xbar, "
+    "    (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)) "
+    "    / nullif(CAST(n * sxx - sx * sx AS DOUBLE) "
+    "             * CAST(n * syy - sy * sy AS DOUBLE), 0) AS rho2"
+    "  FROM s"
+    ") SELECT "
+    "CAST(c.n_arm AS BIGINT) AS n_control, CAST(t.n_arm AS BIGINT) AS n_treat, "
+    "round(th.theta, 6) AS theta, "
+    "round(th.rho2, 6) AS rho2, "
+    "round((CAST(t.sy_arm AS DOUBLE) / t.n_arm - CAST(c.sy_arm AS DOUBLE) / c.n_arm)"
+    " / 100.0, 6) AS diff_raw, "
+    "round(((CAST(t.sy_arm AS DOUBLE) / t.n_arm "
+    "        - th.theta * (CAST(t.sx_arm AS DOUBLE) / t.n_arm - th.xbar)) "
+    "     - (CAST(c.sy_arm AS DOUBLE) / c.n_arm "
+    "        - th.theta * (CAST(c.sx_arm AS DOUBLE) / c.n_arm - th.xbar)))"
+    " / 100.0, 6) AS diff_cuped "
+    "FROM th, arm c, arm t WHERE c.variant = 0 AND t.variant = 1"
+)
+
+
+def event_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B read-out (Deng et al., WSDM 2013) beside
+    :func:`.staged_r8.event_ab_test`'s raw z-test: per user, X = pre-period
+    purchase revenue (day-of-month < 16, integer cents) is the covariate
+    and Y = post-period revenue the metric; θ = cov(X,Y)/var(X) fitted on
+    the POOLED population (arm-independent, so the adjustment is unbiased),
+    and each arm's adjusted mean is ȳ − θ(x̄ − x̄_pool). Reports the raw
+    and CUPED-adjusted treatment−control differences plus ρ² (the variance
+    fraction CUPED removes — the whole point: 1−ρ² is the sample-size
+    multiplier you no longer need).
+
+    Arms are user_id parity (event_ab_test's deterministic split).
+    Exactness: every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an
+    exact decimal(38)/HUGEINT integer in cents; θ, ρ², x̄ and both diffs
+    are single double expressions over those integers, 6 dp (÷100 back to
+    currency units). Scale: one user_id shuffle, then 1-row/arm-count
+    aggregates — the stat_linreg shape."""
+    ev = load_table(spark, sf_dir, "events")
+    dom = F.dayofmonth(F.date_trunc("day", F.col("ts").cast("timestamp")))
+    is_purch = F.col("event_type") == "purchase"
+    cents = money_cents(F.col("value"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_purch & (dom < _CUPED_SPLIT_DOM), cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(is_purch & (dom >= _CUPED_SPLIT_DOM), cents).otherwise(0)
+        ).alias("y"),
+    ).withColumn("variant", F.col("user_id") % 2)
+    d38 = "decimal(38,0)"
+    s = F.broadcast(
+        per_user.agg(
+            F.count("*").cast(d38).alias("n"),
+            F.sum(F.col("x").cast(d38)).alias("sx"),
+            F.sum(F.col("y").cast(d38)).alias("sy"),
+            F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+            F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        )
+    )
+    arm = per_user.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_arm"),
+        F.sum(F.col("x").cast(d38)).alias("sx_arm"),
+        F.sum(F.col("y").cast(d38)).alias("sy_arm"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_n = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    th = s.select(
+        F.try_divide(cov_n, varx_n).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("xbar"),
+        F.try_divide(cov_n * cov_n, varx_n * vary_n).alias("rho2"),
+    )
+    c = arm.where(F.col("variant") == 0).select(
+        F.col("n_arm").alias("n_control"),
+        F.col("sx_arm").alias("sx_c"),
+        F.col("sy_arm").alias("sy_c"),
+    )
+    t = arm.where(F.col("variant") == 1).select(
+        F.col("n_arm").alias("n_treat"),
+        F.col("sx_arm").alias("sx_t"),
+        F.col("sy_arm").alias("sy_t"),
+    )
+    ybar_t = F.col("sy_t").cast("double") / F.col("n_treat")
+    ybar_c = F.col("sy_c").cast("double") / F.col("n_control")
+    xbar_t = F.col("sx_t").cast("double") / F.col("n_treat")
+    xbar_c = F.col("sx_c").cast("double") / F.col("n_control")
+    return (
+        c.crossJoin(t)
+        .crossJoin(F.broadcast(th))
+        .select(
+            "n_control",
+            "n_treat",
+            F.round(F.col("theta"), 6).alias("theta"),
+            F.round("rho2", 6).alias("rho2"),
+            F.round((ybar_t - ybar_c) / 100.0, 6).alias("diff_raw"),
+            F.round(
+                (
+                    (ybar_t - F.col("theta") * (xbar_t - F.col("xbar")))
+                    - (ybar_c - F.col("theta") * (xbar_c - F.col("xbar")))
+                )
+                / 100.0,
+                6,
+            ).alias("diff_cuped"),
+        )
+    )
+
+
+# --- deterministic bootstrap confidence interval ------------------------------
+
+_CI_B = 32  # replicates; multiplicities replay from md5(event_id:ci:<b>)
+
+
+def _pois1_case_sql() -> str:
+    """Poisson(1) inverse-CDF CASE over a hash-uniform ``u`` — identical
+    literals to curation_ext's sample_bootstrap (single source of truth)."""
+    from .curation_ext import _POIS1_CDF
+
+    return (
+        "CASE "
+        + " ".join(f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF))
+        + " ELSE 6 END"
+    )
+
+
+STAT_BOOTSTRAP_CI_ORACLE = (
+    "WITH base AS ("
+    f"  SELECT event_id, {money_cents_sql('value')} AS cents"
+    "  FROM events WHERE event_type = 'purchase'"
+    "), rep AS ("
+    f"  SELECT b, CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':ci:' "
+    "|| CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u, cents"
+    f"  FROM base CROSS JOIN range(0, {_CI_B}) r(b)"
+    "), m AS ("
+    f"  SELECT b, {_pois1_case_sql()} AS mult, cents FROM rep"
+    "), means AS ("
+    "  SELECT b, CAST(sum(mult * CAST(cents AS HUGEINT)) AS DOUBLE) "
+    "       / nullif(sum(mult), 0) / 100.0 AS mean_b"
+    "  FROM m GROUP BY b"
+    ") SELECT "
+    "CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows, "
+    f"CAST({_CI_B} AS INTEGER) AS n_replicates, "
+    "round((SELECT CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) / count(*) / 100.0 "
+    "FROM base), 6) AS mean, "
+    "round(quantile_cont(mean_b, 0.025), 6) AS ci_lo, "
+    "round(quantile_cont(mean_b, 0.975), 6) AS ci_hi "
+    "FROM means"
+)
+
+
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% confidence interval for the mean
+    purchase value — distributed uncertainty quantification (Chamandy et
+    al. 2012): ``_CI_B``=32 replicates, each row's multiplicity in
+    replicate b drawn Poisson(1) by inverse-CDF over the hash-uniform
+    md5(event_id:ci:b) (sample_bootstrap's replayable-randomness device,
+    extended to a replicate axis). Replicate means are exact-integer cent
+    sums divided once; the 2.5%/97.5% interpolated percentiles over the 32
+    identical doubles match DuckDB's quantile_cont (the agg_percentile
+    parity precedent).
+
+    Scale: the explode is a flat ×B map (no shuffle until the B-group
+    combine); replicate state is B counters per partition — at 100 TB you
+    keep B·partitions integers, never a resample copy of the data. The
+    percentile runs over B=32 rows."""
+    case = _pois1_case_sql()
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", money_cents(F.col("value")).alias("cents")
+    )
+    rep = base.select(
+        "event_id", "cents", F.explode(F.sequence(F.lit(0), F.lit(_CI_B - 1))).alias("b")
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":ci:"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 4294967296.0,
+    )
+    d38 = "decimal(38,0)"
+    means = (
+        rep.withColumn("mult", F.expr(case))
+        .groupBy("b")
+        .agg(
+            (
+                F.try_divide(
+                    F.sum(F.col("mult").cast(d38) * F.col("cents")).cast("double"),
+                    F.sum("mult"),
+                )
+                / 100.0
+            ).alias("mean_b")
+        )
+    )
+    point = F.broadcast(
+        base.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("cents").cast(d38)).cast("double") / F.count("*") / 100.0,
+                6,
+            ).alias("mean"),
+        )
+    )
+    return (
+        means.crossJoin(point)
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.lit(_CI_B).cast("int").alias("n_replicates"),
+            F.first("mean").alias("mean"),
+            F.round(F.percentile("mean_b", F.lit(0.025)), 6).alias("ci_lo"),
+            F.round(F.percentile("mean_b", F.lit(0.975)), 6).alias("ci_hi"),
+        )
+    )
+
+
+# --- partitioned-file ingest census ------------------------------------------
+
+SCAN_FILE_STATS_ORACLE = (
+    "SELECT o_orderstatus, CAST(1 AS BIGINT) AS n_files, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(min(o_orderkey) AS BIGINT) AS min_key, "
+    "CAST(max(o_orderkey) AS BIGINT) AS max_key, "
+    f"CAST(sum({money_cents_sql('o_totalprice')}) AS BIGINT) AS revenue_cents "
+    "FROM orders GROUP BY o_orderstatus"
+)
+
+
+def scan_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition-file ingest census over a REAL hive-partitioned
+    parquet round trip — the observability scan behind small-files/skew
+    triage: write ``orders`` partitioned by ``o_orderstatus`` (repartitioned
+    by the key first, so exactly one file per partition directory —
+    deterministic, which also makes n_files oracle-able), read the
+    directory back, and report per partition-value the file count, row
+    count, key range, and exact-cents revenue — all parsed from the files
+    themselves plus ``input_file_name()``, so a corrupted or dropped file
+    shows up as a row/revenue mismatch against the source-table oracle.
+
+    Scale: this IS the pattern for auditing a 100 TB lake ingest — the
+    census aggregates per (partition value, file), moving only counters;
+    file names ride the scan for free (no extra I/O). Staging note: the
+    write is a single-process demo device (scan_binary_files' convention);
+    on a cluster the partitioned table already exists and ONLY the read +
+    census below is the operator."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pmrwc_filestats_{os.getuid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    # one file per partition dir: repartition BY THE PARTITION KEY first
+    (
+        o.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(stage)
+    )
+    back = spark.read.parquet(stage).withColumn("file", F.input_file_name())
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("file").alias("n_files"),
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum(money_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+# --- PNG header metadata (codec-free multimodal) ------------------------------
+
+# Minimal valid-layout PNG: 8-byte signature, IHDR chunk (len=13, type,
+# 13 data bytes, 4 CRC bytes we zero — we parse, never decode), IEND.
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+_PNG_TOTAL_BYTES = 8 + (4 + 4 + 13 + 4) + (4 + 4 + 4)  # 45
+
+MM_PNG_META_ORACLE = (
+    "SELECT doc_id, "
+    "CAST(16 + n_chars % 624 AS BIGINT) AS width, "
+    "CAST(16 + (doc_id * 37) % 464 AS BIGINT) AS height, "
+    "CAST(8 AS BIGINT) AS bit_depth, "
+    f"CAST({_PNG_TOTAL_BYTES} AS BIGINT) AS n_bytes, "
+    "TRUE AS valid_sig "
+    "FROM documents WHERE doc_id < 40"
+)
+
+
+def mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata (width/height/bit depth) extracted from REAL PNG
+    bytes ENTIRELY JVM-side — substring/hex/conv byte arithmetic on the
+    BinaryType content column, no Python UDF and no image codec: the PNG
+    container puts IHDR first, so width = big-endian uint32 at bytes
+    17–20, height at 21–24, bit depth at byte 25 — metadata extraction at
+    100 TB should never decode pixels (and codec-free header parsing is
+    how real lakes triage mixed image dumps before any GPU touches them).
+
+    40 deterministic PNG files are staged from the documents table (width
+    from n_chars, height from doc_id — so the ORACLE derives every field
+    from the source table and any staging/scan corruption fails the hash);
+    signature validity is checked against the 8-byte PNG magic. The CRCs
+    are zeroed: this op parses structure, it does not validate payloads —
+    mm_binary_surface's decode stub remains the (documented) codec
+    boundary.
+
+    Scale: binaryFile scan parallelizes per file; only 4-byte slices of
+    each blob feed the projection, and nothing but scalars shuffles."""
+    import hashlib
+    import os
+    import struct
+    import tempfile
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "n_chars")
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pmrwc_png_{os.getuid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    for stale in os.listdir(stage):
+        os.unlink(os.path.join(stage, stale))
+    for r in d.collect():  # 40 bounded fixture rows — staging only
+        width = 16 + r.n_chars % 624
+        height = 16 + (r.doc_id * 37) % 464
+        ihdr_data = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+        png = (
+            bytes.fromhex(_PNG_SIG_HEX)
+            + struct.pack(">I", 13) + b"IHDR" + ihdr_data + b"\x00" * 4
+            + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+        )
+        assert len(png) == _PNG_TOTAL_BYTES
+        with open(f"{stage}/{r.doc_id}.png", "wb") as f:
+            f.write(png)
+    blobs = spark.read.format("binaryFile").load(f"{stage}/*.png")
+
+    def be32(pos: int):  # big-endian uint32 at 1-based byte offset
+        return F.conv(F.hex(F.substring("content", pos, 4)), 16, 10).cast("long")
+
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1).cast("long").alias("doc_id"),
+        be32(17).alias("width"),
+        be32(21).alias("height"),
+        F.conv(F.hex(F.substring("content", 25, 1)), 16, 10)
+        .cast("long")
+        .alias("bit_depth"),
+        F.col("length").alias("n_bytes"),
+        (F.hex(F.substring("content", 1, 8)) == _PNG_SIG_HEX).alias("valid_sig"),
+    )
+
+
+# --- syllable-proxy readability ----------------------------------------------
+
+TEXT_READABILITY_ORACLE = (
+    "WITH words AS ("
+    "  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents"
+    "), syl AS ("
+    "  SELECT lang, len(regexp_extract_all(w, '[aeiou]+')) AS s FROM words"
+    ") SELECT lang, CAST(count(*) AS BIGINT) AS n_words, "
+    "CAST(sum(s) AS BIGINT) AS n_syllables, "
+    "round(sum(s) / (1.0 * count(*)), 6) AS syll_per_word, "
+    "round(sum(CASE WHEN s >= 3 THEN 1 ELSE 0 END) / (1.0 * count(*)), 6)"
+    " AS long_word_rate, "
+    "round(206.835 - 84.6 * (sum(s) / (1.0 * count(*))), 6) AS flesch_proxy "
+    "FROM syl GROUP BY lang"
+)
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syllable-proxy readability per language: syllables ≈ maximal vowel
+    groups per word (the standard no-dictionary proxy), mean syllables per
+    word, the ≥3-group long-word rate, and a Flesch-style score
+    206.835 − 84.6·(syll/word) — the words-per-sentence term is DROPPED
+    because this corpus has no sentence punctuation (documented estimator
+    restriction, not an approximation of it). Readability gates are a
+    cheap quality signal riding the same scan as text_quality.
+
+    Exactness: vowel-group counts are exact integers from the same regex
+    on both engines (ASCII corpus); two divisions + one affine map at the
+    end, 6 dp. Scale: one explode + one map-side-combining lang aggregate —
+    wordcount-shaped, linear."""
+    words = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    syl = words.select("lang", F.regexp_count("w", F.lit("[aeiou]+")).alias("s"))
+    spw = F.sum("s") / (1.0 * F.count("*"))
+    return syl.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.sum("s").cast("long").alias("n_syllables"),
+        F.round(spw, 6).alias("syll_per_word"),
+        F.round(
+            F.sum(F.when(F.col("s") >= 3, 1).otherwise(0)) / (1.0 * F.count("*")), 6
+        ).alias("long_word_rate"),
+        F.round(206.835 - 84.6 * spw, 6).alias("flesch_proxy"),
+    )

@@ -39,6 +39,11 @@ ALLOW = {
     "pipeline_sft_pack": {"GlobalWindow"},  # same bucket-offset prefix (one row per doc_id-div-64 bucket), staged_r8.py
     "stat_ks_test": {"GlobalWindow"},  # bucket offsets over one row per floor(value) bucket (~330 rows), staged_r9.py (registered round 7)
     "stat_mann_whitney": {"GlobalWindow"},  # same bucket-offset prefix as stat_ks_test (midrank cumulative counts)
+    # staged_r10 (both names so registration next round needs no audit edit):
+    "staged:stat_auc": {"GlobalWindow"},  # same ~330-row bucket-offset prefix as stat_ks_test
+    "stat_auc": {"GlobalWindow"},
+    "staged:event_survival": {"GlobalWindow"},  # KM windows order the per-duration aggregate (≤ corpus span in hours, ~720 rows), not the event stream
+    "event_survival": {"GlobalWindow"},
     "text_zipf": {"GlobalWindow"},  # rank over the aggregated vocabulary (~|V| rows), not the token stream
     "text_vocab_coverage": {"GlobalWindow"},  # same aggregated-vocabulary rank as text_zipf
     # broadcast NLJs whose build side is a bounded constant (> 1 row, so the
@@ -67,13 +72,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import parallel_mapreduce_wordcounting_spark as engine
-    from parallel_mapreduce_wordcounting_spark.operators import staged_r8, staged_r9
+    from parallel_mapreduce_wordcounting_spark.operators import (
+        staged_r8,
+        staged_r9,
+        staged_r10,
+    )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9):
+    for mod in (staged_r8, staged_r9, staged_r10):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

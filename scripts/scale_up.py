@@ -101,12 +101,16 @@ def main() -> None:
             merged.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
             print(f"replicated {table} x{n}", file=sys.stderr)
 
-    from parallel_mapreduce_wordcounting_spark.operators import staged_r8, staged_r9
+    from parallel_mapreduce_wordcounting_spark.operators import (
+        staged_r8,
+        staged_r9,
+        staged_r10,
+    )
 
     def resolve(key: str):
         if key.startswith("staged:"):
             name = key.split(":", 1)[1]
-            for mod in (staged_r8, staged_r9):
+            for mod in (staged_r8, staged_r9, staged_r10):
                 if hasattr(mod, name):
                     return getattr(mod, name)
             raise KeyError(name)

@@ -1,0 +1,237 @@
+"""Round-10 staged operators (operators/staged_r10.py): full fn-vs-DuckDB
+value compares — the same check the registry harness applies — run directly,
+since the keys stay unregistered until driver-window slots free up
+(COVERAGE.md verification budget; the round-7 window closed at 50/50).
+Cross-scale coverage: the driver-shaped compare also ran at sf0.01 during
+development (PMRWC_TEST_SF_DIR overrides conftest.SF_DIR for a full re-run)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_mapreduce_wordcounting_spark.operators import staged_r10
+
+from .conftest import SF_DIR, compare_frames
+
+CASES = [
+    (
+        "sim_sparse_cosine",
+        staged_r10.sim_sparse_cosine,
+        staged_r10.SIM_SPARSE_COSINE_ORACLE,
+    ),
+    (
+        "text_ngram_novelty",
+        staged_r10.text_ngram_novelty,
+        staged_r10.TEXT_NGRAM_NOVELTY_ORACLE,
+    ),
+    ("stat_auc", staged_r10.stat_auc, staged_r10.STAT_AUC_ORACLE),
+    ("stat_psi", staged_r10.stat_psi, staged_r10.STAT_PSI_ORACLE),
+    ("event_survival", staged_r10.event_survival, staged_r10.EVENT_SURVIVAL_ORACLE),
+    ("event_ab_cuped", staged_r10.event_ab_cuped, staged_r10.EVENT_AB_CUPED_ORACLE),
+    (
+        "stat_bootstrap_ci",
+        staged_r10.stat_bootstrap_ci,
+        staged_r10.STAT_BOOTSTRAP_CI_ORACLE,
+    ),
+    ("scan_file_stats", staged_r10.scan_file_stats, staged_r10.SCAN_FILE_STATS_ORACLE),
+    ("mm_png_meta", staged_r10.mm_png_meta, staged_r10.MM_PNG_META_ORACLE),
+    (
+        "text_readability",
+        staged_r10.text_readability,
+        staged_r10.TEXT_READABILITY_ORACLE,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,fn,oracle", CASES, ids=[c[0] for c in CASES])
+def test_staged_r10_oracle_parity(spark, duck, name, fn, oracle):
+    res = duck.execute(oracle)
+    cols = [d[0] for d in res.description]
+    compare_frames(fn(spark, SF_DIR), res.fetchall(), cols)
+
+
+def test_staged_r10_nonvacuous(duck):
+    """Each staged op must return real rows on the fixture (a vacuously
+    empty result would pass parity while testing nothing)."""
+    for name, _, oracle in CASES:
+        n = duck.execute(f"SELECT count(*) FROM ({oracle})").fetchone()[0]
+        assert n > 0, name
+
+
+def test_auc_equals_pairwise_probability(spark, duck):
+    """The rank-sum AUC must equal the defining pairwise probability
+    P(score+ > score-) + 0.5 P(score+ = score-), computed by the literal
+    quadratic comparison (feasible at fixture scale)."""
+    brute = duck.execute(
+        "WITH p AS (SELECT value v FROM events WHERE event_type = 'purchase'), "
+        "n AS (SELECT value v FROM events WHERE event_type <> 'purchase') "
+        "SELECT round(sum(CASE WHEN p.v > n.v THEN 1.0 "
+        "WHEN p.v = n.v THEN 0.5 ELSE 0 END) "
+        "/ ((SELECT count(*) FROM p) * (SELECT count(*) FROM n)), 6) "
+        "FROM p, n"
+    ).fetchone()[0]
+    (row,) = staged_r10.stat_auc(spark, SF_DIR).collect()
+    assert row.auc == pytest.approx(brute, abs=1e-6)
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_psi_symmetric_under_population_swap(spark):
+    """Each shared-bucket PSI term (p−q)·ln(p/q) is invariant under p↔q, so
+    swapping the populations must preserve psi and swap the exclusive
+    masses — a structural check on the decomposition."""
+    (ab,) = staged_r10.stat_psi(spark, SF_DIR, "click", "view").collect()
+    (ba,) = staged_r10.stat_psi(spark, SF_DIR, "view", "click").collect()
+    assert ab.psi == ba.psi and ab.n_shared == ba.n_shared
+    assert (ab.a_excl_mass, ab.b_excl_mass) == (ba.b_excl_mass, ba.a_excl_mass)
+
+
+def test_survival_is_monotone_nonincreasing(spark):
+    """S is a product of factors in (0,1]: it must start ≤ 1 and never
+    increase with duration, and n_risk must be nonincreasing too."""
+    rows = sorted(
+        staged_r10.event_survival(spark, SF_DIR).collect(),
+        key=lambda r: r.duration_hours,
+    )
+    assert rows
+    prev_s, prev_risk = 1.0 + 1e-9, float("inf")
+    for r in rows:
+        assert r.survival <= prev_s + 1e-9
+        assert r.n_risk <= prev_risk
+        assert 0.0 <= r.survival <= 1.0
+        prev_s, prev_risk = r.survival, r.n_risk
+
+
+def test_sparse_cosine_matches_python_recompute(spark):
+    """One returned pair's cosine vs a literal python tf-idf recompute —
+    anchors the formula (weights, idf smoothing, normalization), not just
+    engine parity."""
+    import math
+    from collections import Counter
+
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    pairs = staged_r10.sim_sparse_cosine(spark, SF_DIR).collect()
+    assert pairs
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    n = len(docs)
+    df = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    p = min(pairs, key=lambda r: (r.doc_id_a, r.doc_id_b))
+
+    def vec(doc_id):
+        tf = Counter(docs[doc_id])
+        return {t: c * math.log((n + 1.0) / (df[t] + 1.0)) for t, c in tf.items()}
+
+    va, vb = vec(p.doc_id_a), vec(p.doc_id_b)
+    dot = sum(w * vb.get(t, 0.0) for t, w in va.items())
+    na = math.sqrt(sum(w * w for w in va.values()))
+    nb = math.sqrt(sum(w * w for w in vb.values()))
+    assert p.cosine == pytest.approx(dot / (na / 1.0 * nb), abs=1e-6)
+    assert all(r.cosine >= staged_r10._SPARSE_TAU for r in pairs)
+
+
+def test_sparse_cosine_paths_agree(spark):
+    """The postings join and the densified block-GEMM must emit the SAME
+    pair set with the same 6-dp cosines — the invariant that makes the
+    auto strategy a pure performance choice (167 s → 2.7 s at sf0.1 on
+    this dense-vocabulary fixture), never a semantic one."""
+    g = sorted(
+        tuple(r)
+        for r in staged_r10.sim_sparse_cosine(spark, SF_DIR, strategy="gemm").collect()
+    )
+    p = sorted(
+        tuple(r)
+        for r in staged_r10.sim_sparse_cosine(
+            spark, SF_DIR, strategy="postings"
+        ).collect()
+    )
+    assert g == p and g
+
+
+def test_novelty_totals_are_consistent(spark, duck):
+    """Σ_docs n_novel must equal the number of df=1 grams in the corpus
+    (each novel gram belongs to exactly one doc)."""
+    rows = staged_r10.text_ngram_novelty(spark, SF_DIR).collect()
+    total_novel = sum(r.n_novel for r in rows)
+    singles = duck.execute(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS h "
+        "FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS g(i)) "
+        "SELECT count(*) FROM (SELECT h FROM sh GROUP BY h HAVING count(*) = 1)"
+    ).fetchone()[0]
+    assert total_novel == singles
+    assert all(0 <= r.n_novel <= r.n_grams for r in rows)
+    assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+
+
+def test_cuped_rho2_bounds_and_replay(spark):
+    """ρ² is a squared correlation (0 ≤ ρ² ≤ 1) and the whole read-out is
+    deterministic (hash-free, so trivially replayable)."""
+    (a,) = staged_r10.event_ab_cuped(spark, SF_DIR).collect()
+    (b,) = staged_r10.event_ab_cuped(spark, SF_DIR).collect()
+    assert a == b
+    assert 0.0 <= a.rho2 <= 1.0
+    assert a.n_control > 0 and a.n_treat > 0
+
+
+def test_bootstrap_ci_straddles_point_estimate(spark):
+    """The 95% Poisson-bootstrap interval must contain the point mean on
+    this well-behaved fixture, be properly ordered, and replay bit-equal
+    (hash-derived multiplicities, no RNG state)."""
+    (a,) = staged_r10.stat_bootstrap_ci(spark, SF_DIR).collect()
+    (b,) = staged_r10.stat_bootstrap_ci(spark, SF_DIR).collect()
+    assert a == b
+    assert a.ci_lo <= a.mean <= a.ci_hi
+    assert a.ci_lo < a.ci_hi
+    assert a.n_replicates == 32
+
+
+def test_file_stats_one_file_per_partition(spark):
+    """repartition-by-key before partitionBy must yield exactly one file
+    per partition directory — the deterministic-layout invariant the
+    oracle's n_files=1 literal encodes."""
+    rows = staged_r10.scan_file_stats(spark, SF_DIR).collect()
+    assert len(rows) == 3  # o_orderstatus ∈ {F, O, P}
+    assert all(r.n_files == 1 for r in rows)
+
+
+def test_png_meta_parses_handcrafted_header(spark):
+    """The byte-slice parser must recover exactly the width/height/depth
+    encoded by the stager, and flag the signature valid on every blob."""
+    import struct
+
+    rows = staged_r10.mm_png_meta(spark, SF_DIR).collect()
+    assert len(rows) == 40
+    assert all(r.valid_sig for r in rows)
+    assert all(r.bit_depth == 8 for r in rows)
+    # independent re-derivation of one blob's header from raw bytes
+    r0 = min(rows, key=lambda r: r.doc_id)
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pmrwc_png_{os.getuid()}_{hashlib.md5(SF_DIR.encode()).hexdigest()[:8]}",
+    )
+    raw = open(f"{stage}/{r0.doc_id}.png", "rb").read()
+    w, h = struct.unpack(">II", raw[16:24])
+    assert (r0.width, r0.height) == (w, h)
+
+
+def test_readability_internal_identity(spark):
+    """flesch_proxy must equal the affine map of syll_per_word the docstring
+    states (rounded the same way), and rates must be in [0,1]."""
+    rows = staged_r10.text_readability(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.flesch_proxy == pytest.approx(
+            206.835 - 84.6 * (r.n_syllables / r.n_words), abs=1e-4
+        )
+        assert 0.0 <= r.long_word_rate <= 1.0
+        assert r.syll_per_word > 0
