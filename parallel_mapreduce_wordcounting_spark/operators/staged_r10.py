@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table, ts_day
+from .dedup import ORACLE_SIMHASH_FP, SHINGLES_CTE
 from .exact import floor_day_us_sql, money_cents, money_cents_sql
 
 # --- sparse tf-idf cosine pairs ----------------------------------------------
@@ -1041,4 +1042,750 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("s") >= 3, 1).otherwise(0)) / (1.0 * F.count("*")), 6
         ).alias("long_word_rate"),
         F.round(206.835 - 84.6 * spw, 6).alias("flesch_proxy"),
+    )
+
+
+# --- BPE merge training (2 unrolled iterations) -------------------------------
+
+def _bpe_pair_sql(src: str) -> str:
+    """DuckDB: weighted adjacent-symbol-pair counts over CTE ``src``
+    (word, freq, syms)."""
+    return (
+        "SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM ("
+        "  SELECT freq, unnest(list_transform(range(1, len(syms)), "
+        "  i -> [syms[CAST(i AS INT)], syms[CAST(i AS INT) + 1]])) AS pr"
+        f"  FROM {src}) GROUP BY 1, 2"
+    )
+
+
+def _bpe_merge_sql(src: str, best: str) -> str:
+    """DuckDB: ``src`` with the ``best`` (a, b) pair merged left-to-right,
+    non-overlapping (the list-accumulator fold; slice ends are INCLUSIVE in
+    DuckDB, hence [:-2] to drop the last element)."""
+    return (
+        f"SELECT word, freq, list_reduce(list_transform({src}.syms, x -> [x]), "
+        f"  (acc, x) -> CASE WHEN acc[-1] = {best}.a AND x[1] = {best}.b "
+        f"  THEN list_append(acc[:-2], {best}.a || {best}.b) "
+        f"  ELSE list_concat(acc, x) END) AS syms "
+        f"FROM {src}, {best}"
+    )
+
+
+TEXT_BPE_TRAIN_ORACLE = (
+    "WITH wc AS ("
+    "  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
+    "    SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+    "  ) GROUP BY word"
+    "), s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM wc), "
+    f"p1 AS ({_bpe_pair_sql('s0')}), "
+    "b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1), "
+    f"s1 AS ({_bpe_merge_sql('s0', 'b1')}), "
+    f"p2 AS ({_bpe_pair_sql('s1')}), "
+    "b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1), "
+    f"s2 AS ({_bpe_merge_sql('s1', 'b2')}), "
+    "v1 AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS vs FROM "
+    "  (SELECT unnest(syms) AS s FROM s1)), "
+    "v2 AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS vs FROM "
+    "  (SELECT unnest(syms) AS s FROM s2)) "
+    "SELECT CAST(1 AS INTEGER) AS it, b1.a AS merge_a, b1.b AS merge_b, "
+    "b1.cnt AS pair_count, v1.vs AS vocab_size FROM b1, v1 "
+    "UNION ALL SELECT CAST(2 AS INTEGER), b2.a, b2.b, b2.cnt, v2.vs FROM b2, v2"
+)
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
+    """The tokenizer-training core loop, exact and cross-engine verifiable:
+    ``iters``=2 greedy BPE merges (Sennrich et al. 2016) over the corpus
+    word frequencies — each iteration counts adjacent symbol pairs weighted
+    by word frequency, picks the max-count pair (count DESC, then
+    lexicographic — an integer-only, engine-identical argmax), and merges
+    it left-to-right non-overlapping in every word. Emits per iteration the
+    chosen merge rule, its count, and the symbol-vocabulary size after the
+    merge — text_bpe_pairs registers the single pair-count step; this is
+    the LOOP that consumes it.
+
+    The merge is an array fold (aggregate over the symbol array carrying
+    the merged prefix), not a string replace — substring replace corrupts
+    merges whose text abuts neighboring symbols ("za b" contains "a b"),
+    and left-to-right non-overlap falls out of the fold for free ("a a a"
+    with merge (a,a) → ["aa", "a"], never ["aa", "aa"]). The DuckDB oracle
+    states the identical fold via list_reduce.
+
+    Scale: each iteration is one explode + one map-side-combining pair
+    aggregate over the VOCABULARY (word-distinct, not corpus-sized — the
+    standard BPE-training reduction), and the argmax collect is a 1-row
+    bounded metadata fetch (the IVF-centroid convention). Real tokenizer
+    training runs 30–50k iterations of exactly this step with the pair
+    counts kept incrementally; the unrolled form here is the verifiable
+    spec of one step."""
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = wc.select("word", "freq", F.split("word", "").alias("syms"))
+    out_rows = []
+    for it in range(1, iters + 1):
+        pairs = (
+            syms.where(F.size("syms") >= 2)  # sequence-descends guard
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
+        a_lit, b_lit, merged = best.a, best.b, best.a + best.b
+        merge_expr = F.expr(
+            "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]), "
+            f"(acc, x) -> IF(element_at(acc, -1) = '{a_lit}' AND x = '{b_lit}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+            "concat(acc, array(x))))"
+        )
+        syms = syms.select("word", "freq", merge_expr.alias("syms"))
+        vocab_size = (
+            syms.select(F.explode("syms").alias("s")).agg(
+                F.countDistinct("s")
+            ).collect()[0][0]
+        )
+        out_rows.append((it, a_lit, b_lit, int(best.cnt), int(vocab_size)))
+    return spark.createDataFrame(
+        out_rows,
+        "it int, merge_a string, merge_b string, pair_count long, vocab_size long",
+    )
+
+
+# --- score calibration curve --------------------------------------------------
+
+_CAL_BINS = 10
+
+STAT_CALIBRATION_ORACLE = (
+    "WITH lab AS ("
+    "  SELECT value AS v, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y"
+    "  FROM events"
+    "), mm AS (SELECT min(v) AS lo, max(v) AS hi FROM lab), "
+    "binned AS ("
+    f"  SELECT least(CAST(floor((v - mm.lo) / ((mm.hi - mm.lo) / {_CAL_BINS})) "
+    f"  AS BIGINT), {_CAL_BINS - 1}) AS bin, v, y FROM lab, mm"
+    ") SELECT bin, CAST(count(*) AS BIGINT) AS n, "
+    "round(avg(v), 6) AS mean_score, "
+    "round(sum(y) / (1.0 * count(*)), 6) AS pos_rate "
+    "FROM binned GROUP BY bin"
+)
+
+
+def stat_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table for ``value`` as a score predicting
+    ``event_type = 'purchase'``: ``_CAL_BINS`` equal-width score bins, each
+    with its count, mean score, and observed positive rate — the
+    calibration read-out beside :func:`stat_auc`'s ranking read-out (a
+    scorer can rank perfectly and still be mis-calibrated; data-curation
+    quality scorers get thresholded, so calibration is what makes the
+    threshold mean something).
+
+    Bin edges are (hi−lo)/K of the OBSERVED range: both engines compute the
+    identical doubles from identical inputs, so bucket assignment — and
+    therefore every count — is deterministic cross-engine (the fixed-width
+    histogram convention of agg_hist). The top edge folds into the last
+    bin via least(). Exactness: counts exact; mean/rate rounded at 6 dp.
+
+    Scale: one 2-value broadcast (min/max) + one map-side-combining bin
+    aggregate — K-row output, wordcount-shaped."""
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    mm = F.broadcast(lab.agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    width = (F.col("hi") - F.col("lo")) / _CAL_BINS
+    return (
+        lab.crossJoin(mm)
+        .select(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width).cast("long"),
+                F.lit(_CAL_BINS - 1).cast("long"),
+            ).alias("bin"),
+            "v",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("v"), 6).alias("mean_score"),
+            F.round(F.sum("y") / (1.0 * F.count("*")), 6).alias("pos_rate"),
+        )
+    )
+
+
+# --- duplicate-graph degree statistics ---------------------------------------
+
+GRAPH_DEGREE_STATS_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "sh AS ("
+    "  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h"
+    "  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)"
+    "), e AS ("
+    "  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db"
+    "  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id"
+    "), deg AS ("
+    "  SELECT v, CAST(count(*) AS BIGINT) AS d FROM ("
+    "    SELECT da AS v FROM e UNION ALL SELECT db AS v FROM e"
+    "  ) GROUP BY v"
+    "), ends AS ("
+    "  SELECT x.d AS dx, y.d AS dy FROM e"
+    "  JOIN deg x ON x.v = e.da JOIN deg y ON y.v = e.db"
+    "), s AS ("
+    "  SELECT CAST(count(*) AS HUGEINT) AS m, "
+    "  sum(CAST(dx + dy AS HUGEINT)) AS sxy_sum, "
+    "  sum(CAST(dx AS HUGEINT) * dy) AS sxyp, "
+    "  sum(CAST(dx AS HUGEINT) * dx + CAST(dy AS HUGEINT) * dy) AS ssq"
+    "  FROM ends"
+    ") SELECT "
+    "CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes, "
+    "CAST(s.m AS BIGINT) AS n_edges, "
+    "CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree, "
+    "round((SELECT sum(d) FROM deg) / (1.0 * (SELECT count(*) FROM deg)), 6)"
+    " AS mean_degree, "
+    "round((CAST(4 * s.m * s.sxyp - s.sxy_sum * s.sxy_sum AS DOUBLE)) "
+    "/ nullif(CAST(2 * s.m * s.ssq - s.sxy_sum * s.sxy_sum AS DOUBLE), 0), 6)"
+    " AS assortativity "
+    "FROM s"
+)
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree census + degree assortativity of the duplicated-span document
+    graph (the dedup_spans / graph_triangle_stats edge set): node/edge
+    counts, max and mean degree, and Newman's degree assortativity r —
+    positive r says heavy duplicators cluster together (collapse in one
+    sweep), negative says hub-and-spoke boilerplate (a hub doc shares
+    spans with many otherwise-clean docs — collapsing components would
+    over-merge). With triangle clustering, the two numbers that decide
+    the dedup_cluster policy.
+
+    r is the Pearson correlation of (deg_a, deg_b) over edges treated as
+    UNDIRECTED (both orientations): with Σ over directed ends, r =
+    (4mΣxy − (Σ(x+y))²) / (2mΣ(x²+y²) − (Σ(x+y))²) — all sufficient
+    statistics are exact HUGEINT/decimal(38) integer sums (degree products
+    over mega-hubs outgrow int64), one double division, 6 dp.
+
+    Scale: same bucketed span self-join as dedup_spans for edges; degrees
+    are one explode + combine; the ends join broadcasts nothing bigger
+    than the degree table keyed by node."""
+    from .staged_r9 import _SPAN_K, _span_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _span_hashes(d, _SPAN_K)
+    e = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    ).persist()
+    try:
+        deg = (
+            e.select(F.col("da").alias("v"))
+            .unionAll(e.select(F.col("db").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        dx = deg.select(F.col("v").alias("da"), F.col("d").alias("dx"))
+        dy = deg.select(F.col("v").alias("db"), F.col("d").alias("dy"))
+        d38 = "decimal(38,0)"
+        s = (
+            e.join(dx, "da")
+            .join(dy, "db")
+            .agg(
+                F.count("*").cast(d38).alias("m"),
+                F.sum((F.col("dx") + F.col("dy")).cast(d38)).alias("sxy_sum"),
+                F.sum(F.col("dx").cast(d38) * F.col("dy")).alias("sxyp"),
+                F.sum(
+                    F.col("dx").cast(d38) * F.col("dx")
+                    + F.col("dy").cast(d38) * F.col("dy")
+                ).alias("ssq"),
+            )
+        )
+        summary = F.broadcast(
+            deg.agg(
+                F.count("*").cast("long").alias("n_nodes"),
+                F.max("d").cast("long").alias("max_degree"),
+                F.sum("d").alias("deg_sum"),
+            )
+        )
+        out = s.crossJoin(summary).select(
+            "n_nodes",
+            F.col("m").cast("long").alias("n_edges"),
+            "max_degree",
+            F.round(F.col("deg_sum") / (1.0 * F.col("n_nodes")), 6).alias(
+                "mean_degree"
+            ),
+            F.round(
+                F.try_divide(
+                    (
+                        4 * F.col("m") * F.col("sxyp")
+                        - F.col("sxy_sum") * F.col("sxy_sum")
+                    ).cast("double"),
+                    (
+                        2 * F.col("m") * F.col("ssq")
+                        - F.col("sxy_sum") * F.col("sxy_sum")
+                    ).cast("double"),
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+        rows = out.collect()  # 1 row; cache hits happen here
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
+# --- WAV header metadata (second codec-free modality) ------------------------
+
+# Canonical 44-byte PCM WAV header + zeroed payload bytes we never decode.
+_WAV_HEADER_BYTES = 44
+
+MM_WAV_META_ORACLE = (
+    "SELECT doc_id, "
+    "CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS sample_rate, "
+    "CAST(1 + doc_id % 2 AS BIGINT) AS channels, "
+    "CAST(16 AS BIGINT) AS bits_per_sample, "
+    "CAST(n_chars AS BIGINT) AS n_samples, "
+    "round(n_chars * 1000.0 / (8000 * (1 + doc_id % 5)), 6) AS duration_ms, "
+    "TRUE AS valid_riff "
+    "FROM documents WHERE doc_id >= 40 AND doc_id < 80"
+)
+
+
+def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata (sample rate / channels / bit depth / duration)
+    parsed from REAL RIFF/WAV headers ENTIRELY JVM-side — the
+    little-endian sibling of :func:`mm_png_meta` (PNG is big-endian; WAV's
+    LE u32/u16 fields are reassembled from per-byte hex/conv terms, still
+    zero Python in the scan). Together the two prove the multimodal
+    metadata path over both byte orders with full value oracles — at
+    100 TB you triage a mixed media dump by header sniffing long before
+    any decoder runs.
+
+    40 deterministic WAVs stage from documents (rate/channels from doc_id,
+    sample count = n_chars, so the ORACLE derives every field from the
+    source table); payload bytes are zeroed — structure parsing only,
+    mm_binary_surface's decode stub remains the codec boundary."""
+    import hashlib
+    import os
+    import struct
+    import tempfile
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+        .select("doc_id", "n_chars")
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pmrwc_wav_{os.getuid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    for stale in os.listdir(stage):
+        os.unlink(os.path.join(stage, stale))
+    for r in d.collect():  # 40 bounded fixture rows — staging only
+        rate = 8000 * (1 + r.doc_id % 5)
+        channels = 1 + r.doc_id % 2
+        bits = 16
+        n_samples = r.n_chars
+        block_align = channels * bits // 8
+        data_size = n_samples * block_align
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * block_align, block_align, bits)
+            + b"data" + struct.pack("<I", data_size)
+        )
+        assert len(hdr) == _WAV_HEADER_BYTES
+        with open(f"{stage}/{r.doc_id}.wav", "wb") as f:
+            f.write(hdr + b"\x00" * min(data_size, 64))  # truncated payload
+    blobs = spark.read.format("binaryFile").load(f"{stage}/*.wav")
+
+    def le_u(pos: int, nbytes: int):
+        """Little-endian unsigned int at 1-based offset, from per-byte terms."""
+        total = F.lit(0).cast("long")
+        for i in range(nbytes):
+            byte = F.conv(F.hex(F.substring("content", pos + i, 1)), 16, 10).cast(
+                "long"
+            )
+            total = total + byte * (256 ** i)
+        return total
+
+    rate = le_u(25, 4)
+    channels = le_u(23, 2)
+    bits = le_u(35, 2)
+    data_size = le_u(41, 4)
+    block_align = le_u(33, 2)
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.wav$", 1).cast("long").alias("doc_id"),
+        rate.alias("sample_rate"),
+        channels.alias("channels"),
+        bits.alias("bits_per_sample"),
+        (data_size / block_align).cast("long").alias("n_samples"),
+        F.round((data_size / block_align) * 1000.0 / rate, 6).alias("duration_ms"),
+        (
+            (F.hex(F.substring("content", 1, 4)) == F.lit("52494646"))  # 'RIFF'
+            & (F.hex(F.substring("content", 9, 4)) == F.lit("57415645"))  # 'WAVE'
+        ).alias("valid_riff"),
+    )
+
+
+# --- A/B power analysis -------------------------------------------------------
+
+# two-sided alpha = 0.05, power = 0.8 (z literals exact on both engines)
+_Z_ALPHA2 = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+EVENT_POWER_ANALYSIS_ORACLE = (
+    "WITH per_user AS ("
+    "  SELECT user_id, user_id % 2 AS variant, "
+    f"    sum(CASE WHEN event_type = 'purchase' THEN {money_cents_sql('value')} "
+    "    ELSE 0 END) AS y"
+    "  FROM events GROUP BY user_id"
+    "), s AS ("
+    "  SELECT CAST(count(*) AS HUGEINT) AS n, sum(CAST(y AS HUGEINT)) AS sy, "
+    "  sum(CAST(y AS HUGEINT) * y) AS syy FROM per_user"
+    "), arm AS ("
+    "  SELECT variant, CAST(count(*) AS BIGINT) AS n_arm, "
+    "  sum(CAST(y AS HUGEINT)) AS sy_arm FROM per_user GROUP BY variant"
+    "), v AS ("
+    "  SELECT CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)"
+    "  AS var_cents2, n FROM s"
+    ") SELECT "
+    "CAST(c.n_arm AS BIGINT) AS n_control, CAST(t.n_arm AS BIGINT) AS n_treat, "
+    "round(v.var_cents2 / 10000.0, 6) AS variance, "
+    "round((CAST(t.sy_arm AS DOUBLE) / t.n_arm - CAST(c.sy_arm AS DOUBLE) / c.n_arm)"
+    " / 100.0, 6) AS observed_diff, "
+    "CAST(ceil("
+    f"  2.0 * v.var_cents2 * {(_Z_ALPHA2 + _Z_BETA) ** 2!r} "
+    "  / nullif((CAST(t.sy_arm AS DOUBLE) / t.n_arm "
+    "            - CAST(c.sy_arm AS DOUBLE) / c.n_arm) "
+    "         * (CAST(t.sy_arm AS DOUBLE) / t.n_arm "
+    "            - CAST(c.sy_arm AS DOUBLE) / c.n_arm), 0)"
+    ") AS BIGINT) AS n_required_per_arm "
+    "FROM v, arm c, arm t WHERE c.variant = 0 AND t.variant = 1"
+)
+
+
+def event_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size read-out: per-arm n required to detect the OBSERVED
+    treatment−control difference in per-user purchase revenue at two-sided
+    α=0.05 with 80% power — n = 2σ²(z_{α/2}+z_β)²/Δ² (the experimenter's
+    first question after event_ab_test says "not significant": how long
+    would this take to detect?). σ² is the pooled per-user sample variance.
+
+    Exactness: n/Σy/Σy² accumulate in decimal(38)/HUGEINT cents; variance,
+    Δ, and the ceil argument are single double expressions over those
+    integers with the z constants as identical literals; ceil of identical
+    doubles is identical, cast to int64. Δ=0 → NULL via the guarded
+    divide (oracle nullif). Scale: one user_id shuffle, 1-row + per-arm
+    aggregates — the stat_linreg shape."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = money_cents(F.col("value"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("y")
+    ).withColumn("variant", F.col("user_id") % 2)
+    d38 = "decimal(38,0)"
+    s = per_user.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    arm = per_user.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_arm"),
+        F.sum(F.col("y").cast(d38)).alias("sy_arm"),
+    )
+    var_cents2 = (
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    v = F.broadcast(s.select(var_cents2.alias("var_cents2")))
+    c = arm.where(F.col("variant") == 0).select(
+        F.col("n_arm").alias("n_control"), F.col("sy_arm").alias("sy_c")
+    )
+    t = arm.where(F.col("variant") == 1).select(
+        F.col("n_arm").alias("n_treat"), F.col("sy_arm").alias("sy_t")
+    )
+    diff_cents = (
+        F.col("sy_t").cast("double") / F.col("n_treat")
+        - F.col("sy_c").cast("double") / F.col("n_control")
+    )
+    k = (_Z_ALPHA2 + _Z_BETA) ** 2
+    return (
+        c.crossJoin(t)
+        .crossJoin(v)
+        .select(
+            "n_control",
+            "n_treat",
+            F.round(F.col("var_cents2") / 10000.0, 6).alias("variance"),
+            F.round(diff_cents / 100.0, 6).alias("observed_diff"),
+            F.ceil(
+                F.try_divide(
+                    2.0 * F.col("var_cents2") * F.lit(k),
+                    diff_cents * diff_cents,
+                )
+            )
+            .cast("long")
+            .alias("n_required_per_arm"),
+        )
+    )
+
+
+# --- language-ID evaluation (confusion matrix) -------------------------------
+
+TEXT_LANGID_EVAL_ORACLE = (
+    "WITH g AS ("
+    "  SELECT lang, CASE WHEN contains(text, 'the ') OR contains(text, ' the') "
+    "  THEN 'en_like' ELSE 'other' END AS lang_guess FROM documents"
+    "), cm AS ("
+    "  SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n"
+    "  FROM g GROUP BY lang, lang_guess"
+    "), tot AS (SELECT sum(n) AS t FROM cm), "
+    "acc AS ("
+    "  SELECT sum(CASE WHEN (lang = 'en') = (lang_guess = 'en_like') THEN n "
+    "  ELSE 0 END) AS ok FROM cm"
+    ") SELECT cm.lang, cm.lang_guess, cm.n, "
+    "round(cm.n / (1.0 * tot.t), 6) AS frac, "
+    "round(acc.ok / (1.0 * tot.t), 6) AS overall_accuracy "
+    "FROM cm, tot, acc"
+)
+
+
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the :func:`..text.text_langid` heuristic against
+    the labeled ``lang`` column — classifier evaluation AS a dataframe op
+    (every curation-pipeline classifier needs this read-out riding the
+    same scan as the classifier itself): per (true lang, guess) cell its
+    count and corpus fraction, with the overall binary accuracy (en vs
+    non-en, the rule's actual contract) repeated on each row for the
+    one-pass report shape.
+
+    Exactness: counts exact; fractions one division, 6 dp. Scale: a
+    (|langs|×2)-cell aggregate with two 1-row broadcasts — wordcount-
+    shaped."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "lang",
+        F.when(
+            F.col("text").contains("the ") | F.col("text").contains(" the"), "en_like"
+        )
+        .otherwise("other")
+        .alias("lang_guess"),
+    )
+    cm = g.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    tot = F.broadcast(cm.agg(F.sum("n").alias("t")))
+    acc = F.broadcast(
+        cm.agg(
+            F.sum(
+                F.when(
+                    (F.col("lang") == "en") == (F.col("lang_guess") == "en_like"),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("ok")
+        )
+    )
+    return (
+        cm.crossJoin(tot)
+        .crossJoin(acc)
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            F.round(F.col("n") / (1.0 * F.col("t")), 6).alias("frac"),
+            F.round(F.col("ok") / (1.0 * F.col("t")), 6).alias("overall_accuracy"),
+        )
+    )
+
+
+# --- near-dup detector evaluation (simhash vs exact Jaccard truth) -----------
+
+_EVAL_J_TAU = 0.3  # ground truth: exact trigram-shingle Jaccard >= 0.3
+
+# Reuses the canonical shared CTEs verbatim so the evaluation's truth and
+# prediction sides are BY CONSTRUCTION the registered ops' specs:
+# dedup.SHINGLES_CTE -> sh(doc_id, s) and dedup.ORACLE_SIMHASH_FP's
+# fingerprint pipeline -> fp(doc_id, simhash).
+DEDUP_EVAL_SIMHASH_ORACLE = (
+    f"{SHINGLES_CTE}, "
+    "truth AS ("
+    "  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b"
+    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+    f"  / len(list_distinct(list_concat(a.s, b.s))) >= {_EVAL_J_TAU}"
+    "), "
+    # predictions: doc pairs whose 60-bit simhash fingerprints are within
+    # hamming 3 (dedup_simhash_pairs' spec, expanded to doc level)
+    f"{ORACLE_SIMHASH_FP.removeprefix('WITH ')}, "
+    "pred AS ("
+    "  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b"
+    "  FROM fp a JOIN fp b ON a.doc_id < b.doc_id"
+    "  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    "), m AS ("
+    "  SELECT "
+    "  (SELECT count(*) FROM truth) AS n_truth, "
+    "  (SELECT count(*) FROM pred) AS n_pred, "
+    "  (SELECT count(*) FROM truth JOIN pred USING (doc_id_a, doc_id_b)) AS tp"
+    ") SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_pred AS BIGINT) AS n_pred, "
+    "CAST(tp AS BIGINT) AS tp, "
+    "round(tp / (1.0 * nullif(n_pred, 0)), 6) AS precision_r, "
+    "round(tp / (1.0 * nullif(n_truth, 0)), 6) AS recall_r "
+    "FROM m"
+)
+
+
+def dedup_eval_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector evaluation AS data, fully hash-oracled: precision/recall of
+    the SimHash hamming≤3 pairing against EXACT 2-gram-Jaccard ≥ 0.3 ground
+    truth — the read-out that turns "we use SimHash" into "SimHash finds
+    X% of true near-dups at Y% precision on OUR corpus", which is the only
+    form a dedup-threshold decision should take. Every ingredient is
+    deterministic on both engines (md5 fingerprints, exact Jaccard), so
+    unlike MinHash/LSH recall tests this entire evaluation is itself
+    driver-verifiable.
+
+    Scale: BOTH sides reuse the registered bucketed forms — truth is
+    dedup_ngram_jaccard's inverted-index join (Σ freq², near-linear on
+    sparse corpora; its own docstring carries the worst-case note), the
+    prediction side expands dedup_simhash_pairs' pigeonhole fingerprint
+    pairs to doc level through two fingerprint equi-joins, and the TP join
+    is pair-keyed. No all-pairs anywhere — the oracle's quadratic FROM a, b
+    is the oracle-scale spec, not the plan."""
+    from .dedup import dedup_ngram_jaccard, dedup_simhash
+    from .staged_r8 import dedup_simhash_pairs
+
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    fp = dedup_simhash(spark, sf_dir)
+    fpp = dedup_simhash_pairs(spark, sf_dir)  # fp_a, fp_b (+ diagonal groups)
+    da = fp.select(F.col("simhash").alias("fp_a"), F.col("doc_id").alias("x"))
+    db = fp.select(F.col("simhash").alias("fp_b"), F.col("doc_id").alias("y"))
+    pred = (
+        fpp.select("fp_a", "fp_b")
+        .join(da, "fp_a")
+        .join(db, "fp_b")
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("doc_id_a"),
+            F.greatest("x", "y").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    n_truth = truth.count()
+    n_pred = pred.count()
+    tp = truth.join(pred, ["doc_id_a", "doc_id_b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_pred,
+                tp,
+                round(tp / n_pred, 6) if n_pred else None,
+                round(tp / n_truth, 6) if n_truth else None,
+            )
+        ],
+        "n_truth long, n_pred long, tp long, precision_r double, recall_r double",
+    )
+
+
+# --- SCD2 snapshot diff -------------------------------------------------------
+
+_DIFF_T1_DAY, _DIFF_T2_DAY = 10, 20  # as-of offsets (days after corpus start)
+
+# The dimension subquery is warehouse.SCD2_ORACLE verbatim — the diff's
+# notion of "state at T" is BY CONSTRUCTION the registered scd2_build spec.
+def _scd2_snapshot_diff_oracle() -> str:
+    from .warehouse import SCD2_ORACLE
+
+    def snap(day: int, alias: str) -> str:
+        at = f"m.t0 + {day} * 86400000000"
+        return (
+            f"SELECT user_id, state AS {alias} FROM dim, m "
+            f"WHERE valid_from_us <= {at} "
+            f"AND (valid_to_us IS NULL OR valid_to_us > {at})"
+        )
+
+    return (
+        f"WITH dim AS ({SCD2_ORACLE}), "
+        "m AS (SELECT min(epoch_ns(ts) // 1000) AS t0 FROM events), "
+        f"s1 AS ({snap(_DIFF_T1_DAY, 'state_t1')}), "
+        f"s2 AS ({snap(_DIFF_T2_DAY, 'state_t2')}) "
+        "SELECT coalesce(s1.user_id, s2.user_id) AS user_id, "
+        "s1.state_t1 AS state_t1, s2.state_t2 AS state_t2, "
+        "CASE WHEN s1.user_id IS NULL THEN 'added' "
+        "WHEN s2.user_id IS NULL THEN 'removed' ELSE 'changed' END AS change_type "
+        "FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id "
+        "WHERE s1.user_id IS NULL OR s2.user_id IS NULL "
+        "OR s1.state_t1 <> s2.state_t2"
+    )
+
+
+SCD2_SNAPSHOT_DIFF_ORACLE = _scd2_snapshot_diff_oracle()
+
+
+def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot DIFF over the SCD2 dimension — "what changed
+    between as-of T1 and as-of T2": each user's current state at both
+    instants (half-open [valid_from, valid_to) containment, the
+    join_pit_scd2 convention), emitting only users whose state was added,
+    removed, or changed — the warehouse audit query behind every "why did
+    the metric move" investigation, and the temporal complement of
+    cdc_apply's log-compaction view.
+
+    T1/T2 are day offsets from the corpus start (min event µs), so the
+    diff is deterministic on any slice of the fixture. Exactness:
+    all-integer interval bounds, string state compare; no floats at all.
+
+    Scale: the dimension builds on ONE user_id window layout (scd2_build's
+    plan); each snapshot is a filter over it; the diff is a user-keyed
+    full-outer join — three shuffle-free-after-the-first-exchange stages."""
+    from ..sources.loader import ts_us
+    from .warehouse import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(ts_us("ts")).alias("t0"))
+    dim = scd2_build(spark, sf_dir)  # user_id, version, state, valid_from_us, valid_to_us
+    us_day = 86_400_000_000
+
+    def snapshot(day: int, alias: str) -> DataFrame:
+        at = F.col("t0") + day * us_day
+        return (
+            dim.crossJoin(F.broadcast(t0))
+            .where(
+                (F.col("valid_from_us") <= at)
+                & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > at))
+            )
+            .select("user_id", F.col("state").alias(alias))
+        )
+
+    s1 = snapshot(_DIFF_T1_DAY, "state_t1")
+    s2 = snapshot(_DIFF_T2_DAY, "state_t2")
+    return (
+        s1.join(s2, "user_id", "full_outer")
+        .where(
+            F.col("state_t1").isNull()
+            | F.col("state_t2").isNull()
+            | (F.col("state_t1") != F.col("state_t2"))
+        )
+        .select(
+            "user_id",
+            "state_t1",
+            "state_t2",
+            F.when(F.col("state_t1").isNull(), "added")
+            .when(F.col("state_t2").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+        )
     )

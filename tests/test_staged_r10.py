@@ -235,3 +235,174 @@ def test_readability_internal_identity(spark):
         )
         assert 0.0 <= r.long_word_rate <= 1.0
         assert r.syll_per_word > 0
+
+
+# --- wave 2 --------------------------------------------------------------------
+
+CASES_W2 = [
+    ("text_bpe_train", staged_r10.text_bpe_train, staged_r10.TEXT_BPE_TRAIN_ORACLE),
+    (
+        "stat_calibration",
+        staged_r10.stat_calibration,
+        staged_r10.STAT_CALIBRATION_ORACLE,
+    ),
+    (
+        "graph_degree_stats",
+        staged_r10.graph_degree_stats,
+        staged_r10.GRAPH_DEGREE_STATS_ORACLE,
+    ),
+    ("mm_wav_meta", staged_r10.mm_wav_meta, staged_r10.MM_WAV_META_ORACLE),
+    (
+        "event_power_analysis",
+        staged_r10.event_power_analysis,
+        staged_r10.EVENT_POWER_ANALYSIS_ORACLE,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,fn,oracle", CASES_W2, ids=[c[0] for c in CASES_W2])
+def test_staged_r10_w2_oracle_parity(spark, duck, name, fn, oracle):
+    res = duck.execute(oracle)
+    cols = [d[0] for d in res.description]
+    compare_frames(fn(spark, SF_DIR), res.fetchall(), cols)
+
+
+def test_bpe_golden_merges(spark):
+    """Pinned first two greedy merges on the deterministic corpus: 'e'+'r'
+    (4650 weighted occurrences) then 'o'+'r' — catches any silent change to
+    pair weighting, the argmax tiebreak, or the merge fold."""
+    rows = [tuple(r) for r in staged_r10.text_bpe_train(spark, SF_DIR).collect()]
+    assert rows == [(1, "e", "r", 4650, 25), (2, "o", "r", 2880, 26)]
+
+
+def test_bpe_merge_fold_nonoverlapping(spark):
+    """The fold must merge left-to-right without overlap: 'a a a' with
+    merge (a,a) gives ['aa','a'], and text abutting a neighboring symbol
+    must NOT fuse ('za b' has no (a,b) pair at symbol level)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(["a", "a", "a"],), (["za", "b"],)], "syms array<string>")
+    merged = df.select(
+        F.expr(
+            "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]), "
+            "(acc, x) -> IF(element_at(acc, -1) = 'a' AND x = 'a', "
+            "concat(slice(acc, 1, size(acc) - 1), array('aa')), "
+            "concat(acc, array(x))))"
+        ).alias("m")
+    ).collect()
+    assert [r.m for r in merged] == [["aa", "a"], ["za", "b"]]
+
+
+def test_calibration_partitions_all_events(spark, duck):
+    """Bins tile the corpus: counts sum to the event total, rates bounded,
+    bin ids inside [0, K)."""
+    rows = staged_r10.stat_calibration(spark, SF_DIR).collect()
+    total = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert sum(r.n for r in rows) == total
+    assert all(0 <= r.bin < 10 for r in rows)
+    assert all(0.0 <= r.pos_rate <= 1.0 for r in rows)
+
+
+def test_degree_stats_identities(spark):
+    """mean_degree must equal 2·edges/nodes (every edge contributes two
+    degree ends) and assortativity is a correlation in [-1, 1]."""
+    (r,) = staged_r10.graph_degree_stats(spark, SF_DIR).collect()
+    assert r.mean_degree == pytest.approx(2.0 * r.n_edges / r.n_nodes, abs=1e-6)
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    assert 1 <= r.max_degree < r.n_nodes
+
+
+def test_wav_meta_matches_source_table(spark):
+    """n_samples must round-trip n_chars exactly through the staged LE
+    header, and every blob must carry a valid RIFF/WAVE signature."""
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    rows = {r.doc_id: r for r in staged_r10.mm_wav_meta(spark, SF_DIR).collect()}
+    src = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, SF_DIR, "documents")
+        .where("doc_id >= 40 AND doc_id < 80")
+        .collect()
+    }
+    assert set(rows) == set(src) and len(rows) == 40
+    for doc_id, r in rows.items():
+        assert r.n_samples == src[doc_id]
+        assert r.valid_riff and r.bits_per_sample == 16
+
+
+def test_power_analysis_formula_identity(spark):
+    """n_required must equal ceil(2·sigma²·(z_a+z_b)²/delta²) recomputed
+    from the op's own reported variance and diff (rounding slack only)."""
+    import math
+
+    (r,) = staged_r10.event_power_analysis(spark, SF_DIR).collect()
+    k = (staged_r10._Z_ALPHA2 + staged_r10._Z_BETA) ** 2
+    approx = 2.0 * r.variance * k / (r.observed_diff**2)
+    # reported values are 6-dp rounds of the internal doubles, so allow
+    # the derived n to differ by the propagated rounding slack
+    assert r.n_required_per_arm == pytest.approx(math.ceil(approx), rel=1e-3)
+    assert r.n_required_per_arm > 0
+
+
+# --- wave 3 --------------------------------------------------------------------
+
+CASES_W3 = [
+    (
+        "text_langid_eval",
+        staged_r10.text_langid_eval,
+        staged_r10.TEXT_LANGID_EVAL_ORACLE,
+    ),
+    (
+        "dedup_eval_simhash",
+        staged_r10.dedup_eval_simhash,
+        staged_r10.DEDUP_EVAL_SIMHASH_ORACLE,
+    ),
+    (
+        "scd2_snapshot_diff",
+        staged_r10.scd2_snapshot_diff,
+        staged_r10.SCD2_SNAPSHOT_DIFF_ORACLE,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,fn,oracle", CASES_W3, ids=[c[0] for c in CASES_W3])
+def test_staged_r10_w3_oracle_parity(spark, duck, name, fn, oracle):
+    res = duck.execute(oracle)
+    cols = [d[0] for d in res.description]
+    compare_frames(fn(spark, SF_DIR), res.fetchall(), cols)
+
+
+def test_langid_eval_cells_sum_to_corpus(spark, duck):
+    """Confusion cells must partition the corpus and accuracy must equal
+    the sum of the correct cells' fractions."""
+    rows = staged_r10.text_langid_eval(spark, SF_DIR).collect()
+    total = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(r.n for r in rows) == total
+    acc = sum(
+        r.n for r in rows if (r.lang == "en") == (r.lang_guess == "en_like")
+    ) / total
+    assert rows[0].overall_accuracy == pytest.approx(acc, abs=1e-6)
+
+
+def test_dedup_eval_confusion_identities(spark):
+    """tp <= both sides, and precision/recall must equal tp over the
+    respective totals."""
+    (r,) = staged_r10.dedup_eval_simhash(spark, SF_DIR).collect()
+    assert r.tp <= min(r.n_truth, r.n_pred)
+    assert r.precision_r == pytest.approx(r.tp / r.n_pred, abs=1e-6)
+    assert r.recall_r == pytest.approx(r.tp / r.n_truth, abs=1e-6)
+
+
+def test_scd2_diff_no_change_rows_filtered(spark):
+    """Every emitted row must represent a real difference, with
+    change_type consistent with the null pattern."""
+    rows = staged_r10.scd2_snapshot_diff(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.change_type == "added":
+            assert r.state_t1 is None and r.state_t2 is not None
+        elif r.change_type == "removed":
+            assert r.state_t1 is not None and r.state_t2 is None
+        else:
+            assert r.state_t1 is not None and r.state_t2 is not None
+            assert r.state_t1 != r.state_t2
