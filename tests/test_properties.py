@@ -220,3 +220,42 @@ def test_span_hashes_count_and_content(spark, docs, k):
             joined = " ".join(toks[s : s + k])
             want.append((i, hashlib.md5(joined.encode()).hexdigest()))
     assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=1, max_size=10),
+    st.sampled_from([("a", "b"), ("a", "a"), ("ab", "c")]),
+)
+def test_bpe_merge_fold_matches_python_reference(spark, syms, pair):
+    """The staged_r10 BPE merge fold (SQL aggregate over the symbol array)
+    must match the reference left-to-right non-overlapping merge for ANY
+    symbol sequence — including repeated symbols (a,a), merges whose text
+    equals an existing symbol ('ab'), and merge-at-boundary cases."""
+    from pyspark.sql import functions as F
+
+    a, b = pair
+    merged = a + b
+
+    def reference(seq):
+        out = []
+        i = 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(
+        F.expr(
+            "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]), "
+            f"(acc, x) -> IF(element_at(acc, -1) = '{a}' AND x = '{b}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+            "concat(acc, array(x))))"
+        ).alias("m")
+    ).collect()[0].m
+    assert got == reference(syms)
