@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
         "training-data-pipeline demo",
     )
     rpt.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    rpt.add_argument(
+        "--dedup",
+        action="store_true",
+        help="also print the dedup-detector comparison row (exact / "
+        "Jaccard / MinHash / SimHash / embedding / spans)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -107,6 +113,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"corpus health @ {args.sf_dir}")
             for col, val in row.asDict().items():
                 print(f"  {col:<{width}}  {val}")
+            if args.dedup:
+                from .operators.staged_r10 import pipeline_dedup_report
+
+                drow = pipeline_dedup_report(spark, args.sf_dir).collect()[0]
+                dwidth = max(len(c) for c in drow.asDict())
+                print("dedup detectors")
+                for col, val in drow.asDict().items():
+                    print(f"  {col:<{dwidth}}  {val}")
             return 0
 
         if args.cmd == "sql":

@@ -1801,3 +1801,79 @@ def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change_type"),
         )
     )
+
+
+# --- one-row dedup detector comparison ---------------------------------------
+
+def _dedup_report_oracle() -> str:
+    """Composes the REGISTERED detectors' own oracle SQL verbatim as
+    scalar-count subqueries (DuckDB allows a WITH inside a scalar
+    subquery), so each column is BY CONSTRUCTION the registered spec."""
+    from ..registry import REGISTRY
+
+    j = REGISTRY["dedup_ngram_jaccard"].oracle
+    mh = REGISTRY["dedup_fuzzy_minhash"].oracle
+    sp = REGISTRY["dedup_simhash_pairs"].oracle
+    em = REGISTRY["dedup_embedding"].oracle
+    ds = REGISTRY["dedup_spans"].oracle
+    return (
+        "SELECT "
+        "CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs, "
+        "CAST((SELECT count(*) FROM ("
+        "  SELECT text FROM documents GROUP BY text HAVING count(*) > 1"
+        ") g JOIN documents d ON d.text = g.text) AS BIGINT) AS n_exact_dup_docs, "
+        f"CAST((SELECT count(*) FROM ({j})) AS BIGINT) AS n_jaccard_pairs, "
+        f"CAST((SELECT count(*) FROM ({mh})) AS BIGINT) AS n_minhash_pairs, "
+        f"CAST((SELECT count(*) FROM ({sp})) AS BIGINT) AS n_simhash_pairs, "
+        f"CAST((SELECT count(*) FROM ({em})) AS BIGINT) AS n_embedding_pairs, "
+        f"CAST((SELECT count(*) FROM ({ds})) AS BIGINT) AS n_dup_spans"
+    )
+
+
+PIPELINE_DEDUP_REPORT_ORACLE = _dedup_report_oracle()
+
+
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row comparison of every duplicate detector on the corpus —
+    exact-dup docs, n-gram-Jaccard pairs (τ=0.3), MinHash-LSH pairs
+    (τ=0.6 spec), SimHash hamming≤3 fingerprint pairs, embedding-cosine
+    pairs (τ=0.45), and duplicated k-token spans — the side-by-side a
+    dedup-policy decision actually reads (detectors disagree by design:
+    each column is a different definition of "duplicate"). Beside
+    pipeline_corpus_report's health KPI, this is the dedup KPI.
+
+    Both sides compose the REGISTERED detectors verbatim: the Spark side
+    cross-joins each detector's count aggregate (one job, every count a
+    1-row broadcast), the oracle embeds each detector's registered oracle
+    SQL as a scalar-count subquery — so this report cannot drift from the
+    ops it summarizes.
+
+    Scale: the detectors dominate; the report adds six 1-row aggregates."""
+    from .dedup import (
+        dedup_embedding,
+        dedup_fuzzy_minhash,
+        dedup_ngram_jaccard,
+    )
+    from .staged_r8 import dedup_simhash_pairs
+    from .staged_r9 import dedup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    dup_docs = (
+        d.groupBy("text")
+        .agg(F.count("*").alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).alias("n_exact_dup_docs"))
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias(name))
+
+    return (
+        d.agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(dup_docs))
+        .crossJoin(F.broadcast(cnt(dedup_ngram_jaccard(spark, sf_dir), "n_jaccard_pairs")))
+        .crossJoin(F.broadcast(cnt(dedup_fuzzy_minhash(spark, sf_dir), "n_minhash_pairs")))
+        .crossJoin(F.broadcast(cnt(dedup_simhash_pairs(spark, sf_dir), "n_simhash_pairs")))
+        .crossJoin(F.broadcast(cnt(dedup_embedding(spark, sf_dir), "n_embedding_pairs")))
+        .crossJoin(F.broadcast(cnt(dedup_spans(spark, sf_dir), "n_dup_spans")))
+    )

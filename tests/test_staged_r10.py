@@ -406,3 +406,29 @@ def test_scd2_diff_no_change_rows_filtered(spark):
         else:
             assert r.state_t1 is not None and r.state_t2 is not None
             assert r.state_t1 != r.state_t2
+
+
+def test_dedup_report_oracle_parity(spark, duck):
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r10 import (
+        PIPELINE_DEDUP_REPORT_ORACLE,
+        pipeline_dedup_report,
+    )
+
+    res = duck.execute(PIPELINE_DEDUP_REPORT_ORACLE)
+    cols = [d[0] for d in res.description]
+    compare_frames(pipeline_dedup_report(spark, SF_DIR), res.fetchall(), cols)
+
+
+def test_dedup_report_consistent_with_detectors(spark):
+    """Each report column must equal the corresponding registered
+    detector's own row count — the report can't drift from the ops."""
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    (r,) = staged_r10.pipeline_dedup_report(spark, SF_DIR).collect()
+    assert r.n_jaccard_pairs == engine.REGISTRY["dedup_ngram_jaccard"].fn(
+        spark, SF_DIR
+    ).count()
+    assert r.n_simhash_pairs == engine.REGISTRY["dedup_simhash_pairs"].fn(
+        spark, SF_DIR
+    ).count()
+    assert r.n_dup_spans == engine.REGISTRY["dedup_spans"].fn(spark, SF_DIR).count()
