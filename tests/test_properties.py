@@ -99,7 +99,14 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             "cdc_apply", "agg_percentile_iterative", "text_keywords",
             # PQ: driver-side hashed-sample codebook fit + per-batch argmin
             # encode must not see partitioning at all
-            "sim_pq"]
+            "sim_pq",
+            # round-7 registered wave: the bucketed distributed prefix-sum
+            # statistics are EXACTLY where a partitioning bug would hide
+            # (bucket-local windows + offset broadcasts must compose to the
+            # single-window spec at any parallelism), plus the fold-based
+            # Markov iterate and the md5-fingerprint pigeonhole
+            "stat_ks_test", "stat_mann_whitney", "event_markov_stationary",
+            "dedup_simhash_pairs", "agg_gini", "event_cohort_ltv"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
