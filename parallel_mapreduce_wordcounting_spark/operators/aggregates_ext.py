@@ -592,6 +592,11 @@ def agg_percentile_iterative(
             F.count("*").alias("n"), F.min("c").alias("lo"), F.max("c").alias("hi")
         ).collect()[0]
         n = head["n"]
+        if n == 0:
+            # empty corpus: no quantiles exist — zero rows, like DuckDB's
+            # quantile_disc over an empty relation (the None bounds would
+            # otherwise crash the lo < hi narrowing comparison)
+            return spark.createDataFrame([], "p double, value double")
         # state per quantile: [lo, hi] cent bounds and residual 1-indexed rank
         state = {
             q: {"lo": head["lo"], "hi": head["hi"], "r": max(1, math.ceil(q * n))}

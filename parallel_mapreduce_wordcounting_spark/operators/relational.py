@@ -78,7 +78,12 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="pmrwc_part_") + "/docs"
     d.write.mode("overwrite").partitionBy("lang").parquet(out)
-    back = spark.read.parquet(out).where(F.col("lang").isin("en", "fr"))
+    # explicit schema: no inference pass (never at 100 TB), and an EMPTY
+    # partitioned write (zero partition dirs) reads back as an empty typed
+    # frame instead of UNABLE_TO_INFER_SCHEMA
+    back = spark.read.schema(d.schema).parquet(out).where(
+        F.col("lang").isin("en", "fr")
+    )
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
@@ -113,7 +118,9 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="pmrwc_dpp_") + "/docs"
     d.write.mode("overwrite").partitionBy("lang").parquet(out)
-    fact = spark.read.parquet(out)
+    # explicit schema (same rationale as sink_parquet_partitioned): no
+    # inference pass, and empty-corpus staging reads back typed-empty
+    fact = spark.read.schema(d.schema).parquet(out)
     dim = (
         d.groupBy("lang")
         .agg(F.count("*").alias("lang_docs"))

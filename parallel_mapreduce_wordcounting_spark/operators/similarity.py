@@ -367,12 +367,21 @@ def sim_topk_blocked(
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample_rows = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1000 * n_centroids)
+        .collect()
+    )
+    if not sample_rows:
+        # empty corpus: nothing to quantize or search — typed empty frame
+        # (np.stack of zero arrays raises; empty-corpus sweep, round 7)
+        return spark.createDataFrame(
+            [], "vec_id_a long, vec_id_b long, cosine double"
+        )
     sample = np.stack(
         [
             np.asarray(r.embedding, dtype=np.float64)
-            for r in e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            .limit(1000 * n_centroids)
-            .collect()
+            for r in sample_rows
         ]
     )  # ≤1000·C×64 hashed sample: quantizer metadata, constant in corpus size
     cent = _fit_centroids(sample, n_centroids)

@@ -406,9 +406,14 @@ def sim_pq(
             .collect()
         ]
     )
+    qrows = e.where(F.col("vec_id") == 0).select("embedding").collect()
+    if sample.size == 0 or not qrows:
+        # empty corpus / absent query vector: nothing to encode or serve —
+        # typed empty frame (the codebook fit and the query unpack would
+        # both crash; empty-corpus sweep, round 7)
+        return spark.createDataFrame([], "vec_id long, cosine double, label int")
     books = _fit_pq_codebooks(sample, m, ksub)  # (m, ksub, dsub)
-    (qrow,) = e.where(F.col("vec_id") == 0).select("embedding").collect()
-    q = np.array(qrow[0], dtype=np.float64)
+    q = np.array(qrows[0][0], dtype=np.float64)
     dsub = q.shape[0] // m
     # 8×32 (m × ksub) asymmetric lookup table: dot(query_sub, centroid)
     # per subspace

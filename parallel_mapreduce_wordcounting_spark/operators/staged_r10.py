@@ -903,7 +903,11 @@ def scan_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderstatus")
         .parquet(stage)
     )
-    back = spark.read.parquet(stage).withColumn("file", F.input_file_name())
+    # explicit schema: no inference pass, and an empty partitioned write
+    # (zero partition dirs) reads back typed-empty (relational.py convention)
+    back = spark.read.schema(o.schema).parquet(stage).withColumn(
+        "file", F.input_file_name()
+    )
     return (
         back.groupBy("o_orderstatus")
         .agg(
@@ -982,6 +986,14 @@ def mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert len(png) == _PNG_TOTAL_BYTES
         with open(f"{stage}/{r.doc_id}.png", "wb") as f:
             f.write(png)
+    if not os.listdir(stage):
+        # empty corpus staged zero blobs: typed empty frame instead of a
+        # PATH_NOT_FOUND on the glob (empty-corpus sweep, round 7)
+        return spark.createDataFrame(
+            [],
+            "doc_id long, width long, height long, bit_depth long, "
+            "n_bytes long, valid_sig boolean",
+        )
     blobs = spark.read.format("binaryFile").load(f"{stage}/*.png")
 
     def be32(pos: int):  # big-endian uint32 at 1-based byte offset
@@ -1149,7 +1161,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFram
                 .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
                 .agg(F.sum("freq").alias("cnt"))
             )
-            best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
+            top = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+            if not top:
+                # no adjacent pairs anywhere (empty or single-char corpus):
+                # no merges exist — emit the rows learned so far
+                break
+            best = top[0]
             a_lit, b_lit, merged = best.a, best.b, best.a + best.b
             merge_expr = F.expr(
                 "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]), "
@@ -1423,6 +1440,14 @@ def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert len(hdr) == _WAV_HEADER_BYTES
         with open(f"{stage}/{r.doc_id}.wav", "wb") as f:
             f.write(hdr + b"\x00" * min(data_size, 64))  # truncated payload
+    if not os.listdir(stage):
+        # empty corpus staged zero blobs (mm_png_meta convention)
+        return spark.createDataFrame(
+            [],
+            "doc_id long, sample_rate long, channels long, "
+            "bits_per_sample long, n_samples long, duration_ms double, "
+            "valid_riff boolean",
+        )
     blobs = spark.read.format("binaryFile").load(f"{stage}/*.wav")
 
     def le_u(pos: int, nbytes: int):

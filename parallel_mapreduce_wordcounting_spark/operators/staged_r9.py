@@ -1875,7 +1875,7 @@ PIPELINE_CORPUS_REPORT_ORACLE = (
     "round((SELECT count(*) FILTER (lang = 'en') FROM base)"
     " / (1.0 * (SELECT count(*) FROM base)), 6) AS lang_en_rate, "
     "round(ent.bits, 6) AS source_entropy_bits "
-    "FROM dup, ent"
+    "FROM dup, ent WHERE (SELECT count(*) FROM base) > 0"
 )
 
 
@@ -1934,19 +1934,23 @@ def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_docs",
             "n_dup_docs",
-            F.round(F.col("n_dup_docs") / (1.0 * F.col("n_docs")), 6).alias(
+            # try_divide + the n_docs guard below: an EMPTY corpus must not
+            # ANSI-abort on 0/0 — the contract is zero report rows, matching
+            # the oracle's WHERE count > 0 (empty-corpus sweep, round 7)
+            F.round(F.try_divide(F.col("n_dup_docs"), 1.0 * F.col("n_docs")), 6).alias(
                 "dup_rate"
             ),
-            F.round(F.col("sum_tokens") / (1.0 * F.col("n_docs")), 6).alias(
+            F.round(F.try_divide(F.col("sum_tokens"), 1.0 * F.col("n_docs")), 6).alias(
                 "mean_ws_tokens"
             ),
-            F.round(F.col("n_short") / (1.0 * F.col("n_docs")), 6).alias(
+            F.round(F.try_divide(F.col("n_short"), 1.0 * F.col("n_docs")), 6).alias(
                 "short_rate"
             ),
-            F.round(F.col("n_en") / (1.0 * F.col("n_docs")), 6).alias(
+            F.round(F.try_divide(F.col("n_en"), 1.0 * F.col("n_docs")), 6).alias(
                 "lang_en_rate"
             ),
             F.round(F.col("bits"), 6).alias("source_entropy_bits"),
         )
         .withColumnRenamed("n_dup_docs", "n_exact_dup_docs")
+        .where(F.col("n_docs") > 0)
     )

@@ -1,0 +1,87 @@
+"""Empty-corpus robustness: operators must degrade to typed empty (or
+guarded one-row) results on zero-row tables with the real schemas — never
+an ANSI abort, a None-comparison crash, or an unreadable staging dir.
+
+Round-7 sweep found and fixed six registered + four staged crashes
+(agg_percentile_iterative None bounds, join_dpp / sink_parquet_partitioned /
+scan_file_stats schema inference over empty partitioned writes,
+pipeline_corpus_report 0/0, sim_pq / sim_topk_blocked empty sample fits,
+mm_png_meta / mm_wav_meta empty staging globs, text_bpe_train empty argmax).
+This test pins the fixed set plus one representative per operator family so
+a regression in the shared helpers (loader, exact, staging) surfaces here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import parallel_mapreduce_wordcounting_spark as engine
+
+# every op fixed by the round-7 sweep + one representative per family
+KEYS = [
+    # fixed in the sweep
+    "agg_percentile_iterative",
+    "join_dpp",
+    "sink_parquet_partitioned",
+    "pipeline_corpus_report",
+    "sim_pq",
+    "sim_topk_blocked",
+    # family representatives
+    "wc_topk",
+    "agg_basic",
+    "join_star",
+    "win_rank",
+    "dedup_fuzzy_minhash",
+    "dedup_simhash_pairs",
+    "text_tfidf",
+    "stat_ks_test",
+    "stat_mann_whitney",
+    "event_ab_test",
+    "event_retention",
+    "stream_tumbling",
+    "tpch_q1",
+    "scd2_build",
+    "cdc_apply",
+    "sample_bootstrap",
+]
+
+STAGED = [
+    "mm_png_meta",
+    "mm_wav_meta",
+    "scan_file_stats",
+    "text_bpe_train",
+    "sim_sparse_cosine",
+    "stat_auc",
+    "event_survival",
+    "pipeline_dedup_report",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(
+            pa.table({f.name: pa.array([], type=f.type) for f in schema}, schema=schema),
+            str(out / f"{t}.parquet"),
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_registered_ops_survive_empty_corpus(spark, empty_sf, key):
+    engine.REGISTRY[key].fn(spark, empty_sf).collect()  # must not raise
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_ops_survive_empty_corpus(spark, empty_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r10
+
+    getattr(staged_r10, name)(spark, empty_sf).collect()  # must not raise
