@@ -391,12 +391,15 @@ def sim_topk_blocked(
         # multi-probe: each vector joins its nprobe nearest centroid blocks,
         # so a pair is found whenever the two vectors share ANY probed block.
         C = bc.value
+        # a tiny corpus can fit fewer centroids than the probe budget —
+        # can't probe more blocks than exist (1-row-corpus sweep, round 7)
+        probe = min(nprobe, C.shape[0])
         for pdf in batches:
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             sims = round_half_up(X @ C.T)
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
             out = pd.concat(
-                [pdf.assign(block=top[:, j].astype(np.int32)) for j in range(nprobe)]
+                [pdf.assign(block=top[:, j].astype(np.int32)) for j in range(probe)]
             )
             yield out[["vec_id", "embedding", "block"]]
 

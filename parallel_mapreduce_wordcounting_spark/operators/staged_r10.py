@@ -1201,8 +1201,11 @@ STAT_CALIBRATION_ORACLE = (
     "  FROM events"
     "), mm AS (SELECT min(v) AS lo, max(v) AS hi FROM lab), "
     "binned AS ("
-    f"  SELECT least(CAST(floor((v - mm.lo) / ((mm.hi - mm.lo) / {_CAL_BINS})) "
-    f"  AS BIGINT), {_CAL_BINS - 1}) AS bin, v, y FROM lab, mm"
+    # hi = lo (constant score / single row) => zero bin width: everything
+    # lands in bin 0 on BOTH engines instead of a divide-by-zero/inf cast
+    f"  SELECT CASE WHEN mm.hi = mm.lo THEN 0 ELSE "
+    f"  least(CAST(floor((v - mm.lo) / ((mm.hi - mm.lo) / {_CAL_BINS})) "
+    f"  AS BIGINT), {_CAL_BINS - 1}) END AS bin, v, y FROM lab, mm"
     ") SELECT bin, CAST(count(*) AS BIGINT) AS n, "
     "round(avg(v), 6) AS mean_score, "
     "round(sum(y) / (1.0 * count(*)), 6) AS pos_rate "
@@ -1237,10 +1240,14 @@ def stat_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lab.crossJoin(mm)
         .select(
-            F.least(
-                F.floor((F.col("v") - F.col("lo")) / width).cast("long"),
-                F.lit(_CAL_BINS - 1).cast("long"),
-            ).alias("bin"),
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("v") - F.col("lo")) / width).cast("long"),
+                    F.lit(_CAL_BINS - 1).cast("long"),
+                )
+            )
+            .alias("bin"),
             "v",
             "y",
         )

@@ -26,7 +26,8 @@ KEYS = [
     "pipeline_corpus_report",
     "sim_pq",
     "sim_topk_blocked",
-    # family representatives
+    # family representatives (sim_topk_blocked also covers the 1-row
+    # probe-budget clamp; stat_calibration in STAGED covers zero-width bins)
     "wc_topk",
     "agg_basic",
     "join_star",
@@ -46,6 +47,7 @@ KEYS = [
 ]
 
 STAGED = [
+    "stat_calibration",
     "mm_png_meta",
     "mm_wav_meta",
     "scan_file_stats",
@@ -57,31 +59,37 @@ STAGED = [
 ]
 
 
-@pytest.fixture(scope="module")
-def empty_sf(tmp_path_factory):
+@pytest.fixture(scope="module", params=["empty", "one_row"])
+def degenerate_sf(request, tmp_path_factory):
+    """Zero-row tables (real schemas) or single-row tables (first row of
+    sf0.001 — n=1 hits every n-1 denominator and constant-column branch)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = tmp_path_factory.mktemp("empty_sf")
+    out = tmp_path_factory.mktemp(f"{request.param}_sf")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
-        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
-        pq.write_table(
-            pa.table({f.name: pa.array([], type=f.type) for f in schema}, schema=schema),
-            str(out / f"{t}.parquet"),
-        )
+        tab = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        if request.param == "empty":
+            schema = tab.schema
+            tab = pa.table(
+                {f.name: pa.array([], type=f.type) for f in schema}, schema=schema
+            )
+        else:
+            tab = tab.slice(0, 1)
+        pq.write_table(tab, str(out / f"{t}.parquet"))
     return str(out)
 
 
 @pytest.mark.parametrize("key", KEYS)
-def test_registered_ops_survive_empty_corpus(spark, empty_sf, key):
-    engine.REGISTRY[key].fn(spark, empty_sf).collect()  # must not raise
+def test_registered_ops_survive_degenerate_corpus(spark, degenerate_sf, key):
+    engine.REGISTRY[key].fn(spark, degenerate_sf).collect()  # must not raise
 
 
 @pytest.mark.parametrize("name", STAGED)
-def test_staged_ops_survive_empty_corpus(spark, empty_sf, name):
+def test_staged_ops_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r10
 
-    getattr(staged_r10, name)(spark, empty_sf).collect()  # must not raise
+    getattr(staged_r10, name)(spark, degenerate_sf).collect()  # must not raise
