@@ -396,3 +396,76 @@ def test_foreach_batch_cdc_upsert_equals_batch_compaction(spark):
         for r in engine.REGISTRY["cdc_apply"].fn(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_checkpoint_recovery_resumes_without_loss_or_duplication(spark, tmp_path):
+    """REAL stop/restart recovery through a checkpoint: a stateful count
+    drains two source files, the query STOPS (process-restart simulation),
+    two more files arrive, and a new query object with the SAME checkpoint
+    resumes — the final state must equal the all-at-once batch aggregate
+    (checkpointed state survived; consumed files were not reprocessed), and
+    a third restart with no new data must emit nothing. This is the
+    exactly-once story a 100 TB streaming pipeline actually relies on."""
+    import time
+
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    src = load_table(spark, SF_DIR, "events")
+    stage = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    chunks = [src.where(F.col("event_id") % 4 == i) for i in range(4)]
+
+    state: dict[str, int] = {}
+    batch_ids: list[int] = []
+
+    def sink(batch_df, batch_id):
+        batch_ids.append(batch_id)
+        for r in batch_df.collect():
+            state[r.event_type] = r.cnt
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        return (
+            stream.groupBy("event_type")
+            .agg(F.count("*").alias("cnt"))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    for i in (0, 1):
+        chunks[i].coalesce(1).write.mode("overwrite").parquet(f"{stage}/c{i}")
+    q = start_query()
+    q.awaitTermination(120)
+    assert not q.isActive
+    n_first = len(batch_ids)
+    assert n_first >= 1
+    partial = dict(state)
+    assert sum(partial.values()) == chunks[0].count() + chunks[1].count()
+
+    for i in (2, 3):
+        chunks[i].coalesce(1).write.mode("overwrite").parquet(f"{stage}/c{i}")
+    q2 = start_query()  # NEW query object, same checkpoint
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    # recovered state + new batches = the batch aggregate over everything
+    truth = {
+        r.event_type: r.cnt
+        for r in src.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert state == truth
+    # restart 3: no new files -> no re-emission of consumed batches
+    n_before = len(batch_ids)
+    q3 = start_query()
+    q3.awaitTermination(120)
+    assert not q3.isActive
+    new_batches = batch_ids[n_before:]
+    assert all(b not in batch_ids[:n_before] for b in new_batches)
+    assert state == truth  # an (empty) bookkeeping batch must not change state
