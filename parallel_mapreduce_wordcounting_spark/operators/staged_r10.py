@@ -1909,3 +1909,127 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cnt(dedup_embedding(spark, sf_dir), "n_embedding_pairs")))
         .crossJoin(F.broadcast(cnt(dedup_spans(spark, sf_dir), "n_dup_spans")))
     )
+
+
+# --- MMR diversified re-ranking ----------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20  # candidate pool (top-N by relevance)
+_MMR_K = 5  # final diversified selection
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR over the top-``_MMR_POOL`` candidate pool: pick 1
+    = argmax relevance; pick i = argmax λ·rel − (1−λ)·max sim to the picks
+    so far (ties by vec_id). Every score is a single double expression over
+    6-dp-rounded cosines with λ a shared literal, so the argmax sequence is
+    engine-identical."""
+    lam = _MMR_LAMBDA
+    parts = [
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "cand AS ("
+        "  SELECT b.vec_id, "
+        "  round(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS rel, "
+        "  b.embedding"
+        "  FROM embeddings b, q WHERE b.vec_id <> 0"
+        f"  ORDER BY rel DESC, b.vec_id LIMIT {_MMR_POOL}"
+        "), sims AS ("
+        "  SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        "  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS s"
+        "  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id"
+        "), "
+        "p1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"
+    ]
+    prev_sel = "p1"
+    for i in range(2, _MMR_K + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{j}" for j in range(1, i)
+        )
+        parts.append(
+            f", sel{i} AS ({sel_union})"
+            f", p{i} AS ("
+            "  SELECT c.vec_id, c.rel FROM cand c"
+            f"  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i})"
+            f"  ORDER BY {lam} * c.rel - {1 - lam} * ("
+            "    SELECT max(s) FROM sims"
+            f"    WHERE ia = c.vec_id AND ib IN (SELECT vec_id FROM sel{i})"
+            "  ) DESC, c.vec_id LIMIT 1"
+            ")"
+        )
+        prev_sel = f"p{i}"
+    union = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS rank, vec_id, rel FROM p{j}"
+        for j in range(1, _MMR_K + 1)
+    )
+    return "".join(parts) + f" {union}"
+
+
+SIM_MMR_DIVERSIFY_ORACLE = _mmr_oracle()
+
+
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998)
+    of the vec_id-0 query's top-``_MMR_POOL`` neighbors: greedily pick
+    ``_MMR_K`` results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-picked — the diversity-aware final stage of every RAG /
+    retrieval pipeline (plain top-k returns near-duplicates of the same
+    passage; MMR spends the k slots on coverage).
+
+    Execution shape: the DISTRIBUTED part is the candidate generation (the
+    sim_knn_query broadcast-query scan); the greedy loop then runs
+    driver-side over the ``_MMR_POOL``-row pool and its pool×pool cosine
+    matrix — bounded candidate metadata (the argmax-collect convention),
+    NEVER corpus-sized. The oracle unrolls the identical greedy argmax in
+    SQL over 6-dp-rounded cosines, so the selection sequence is
+    engine-exact (ties by vec_id)."""
+    import numpy as np
+
+    lam = _MMR_LAMBDA
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = e.where(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "rank int, vec_id long, rel double")
+    from .similarity import dot, round_half_up
+
+    q = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    cand_rows = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("qe")), 6).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .collect()  # bounded pool — candidate metadata, not the corpus
+    )
+    ids = [r.vec_id for r in cand_rows]
+    rel = {r.vec_id: r.rel for r in cand_rows}
+    X = np.array([r.embedding for r in cand_rows], dtype=np.float64)
+    S = round_half_up(X @ X.T)
+    idx = {v: i for i, v in enumerate(ids)}
+
+    selected: list[int] = []
+    remaining = set(ids)
+    # pick 1: pure relevance (pool is rel-sorted with vec_id tiebreak)
+    first = max(remaining, key=lambda v: (rel[v], -v))
+    selected.append(first)
+    remaining.discard(first)
+    while len(selected) < min(_MMR_K, len(ids)):
+        best = max(
+            remaining,
+            key=lambda v: (
+                lam * rel[v]
+                - (1 - lam) * max(S[idx[v], idx[s]] for s in selected),
+                -v,
+            ),
+        )
+        selected.append(best)
+        remaining.discard(best)
+    return spark.createDataFrame(
+        [(i + 1, v, float(rel[v])) for i, v in enumerate(selected)],
+        "rank int, vec_id long, rel double",
+    )

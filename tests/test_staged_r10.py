@@ -432,3 +432,50 @@ def test_dedup_report_consistent_with_detectors(spark):
         spark, SF_DIR
     ).count()
     assert r.n_dup_spans == engine.REGISTRY["dedup_spans"].fn(spark, SF_DIR).count()
+
+
+def test_mmr_oracle_parity(spark, duck):
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r10 import (
+        SIM_MMR_DIVERSIFY_ORACLE,
+        sim_mmr_diversify,
+    )
+
+    res = duck.execute(SIM_MMR_DIVERSIFY_ORACLE)
+    cols = [d[0] for d in res.description]
+    compare_frames(sim_mmr_diversify(spark, SF_DIR), res.fetchall(), cols)
+
+
+def test_mmr_diversifies_relative_to_plain_topk(spark):
+    """Structural MMR properties: rank 1 is the pure relevance argmax, all
+    picks are distinct, and the diversified set is no MORE self-similar
+    than plain top-k (usually strictly less — that's the point)."""
+    import numpy as np
+
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    rows = sorted(
+        staged_r10.sim_mmr_diversify(spark, SF_DIR).collect(), key=lambda r: r.rank
+    )
+    assert len(rows) == 5 and len({r.vec_id for r in rows}) == 5
+    assert rows[0].rel == max(r.rel for r in rows)  # rank 1 = max relevance
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    q = emb[0]
+    pool = sorted(
+        ((float(np.dot(q, v)), -vid) for vid, v in emb.items() if vid != 0),
+        reverse=True,
+    )[:5]
+    topk_ids = [-p[1] for p in pool]
+
+    def mean_pair_sim(ids):
+        sims = [
+            float(np.dot(emb[a], emb[b]))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        ]
+        return sum(sims) / len(sims)
+
+    assert mean_pair_sim([r.vec_id for r in rows]) <= mean_pair_sim(topk_ids) + 1e-9
