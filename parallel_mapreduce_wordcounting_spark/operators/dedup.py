@@ -532,7 +532,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. 60 bits (15 hex chars) rather than 64 keeps the hash and
     the fingerprint inside signed int64 on both engines — the pigeonhole
     pairing splits 60 bits into 4×15-bit blocks with the same d≤3 recall
-    theorem.
+    theorem. Cost of verifiability: ~1.2 s vs 0.66 s at sf0.1 (md5+hex
+    parse per distinct token vs one xxhash64 instruction) — still linear
+    and zero-shuffle; a production deployment that doesn't need the
+    cross-engine oracle can swap the token-hash lambda back to
+    ``F.xxhash64(w)`` with no other change.
 
     The bit-vote accumulation is a SINGLE aggregate over the token hashes
     carrying a 60-int vote array (each step fans a hash out to all 60

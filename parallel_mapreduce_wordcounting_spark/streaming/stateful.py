@@ -80,3 +80,85 @@ def user_state_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ANOMALY_STATE_SCHEMA = "n long, sum_c long, sumsq_c long"
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, n_prior long, is_anomaly boolean"
+)
+
+#: flag when (c - prior_mean)^2 > Z2 * prior_var with at least MIN_PRIOR
+#: prior events (both sides of the equivalence test share these literals)
+ANOMALY_Z2 = 9.0
+ANOMALY_MIN_PRIOR = 5
+
+
+def user_anomaly_stream(stream):
+    """Per-EVENT anomaly flags from each user's PRIOR value statistics,
+    carried as explicit GroupState across micro-batches — the
+    fraud-scoring/outlier-quarantine state machine no built-in aggregate
+    expresses (the decision for event i depends on the running stats of
+    events 1..i-1 in arrival order, not on any whole-group aggregate).
+
+    State is three exact integers (count, Σcents, Σcents²) per user; each
+    event is flagged iff (c − μ_prior)² > ANOMALY_Z2 · σ²_prior once
+    ANOMALY_MIN_PRIOR priors exist, then folded into the state. μ/σ² are
+    single double expressions over the integer state written IDENTICALLY
+    in the batch window mirror (tests/test_streaming.py replays the
+    fixture through real micro-batches and asserts row-for-row equality
+    with an unboundedPreceding→-1 window), so the stream and the batch
+    plan provably compute the same flags. Σcents² is int64 here —
+    production escalates it to decimal the way stat_linreg does.
+
+    Expects columns ``event_id``, ``user_id``, ``ts`` (TimestampType),
+    ``value``. Scale: state is 3 ints/user in the executor state store
+    (user_id-hash layout); each micro-batch shuffles only its own rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs))
+        # arrival order within the micro-batch = event time (the replay
+        # chunks are event-time ordered); ties broken by event_id like the
+        # batch window's ordering
+        batch = batch.sort_values(["ts", "event_id"])
+        v = batch["value"].to_numpy()
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
+        out_flags = []
+        out_nprior = []
+        for c in cents:
+            if n >= ANOMALY_MIN_PRIOR:
+                mean = s / n
+                var = (ss - s * (s / n)) / n
+                flag = (c - mean) * (c - mean) > ANOMALY_Z2 * var
+            else:
+                flag = False
+            out_flags.append(bool(flag))
+            out_nprior.append(n)
+            n += 1
+            s += int(c)
+            ss += int(c) * int(c)
+        state.update((n, s, ss))
+        yield pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(),
+                "user_id": batch["user_id"].to_numpy(),
+                "n_prior": out_nprior,
+                "is_anomaly": out_flags,
+            }
+        )
+
+    return (
+        stream.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

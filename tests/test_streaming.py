@@ -469,3 +469,59 @@ def test_checkpoint_recovery_resumes_without_loss_or_duplication(spark, tmp_path
     new_batches = batch_ids[n_before:]
     assert all(b not in batch_ids[:n_before] for b in new_batches)
     assert state == truth  # an (empty) bookkeeping batch must not change state
+
+
+def test_anomaly_state_machine_equals_batch_window(spark):
+    """The per-user prior-stats anomaly stream must flag EXACTLY the rows a
+    batch unboundedPreceding→-1 window flags: order-dependent custom state
+    (each decision uses only earlier events) carried across 4 real
+    micro-batches, with μ/σ² written as the identical double expressions on
+    both sides so the booleans are bit-equal, not approximately equal."""
+    from parallel_mapreduce_wordcounting_spark.operators.exact import money_cents
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+    from parallel_mapreduce_wordcounting_spark.streaming.runner import (
+        events_stream,
+        run_to_batch,
+    )
+    from parallel_mapreduce_wordcounting_spark.streaming.stateful import (
+        ANOMALY_MIN_PRIOR,
+        ANOMALY_Z2,
+        user_anomaly_stream,
+    )
+
+    stream, _ = events_stream(spark, SF_DIR)
+    got = {
+        r.event_id: (r.n_prior, r.is_anomaly)
+        for r in run_to_batch(
+            spark, user_anomaly_stream(stream), output_mode="append"
+        ).collect()
+    }
+
+    from pyspark.sql import Window
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", money_cents(F.col("value")).alias("c")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.coalesce(F.count("c").over(w), F.lit(0))
+    s = F.coalesce(F.sum("c").over(w), F.lit(0))
+    ss = F.coalesce(F.sum(F.col("c") * F.col("c")).over(w), F.lit(0))
+    mean = s / n
+    var = (ss - s * (s / n)) / n
+    dev = F.col("c") - mean
+    batch = e.select(
+        "event_id",
+        n.alias("n_prior"),
+        F.when(
+            n >= ANOMALY_MIN_PRIOR, dev * dev > F.lit(ANOMALY_Z2) * var
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
+    want = {r.event_id: (r.n_prior, r.is_anomaly) for r in batch.collect()}
+    assert got == want
+    assert any(flag for _, flag in got.values())  # the fixture has outliers
