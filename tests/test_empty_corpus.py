@@ -93,3 +93,16 @@ def test_staged_ops_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r10
 
     getattr(staged_r10, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r11_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r11
+
+    return [c[0] for c in staged_r11.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r11_names())
+def test_staged_r11_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r11
+
+    getattr(staged_r11, name)(spark, degenerate_sf).collect()  # must not raise
