@@ -973,10 +973,599 @@ def event_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Hamming top-k over sign-bit fingerprints --------------------------------
+
+_HAM_PROBES = 5  # vec_id < 5: a fixed probe set at every scale
+_HAM_K = 3
+
+# pack the 64-dim embedding's sign bits into two 32-bit words (bits 0-31 and
+# 32-63) — two non-negative int64s, so no engine disagrees about the sign bit
+# a single 64-bit word would need (1<<63 overflows signed ranges differently)
+_PACK_SPARK = {
+    "w0": (
+        "aggregate(filter(sequence(0, 31), i -> i < size(embedding)), 0L, "
+        "(acc, i) -> acc + IF(element_at(embedding, i + 1) > float(0), "
+        "shiftleft(1L, i), 0L))"
+    ),
+    "w1": (
+        "aggregate(filter(sequence(32, 63), i -> i < size(embedding)), 0L, "
+        "(acc, i) -> acc + IF(element_at(embedding, i + 1) > float(0), "
+        "shiftleft(1L, i - 32), 0L))"
+    ),
+}
+_PACK_DUCK = {
+    "w0": (
+        "CAST(list_sum(list_transform(embedding, (x, i) -> CASE WHEN i <= 32 "
+        "AND x > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS BIGINT)"
+    ),
+    "w1": (
+        "CAST(list_sum(list_transform(embedding, (x, i) -> CASE WHEN i > 32 "
+        "AND i <= 64 AND x > 0 THEN 1::BIGINT << (i - 33) ELSE 0::BIGINT END)) "
+        "AS BIGINT)"
+    ),
+}
+
+SIM_HAMMING_TOPK_ORACLE = (
+    "WITH fp AS ("
+    f"  SELECT vec_id, {_PACK_DUCK['w0']} AS w0, {_PACK_DUCK['w1']} AS w1"
+    "  FROM embeddings"
+    "), d AS ("
+    "  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, "
+    "  bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS hamming"
+    f"  FROM fp a JOIN fp b ON a.vec_id < {_HAM_PROBES} "
+    "      AND b.vec_id <> a.vec_id"
+    "), r AS ("
+    "  SELECT query_id, vec_id, hamming, row_number() OVER ("
+    "    PARTITION BY query_id ORDER BY hamming, vec_id) AS rank"
+    "  FROM d"
+    f") SELECT query_id, vec_id, CAST(hamming AS BIGINT) AS hamming, "
+    f"CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {_HAM_K}"
+)
+
+
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance top-k over binary sign fingerprints: each embedding
+    collapses to its 64 sign bits packed into two 32-bit words, and nearest
+    neighbors rank by popcount(xor) — the 8-byte/vector binary-code ANN
+    family (sign-random-projection / ITQ territory; with unit-norm vectors
+    the expected angle is π·hamming/64, Goemans–Williamson), 32× smaller
+    and memory-bandwidth-bound where float cosine is FLOP-bound.
+
+    Packing is a zero-shuffle JVM array fold (no UDF); distances are EXACT
+    integers, so the top-k ranking needs no float tolerance anywhere —
+    ties break by vec_id. The bounded probe set (``vec_id < 5``) broadcasts
+    and the candidate scan is one pass over the fingerprint table
+    (BroadcastNestedLoopJoin with a constant-size side — the sim_knn_query
+    convention); per-probe top-k is a partition-scoped window.
+
+    At 100 TB the same shape holds: fingerprints are 16 bytes/vector, the
+    probe side stays bounded, and the scan parallelizes per partition — or
+    feeds the simhash-style banded prefilter for sub-linear candidate sets."""
+    fp = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_PACK_SPARK["w0"]).alias("w0"),
+        F.expr(_PACK_SPARK["w1"]).alias("w1"),
+    )
+    probes = fp.filter(F.col("vec_id") < _HAM_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    d = (
+        fp.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HAM_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("hamming").cast("long").alias("hamming"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# --- declarative bloom-filter semi join --------------------------------------
+
+_BLOOM_PRICE_MIN = 475_000.0  # keeps ~5% of orders (p95 of o_totalprice)
+_BLOOM_BITS = 1 << 17  # m bits; ~5% build keys -> low single-digit % FPR
+_BLOOM_SEEDS = (1, 2, 3)  # k hash functions via xxhash64(key, seed)
+
+# the semi-join the bloom path must reproduce exactly
+JOIN_BLOOM_ORACLE = (
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, "
+    f"CAST(sum({money_cents_sql('l_quantity')}) AS BIGINT) / 100.0 AS sum_qty "
+    "FROM lineitem WHERE l_orderkey IN ("
+    f"  SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE_MIN}"
+    ") GROUP BY l_returnflag"
+)
+
+
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join accelerated by a DECLARATIVE distributed bloom filter —
+    Spark's runtime-filter / BloomFilterAggregate pattern rebuilt from
+    public DataFrame ops (`bloom_filter_agg` isn't SQL-exposed in this
+    build): the filtered build side (high-value orders) hashes each key to
+    k=3 positions (xxhash64(key, seed) mod m), positions fold into a
+    bitmap of 32-bit words via ``bit_or`` partial aggregation, the ≤ m/32
+    row bitmap collapses to ONE map row (constant-size: 2¹⁷ bits) and
+    broadcasts; the big probe side tests all three bits with pure JVM
+    bit arithmetic BEFORE any shuffle, and only surviving candidates enter
+    the exact semi join that removes false positives.
+
+    Semantics are EXACTLY the semi join (the oracle): the bloom pass is
+    pure pruning — no false negatives by construction, false positives
+    killed by the verify join. At 100 TB this is the difference between
+    shuffling every probe row and shuffling ~selectivity·(1+FPR) of them;
+    the bitmap stays 16 KB regardless of data volume (size m to the build
+    cardinality: m ≈ 1.44·n·k bits for p≈(1-e^(-kn/m))^k).
+
+    tests/test_staged_r11.py pins the measured FPR of the bloom pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = orders.filter(F.col("o_totalprice") > _BLOOM_PRICE_MIN).select("o_orderkey")
+
+    def positions(key: str):
+        return [
+            F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(_BLOOM_BITS))
+            for s in _BLOOM_SEEDS
+        ]
+
+    bits = hv.select(
+        F.explode(F.array(*positions("o_orderkey"))).alias("pos")
+    ).select(
+        F.expr("pos div 32").alias("word"),
+        F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("b"),
+    )
+    bitmap = (
+        bits.groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word"), F.col("bits")))
+            ).alias("bm")
+        )
+    )
+    probe = li.select("l_orderkey", "l_returnflag", "l_quantity").crossJoin(
+        F.broadcast(bitmap)
+    )
+    conds = []
+    for s in _BLOOM_SEEDS:
+        p = f"pmod(xxhash64(l_orderkey, {s}), {_BLOOM_BITS}L)"
+        conds.append(
+            f"(shiftright(coalesce(element_at(bm, ({p}) div 32), 0L), "
+            f"cast(({p}) % 32 as int)) & 1) = 1"
+        )
+    cand = probe.filter(F.expr(" AND ".join(conds))).drop("bm")
+    matched = cand.join(
+        hv, cand["l_orderkey"] == hv["o_orderkey"], "left_semi"
+    )
+    return matched.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_items"),
+        (F.sum(money_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+    )
+
+
+# --- grid-bucketed geo radius self-join --------------------------------------
+
+_GEO_RADIUS_KM = 200.0
+_EARTH_KM = 6371.0088
+# deterministic hash-derived coordinates: lat in [-60, 60), lon in [-180, 180)
+_GEO_H_SQL = "((c_custkey * 2654435761) % 4294967296)"
+_GEO_LAT_SQL = f"(({_GEO_H_SQL} % 120000) / 1000.0 - 60.0)"
+_GEO_LON_SQL = f"((({_GEO_H_SQL} // 120000) % 360000) / 1000.0 - 180.0)"
+
+
+def _hav_sql(lat_a: str, lon_a: str, lat_b: str, lon_b: str) -> str:
+    """Haversine great-circle distance (km) — identical text both engines."""
+    return (
+        f"2.0 * {_EARTH_KM} * asin(least(1.0, sqrt("
+        f"sin(radians(({lat_b}) - ({lat_a})) / 2) * sin(radians(({lat_b}) - ({lat_a})) / 2) "
+        f"+ cos(radians({lat_a})) * cos(radians({lat_b})) "
+        f"* sin(radians(({lon_b}) - ({lon_a})) / 2) * sin(radians(({lon_b}) - ({lon_a})) / 2))))"
+    )
+
+
+GEO_RADIUS_JOIN_ORACLE = (
+    "WITH p AS ("
+    f"  SELECT c_custkey, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM customer"
+    ") SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b, "
+    f"round({_hav_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 6) AS dist_km "
+    "FROM p a JOIN p b ON a.c_custkey < b.c_custkey "
+    f"WHERE round({_hav_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 6) <= {_GEO_RADIUS_KM}"
+)
+
+
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within 200 km — the spatial self-join that must NOT
+    go quadratic: points land in a 2°×4° grid (cell spans ≥ the radius in
+    both axes at |lat| ≤ 60, so every qualifying pair is within one cell
+    step), the left side fans out to its 3×3 cell neighborhood, pairs form
+    by an EQUI-join on the cell key, and the exact haversine filter keeps
+    true neighbors. Each unordered pair is found exactly once (the
+    neighborhood covers b's unique home cell; ``a < b`` dedupes).
+
+    Coordinates are hash-derived from the key by integer arithmetic (a
+    Knuth multiplicative hash), replayable bit-identically on any engine —
+    the fixture has no geo columns, so the operator carries its own
+    deterministic geometry at every scale.
+
+    The radius threshold compares the 6-dp ROUNDED distance (boundary-
+    exact cross-engine, the dedup_embedding convention); trig inputs are
+    exact 3-decimal doubles, and fn_trig's hash-verified parity covers the
+    sin/cos/asin agreement.
+
+    Scale: work is Σ_cell |cell|·|neighborhood| — linear for any bounded
+    density; the oracle's brute-force O(n²) cross join is exactly what this
+    plan avoids (plan-asserted: no CartesianProduct)."""
+    p = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_GEO_LAT_SQL.replace("//", "div")).alias("lat"),
+        F.expr(_GEO_LON_SQL.replace("//", "div")).alias("lon"),
+    )
+    cell = p.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / 2).alias("cy"),
+        F.floor(F.col("lon") / 4).alias("cx"),
+    )
+    a = cell.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.array(*[F.struct((F.col("cy") + dy).alias("ny"), (F.col("cx") + dx).alias("nx"))
+                      for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+        ).alias("nb"),
+    ).select("cust_a", "lat_a", "lon_a", F.col("nb.ny").alias("cy"), F.col("nb.nx").alias("cx"))
+    b = cell.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cy",
+        "cx",
+    )
+    hav = F.expr(_hav_sql("lat_a", "lon_a", "lat_b", "lon_b"))
+    return (
+        a.join(b, ["cy", "cx"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .select(
+            "cust_a",
+            "cust_b",
+            F.round(hav, 6).alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= _GEO_RADIUS_KM)
+    )
+
+
+# --- exact Bayesian A/B read-out ---------------------------------------------
+
+# Both engines build the SAME log-factorial prefix table lf(j) = Σ_{t≤j} ln t
+# by an ORDERED window cumsum — sequential adds in the identical order, so
+# the doubles agree bit-for-bit, and every Beta function below is three
+# exact-index lookups: ln B(x, y) = lf(x-1) + lf(y-1) - lf(x+y-1) for
+# integer x, y (Γ(n) = (n-1)!).
+
+_LF_SQL = (
+    "SELECT 0 AS j, 0.0 AS lf UNION ALL "
+    "SELECT j, sum(ln(j)) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS lf "
+    "FROM (SELECT unnest(generate_series(1, {m})) AS j)"
+)
+
+
+def _lf_table(spark: SparkSession, mdf: DataFrame, mcol: str) -> DataFrame:
+    """(j, lf) for j = 0..M, from a 1-row frame holding M in ``mcol``.
+
+    The global ordered window runs over the spine only — M is bounded by
+    the experiment POPULATION (users) or per-group trial count, never by
+    raw event volume, and the spine never joins anything bigger than
+    itself before aggregation (plan_audit allowlists the GlobalWindow)."""
+    spine = mdf.select(
+        F.explode(F.sequence(F.lit(1), F.col(mcol))).alias("j")
+    )
+    w = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    lf = spine.select("j", F.sum(F.log("j")).over(w).alias("lf"))
+    zero = spark.range(1).select(
+        F.lit(0).cast("long").alias("j"), F.lit(0.0).alias("lf")
+    )
+    return zero.unionByName(lf.select(F.col("j").cast("long"), "lf"))
+
+
+EVENT_AB_BAYES_ORACLE = (
+    "WITH u AS ("
+    "  SELECT user_id, user_id % 2 AS variant, "
+    "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv"
+    "  FROM events GROUP BY user_id"
+    "), c AS ("
+    "  SELECT "
+    "  1 + coalesce(sum(CASE WHEN variant = 1 THEN conv END), 0) AS a_t, "
+    "  1 + coalesce(sum(CASE WHEN variant = 1 THEN 1 - conv END), 0) AS b_t, "
+    "  1 + coalesce(sum(CASE WHEN variant = 0 THEN conv END), 0) AS a_c, "
+    "  1 + coalesce(sum(CASE WHEN variant = 0 THEN 1 - conv END), 0) AS b_c, "
+    "  coalesce(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 0) AS n_t, "
+    "  coalesce(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 0) AS n_c"
+    "  FROM u"
+    "), lf AS ("
+    + _LF_SQL.format(m="CAST((SELECT a_t + b_t + a_c + b_c FROM c) AS BIGINT)")
+    + "), terms AS ("
+    "  SELECT c.*, i.i, "
+    # ln of term i of Cook's sum: B(a_c+i, b_c+b_t) / ((b_t+i) B(1+i, b_t) B(a_c, b_c))
+    "  (l1.lf + l2.lf - l3.lf) - ln(b_t + i.i) - (l4.lf + l5.lf - l6.lf) "
+    "      - (l7.lf + l8.lf - l9.lf) AS lnterm"
+    "  FROM c, (SELECT unnest(generate_series(0, CAST((SELECT a_t - 1 FROM c) AS BIGINT))) AS i) i "
+    "  JOIN lf l1 ON l1.j = (SELECT a_c FROM c) + i.i - 1 "
+    "  JOIN lf l2 ON l2.j = (SELECT b_c + b_t FROM c) - 1 "
+    "  JOIN lf l3 ON l3.j = (SELECT a_c + b_c + b_t FROM c) + i.i - 1 "
+    "  JOIN lf l4 ON l4.j = i.i "
+    "  JOIN lf l5 ON l5.j = (SELECT b_t FROM c) - 1 "
+    "  JOIN lf l6 ON l6.j = i.i + (SELECT b_t FROM c) "
+    "  JOIN lf l7 ON l7.j = (SELECT a_c FROM c) - 1 "
+    "  JOIN lf l8 ON l8.j = (SELECT b_c FROM c) - 1 "
+    "  JOIN lf l9 ON l9.j = (SELECT a_c + b_c FROM c) - 1"
+    ") SELECT CAST(c.n_c AS BIGINT) AS n_ctrl, CAST(c.a_c - 1 AS BIGINT) AS conv_ctrl, "
+    "CAST(c.n_t AS BIGINT) AS n_treat, CAST(c.a_t - 1 AS BIGINT) AS conv_treat, "
+    "round(c.a_c / (1.0 * (c.a_c + c.b_c)), 6) AS post_mean_ctrl, "
+    "round(c.a_t / (1.0 * (c.a_t + c.b_t)), 6) AS post_mean_treat, "
+    "round((SELECT sum(exp(lnterm)) FROM terms), 6) AS p_treat_beats_ctrl "
+    "FROM c"
+)
+
+
+def event_ab_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Bayesian A/B read-out under Beta(1,1)-Bernoulli conjugacy:
+    posterior Beta(1+k, 1+n−k) per arm and the CLOSED-FORM probability the
+    treatment's true rate beats control's,
+
+        P(p_T > p_C) = Σ_{i=0}^{a_T−1} B(a_C+i, b_C+b_T)
+                       / [(b_T+i) · B(1+i, b_T) · B(a_C, b_C)]
+
+    (Cook 2005's finite-sum identity for integer Beta parameters) — no
+    Monte-Carlo, no quadrature, no erf approximation. Every Beta function
+    reduces to three lookups in a log-factorial prefix table built by an
+    ordered window cumsum; both engines sum ln t in the SAME order, so the
+    table is bit-identical, and the final Σ exp(·) of ≤ a_T positive terms
+    carries only summation-order noise absorbed by the 6-dp round (the
+    text_js_divergence precedent).
+
+    Scale: the sum length and table size are bounded by the experiment
+    POPULATION (distinct users), not event volume — the event scan reduces
+    per-user map-side; everything after is arithmetic on a spine of ≤
+    n_C+n_T+4 rows joined against constant-size lookups (broadcast)."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).alias("variant"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    c = u.agg(
+        (
+            1 + F.coalesce(F.sum(F.when(F.col("variant") == 1, F.col("conv"))), F.lit(0))
+        ).alias("a_t"),
+        (
+            1
+            + F.coalesce(F.sum(F.when(F.col("variant") == 1, 1 - F.col("conv"))), F.lit(0))
+        ).alias("b_t"),
+        (
+            1 + F.coalesce(F.sum(F.when(F.col("variant") == 0, F.col("conv"))), F.lit(0))
+        ).alias("a_c"),
+        (
+            1
+            + F.coalesce(F.sum(F.when(F.col("variant") == 0, 1 - F.col("conv"))), F.lit(0))
+        ).alias("b_c"),
+        F.coalesce(F.sum(F.when(F.col("variant") == 1, 1)), F.lit(0)).alias("n_t"),
+        F.coalesce(F.sum(F.when(F.col("variant") == 0, 1)), F.lit(0)).alias("n_c"),
+    )
+    lf = _lf_table(
+        spark, c.select((F.col("a_t") + F.col("b_t") + F.col("a_c") + F.col("b_c")).alias("m")), "m"
+    )
+    terms = c.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("a_t") - 1)).alias("i")
+    )
+
+    def look(alias: str, key):
+        nonlocal terms
+        lft = F.broadcast(
+            lf.select(F.col("j").alias(f"j_{alias}"), F.col("lf").alias(alias))
+        )
+        terms = terms.join(lft, key == F.col(f"j_{alias}")).drop(f"j_{alias}")
+        return F.col(alias)
+
+    l1 = look("l1", F.col("a_c") + F.col("i") - 1)
+    l2 = look("l2", F.col("b_c") + F.col("b_t") - 1)
+    l3 = look("l3", F.col("a_c") + F.col("b_c") + F.col("b_t") + F.col("i") - 1)
+    l4 = look("l4", F.col("i"))
+    l5 = look("l5", F.col("b_t") - 1)
+    l6 = look("l6", F.col("i") + F.col("b_t"))
+    l7 = look("l7", F.col("a_c") - 1)
+    l8 = look("l8", F.col("b_c") - 1)
+    l9 = look("l9", F.col("a_c") + F.col("b_c") - 1)
+    lnterm = (
+        (l1 + l2 - l3)
+        - F.log(F.col("b_t") + F.col("i"))
+        - (l4 + l5 - l6)
+        - (l7 + l8 - l9)
+    )
+    p = terms.agg(F.sum(F.exp(lnterm)).alias("p"))
+    return c.crossJoin(F.broadcast(p)).select(
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        (F.col("a_c") - 1).cast("long").alias("conv_ctrl"),
+        F.col("n_t").cast("long").alias("n_treat"),
+        (F.col("a_t") - 1).cast("long").alias("conv_treat"),
+        F.round(
+            F.try_divide(F.col("a_c"), 1.0 * (F.col("a_c") + F.col("b_c"))), 6
+        ).alias("post_mean_ctrl"),
+        F.round(
+            F.try_divide(F.col("a_t"), 1.0 * (F.col("a_t") + F.col("b_t"))), 6
+        ).alias("post_mean_treat"),
+        F.round(F.col("p"), 6).alias("p_treat_beats_ctrl"),
+    )
+
+
+# --- exact binomial tails + Benjamini–Hochberg -------------------------------
+
+_FDR_Q = 0.25  # BH false-discovery-rate level
+_FDR_CENTS_GT = 5000  # "success" = event value above 50.00
+
+STAT_BINOM_FDR_ORACLE = (
+    "WITH g AS ("
+    "  SELECT event_type, count(*) AS n, "
+    f"  sum(CASE WHEN {money_cents_sql('value')} > {_FDR_CENTS_GT} THEN 1 ELSE 0 END) AS k"
+    "  FROM events GROUP BY event_type"
+    "), pool AS ("
+    "  SELECT sum(n) AS nn, sum(k) AS kk FROM g"
+    "), lf AS ("
+    + _LF_SQL.format(m="CAST((SELECT max(n) FROM g) AS BIGINT)")
+    + "), terms AS ("
+    "  SELECT g.event_type, g.n, g.k, "
+    # j=0 / j=n boundary terms would evaluate 0·ln(0) (NaN) when the pooled
+    # rate is degenerate — guard each factor so boundaries contribute 0
+    "  ln0.lf - lj.lf - lnj.lf "
+    "    + CASE WHEN j.j > 0 THEN j.j * ln((SELECT kk FROM pool) "
+    "          / (1.0 * (SELECT nn FROM pool))) ELSE 0.0 END "
+    "    + CASE WHEN g.n > j.j THEN (g.n - j.j) "
+    "          * ln(((SELECT nn FROM pool) - (SELECT kk FROM pool)) "
+    "               / (1.0 * (SELECT nn FROM pool))) ELSE 0.0 END AS lnterm"
+    "  FROM g, LATERAL (SELECT unnest(generate_series(CAST(g.k AS BIGINT), CAST(g.n AS BIGINT))) AS j) j "
+    "  JOIN lf ln0 ON ln0.j = g.n "
+    "  JOIN lf lj ON lj.j = j.j "
+    "  JOIN lf lnj ON lnj.j = g.n - j.j"
+    "), pv AS ("
+    "  SELECT event_type, CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k, "
+    "  round(sum(exp(lnterm)), 6) AS p_value"
+    "  FROM terms GROUP BY event_type"
+    "), r AS ("
+    "  SELECT *, row_number() OVER (ORDER BY p_value, event_type) AS rank, "
+    "  count(*) OVER () AS m FROM pv"
+    "), kx AS ("
+    f"  SELECT max(CASE WHEN p_value <= {_FDR_Q} * rank / m THEN rank END) "
+    "  OVER () AS kmax, * FROM r"
+    ") SELECT event_type, n, k, p_value, CAST(rank AS BIGINT) AS rank, "
+    "coalesce(rank <= kmax, FALSE) AS rejected FROM kx"
+)
+
+
+def stat_binom_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT binomial upper-tail p-values with Benjamini–Hochberg
+    FDR control: does any event type's rate of high-value events exceed the
+    POOLED rate? p_g = P(X ≥ k_g | n_g, p̂₀) = Σ_{j=k}^{n} C(n,j) p̂₀ʲ(1−p̂₀)ⁿ⁻ʲ
+    — computed exactly in log space from the shared log-factorial prefix
+    table (no normal approximation, no incomplete-beta library), then the
+    BH step-up across the m-hypothesis family: reject ranks ≤ max{i : p_(i)
+    ≤ q·i/m} at q = 0.25.
+
+    Every BH comparison happens on the 6-dp ROUNDED p-values and exact
+    integer ranks, so the discovery set is identical cross-engine. Ties in
+    p break by event_type.
+
+    Scale: the tail sums are Σ_g (n_g − k_g + 1) terms — bounded by
+    per-group TRIAL counts; for n beyond ~10⁶ a production caller switches
+    to the normal tail bound, but the exact path is the point here. The
+    family table (one row per group) is window-ranked at |groups| rows —
+    the type vocabulary, a constant."""
+    cents = money_cents(F.col("value"))
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(cents > _FDR_CENTS_GT, 1).otherwise(0)).alias("k"),
+        )
+    )
+    pool = g.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    lf = _lf_table(spark, g.agg(F.max("n").alias("m")), "m")
+    lnp = F.log(F.col("kk") / (1.0 * F.col("nn")))
+    lnq = F.log((F.col("nn") - F.col("kk")) / (1.0 * F.col("nn")))
+    terms = (
+        g.crossJoin(F.broadcast(pool))
+        .select(
+            "event_type",
+            "n",
+            "k",
+            lnp.alias("lnp"),
+            lnq.alias("lnq"),
+            F.explode(F.sequence(F.col("k"), F.col("n"))).alias("j"),
+        )
+    )
+    lfb = lambda alias: F.broadcast(  # noqa: E731
+        lf.select(F.col("j").alias(f"jj_{alias}"), F.col("lf").alias(alias))
+    )
+    terms = (
+        terms.join(lfb("ln0"), F.col("n") == F.col("jj_ln0")).drop("jj_ln0")
+        .join(lfb("lj"), F.col("j") == F.col("jj_lj")).drop("jj_lj")
+        .join(lfb("lnj"), (F.col("n") - F.col("j")) == F.col("jj_lnj")).drop("jj_lnj")
+    )
+    lnterm = (
+        F.col("ln0")
+        - F.col("lj")
+        - F.col("lnj")
+        + F.when(F.col("j") > 0, F.col("j") * F.col("lnp")).otherwise(0.0)
+        + F.when(
+            F.col("n") > F.col("j"), (F.col("n") - F.col("j")) * F.col("lnq")
+        ).otherwise(0.0)
+    )
+    pv = terms.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k"),
+        F.round(F.sum(F.exp(lnterm)), 6).alias("p_value"),
+    )
+    wall = Window.orderBy("p_value", "event_type")
+    r = pv.select(
+        "*",
+        F.row_number().over(wall).alias("rank"),
+        F.count("*").over(
+            Window.partitionBy()  # whole (tiny) family
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("m"),
+    )
+    wk = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    kx = r.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("p_value") <= _FDR_Q * F.col("rank") / F.col("m"),
+                F.col("rank"),
+            )
+        )
+        .over(wk)
+        .alias("kmax"),
+    )
+    return kx.select(
+        "event_type",
+        "n",
+        "k",
+        "p_value",
+        F.col("rank").cast("long").alias("rank"),
+        F.coalesce(F.col("rank") <= F.col("kmax"), F.lit(False)).alias("rejected"),
+    )
+
+
 # --- dev-compare case table (consumed by tests/test_staged_r11.py) ------------
 
 DEV_CASES = [
     ("event_did", event_did, EVENT_DID_ORACLE),
+    ("sim_hamming_topk", sim_hamming_topk, SIM_HAMMING_TOPK_ORACLE),
+    ("join_bloom", join_bloom, JOIN_BLOOM_ORACLE),
+    ("geo_radius_join", geo_radius_join, GEO_RADIUS_JOIN_ORACLE),
+    ("event_ab_bayes", event_ab_bayes, EVENT_AB_BAYES_ORACLE),
+    ("stat_binom_fdr", stat_binom_fdr, STAT_BINOM_FDR_ORACLE),
     ("sample_reservoir", sample_reservoir, SAMPLE_RESERVOIR_ORACLE),
     ("stat_ols_multi", stat_ols_multi, STAT_OLS_MULTI_ORACLE),
     ("graph_adamic_adar", graph_adamic_adar, GRAPH_ADAMIC_ADAR_ORACLE),

@@ -55,6 +55,15 @@ ALLOW = {
     "sim_hard_negatives": {"BroadcastNestedLoopJoin"},  # 20 query rows broadcast
     "sim_pair_hist": {"BroadcastNestedLoopJoin"},  # bounded id-range slice self-pairing (documented demo slice)
     "event_active_users": {"BroadcastNestedLoopJoin"},  # day x trailing-7-day calendar join (~30x7 rows)
+    # staged_r11 (both names so registration needs no audit edit):
+    "staged:sim_hamming_topk": {"BroadcastNestedLoopJoin"},  # 5 probe rows broadcast (inequality condition)
+    "sim_hamming_topk": {"BroadcastNestedLoopJoin"},
+    "staged:join_bloom": {"BroadcastNestedLoopJoin"},  # 1-row constant-size bitmap broadcast
+    "join_bloom": {"BroadcastNestedLoopJoin"},
+    "staged:event_ab_bayes": {"GlobalWindow", "BroadcastNestedLoopJoin"},  # lf prefix spine bounded by the user POPULATION (n_C+n_T+4 rows); 1-row counts/p frames broadcast
+    "event_ab_bayes": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    "staged:stat_binom_fdr": {"GlobalWindow", "BroadcastNestedLoopJoin"},  # lf spine bounded by max per-group trials; BH family window over |event types| rows; 1-row pool broadcast
+    "stat_binom_fdr": {"GlobalWindow", "BroadcastNestedLoopJoin"},
 }
 
 
@@ -76,13 +85,14 @@ def main() -> int:
         staged_r8,
         staged_r9,
         staged_r10,
+        staged_r11,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

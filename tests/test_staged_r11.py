@@ -57,3 +57,74 @@ def test_reservoir_is_prefix_stable(duck):
         f" AS priority FROM orders) ORDER BY priority LIMIT {k // 2}"
     ).fetchall()
     assert a == b
+
+
+def test_bloom_prefilter_is_effective_and_sound(spark, duck):
+    """The bloom pass must (a) never drop a true match — verified by the
+    oracle parity test — and (b) actually prune: candidate rows between
+    bloom and verify stay within a few % of true matches (FPR bound from
+    m=2^17 bits, k=3, ~5% build keys)."""
+    from pyspark.sql import functions as F
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    sf = SF_DIR
+    true_rows = duck.execute(
+        "SELECT count(*) FROM lineitem WHERE l_orderkey IN ("
+        f"SELECT o_orderkey FROM orders WHERE o_totalprice > {staged_r11._BLOOM_PRICE_MIN})"
+    ).fetchone()[0]
+    total_rows = duck.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+    # rebuild just the prefilter stage (no verify join) to count candidates
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    hv = orders.filter(F.col("o_totalprice") > staged_r11._BLOOM_PRICE_MIN).select(
+        "o_orderkey"
+    )
+    pos = [
+        F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(s)), F.lit(staged_r11._BLOOM_BITS))
+        for s in staged_r11._BLOOM_SEEDS
+    ]
+    bits = hv.select(F.explode(F.array(*pos)).alias("pos")).select(
+        F.expr("pos div 32").alias("word"),
+        F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("b"),
+    )
+    bitmap = (
+        bits.groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word"), F.col("bits")))
+            ).alias("bm")
+        )
+    )
+    conds = []
+    for s in staged_r11._BLOOM_SEEDS:
+        p = f"pmod(xxhash64(l_orderkey, {s}), {staged_r11._BLOOM_BITS}L)"
+        conds.append(
+            f"(shiftright(coalesce(element_at(bm, ({p}) div 32), 0L), "
+            f"cast(({p}) % 32 as int)) & 1) = 1"
+        )
+    cand = (
+        li.select("l_orderkey")
+        .crossJoin(F.broadcast(bitmap))
+        .filter(F.expr(" AND ".join(conds)))
+        .count()
+    )
+    assert cand >= true_rows  # no false negatives
+    assert cand < total_rows * 0.2  # prunes the vast majority pre-shuffle
+    fpr = (cand - true_rows) / max(1, total_rows - true_rows)
+    assert fpr < 0.05, f"bloom FPR {fpr:.4f} out of spec"
+
+
+def test_geo_join_plan_never_goes_quadratic(spark):
+    from parallel_mapreduce_wordcounting_spark.plans import explain_str
+
+    p = explain_str(staged_r11.geo_radius_join(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_hamming_probe_side_is_broadcast(spark):
+    from parallel_mapreduce_wordcounting_spark.plans import explain_str
+
+    p = explain_str(staged_r11.sim_hamming_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p  # bounded probe set broadcast
