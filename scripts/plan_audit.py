@@ -64,6 +64,9 @@ ALLOW = {
     "event_ab_bayes": {"GlobalWindow", "BroadcastNestedLoopJoin"},
     "staged:stat_binom_fdr": {"GlobalWindow", "BroadcastNestedLoopJoin"},  # lf spine bounded by max per-group trials; BH family window over |event types| rows; 1-row pool broadcast
     "stat_binom_fdr": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # staged_r12:
+    "staged:event_uplift_qini": {"GlobalWindow", "BroadcastNestedLoopJoin"},  # score-histogram prefix (|distinct scores| rows) + decile cumsum (10 rows); 1-row user-count broadcast
+    "event_uplift_qini": {"GlobalWindow", "BroadcastNestedLoopJoin"},
 }
 
 
@@ -86,13 +89,14 @@ def main() -> int:
         staged_r9,
         staged_r10,
         staged_r11,
+        staged_r12,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

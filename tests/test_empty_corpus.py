@@ -106,3 +106,16 @@ def test_staged_r11_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r11
 
     getattr(staged_r11, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r12_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r12
+
+    return [c[0] for c in staged_r12.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r12_names())
+def test_staged_r12_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r12
+
+    getattr(staged_r12, name)(spark, degenerate_sf).collect()  # must not raise

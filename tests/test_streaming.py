@@ -525,3 +525,68 @@ def test_anomaly_state_machine_equals_batch_window(spark):
     want = {r.event_id: (r.n_prior, r.is_anomaly) for r in batch.collect()}
     assert got == want
     assert any(flag for _, flag in got.values())  # the fixture has outliers
+
+
+# --- idempotent foreachBatch upsert sink (streaming/sinks.py) ----------------
+
+
+def test_stream_upsert_converges_to_batch_truth(spark):
+    """The copy-on-write upsert table, fed by 4 micro-batches of complete-
+    mode per-user totals, must equal the static batch aggregate exactly."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+    from parallel_mapreduce_wordcounting_spark.streaming import sinks
+
+    table = sinks.UpsertTable(None, ["user_id"])
+    try:
+        got = {
+            r["user_id"]: (r["n_events"], r["cents"])
+            for r in sinks.stream_upsert_user_totals(spark, SF_DIR, table).collect()
+        }
+        want = {
+            r["user_id"]: (r["n_events"], r["cents"])
+            for r in load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(
+                    (
+                        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + 0.5)
+                    ).cast("long")
+                ).alias("cents"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        table.cleanup()
+
+
+def test_upsert_batch_redelivery_is_noop(spark):
+    """Re-applying an already-committed batch_id (the crash-between-write-
+    and-checkpoint replay) must not change the table — the exactly-once
+    contract foreachBatch delegates to the sink."""
+    from parallel_mapreduce_wordcounting_spark.streaming import sinks
+
+    table = sinks.UpsertTable(None, ["k"])
+    try:
+        b0 = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+        table.apply_batch(b0, 0)
+        snap0 = sorted(tuple(r) for r in table.read(spark).collect())
+        # redelivery of batch 0 with DIFFERENT (corrupted) content: still a
+        # no-op, because batch 0 is committed
+        table.apply_batch(spark.createDataFrame([(1, 999)], ["k", "v"]), 0)
+        assert sorted(tuple(r) for r in table.read(spark).collect()) == snap0
+        # a genuinely new batch updates key 1 and inserts key 3
+        table.apply_batch(spark.createDataFrame([(1, 11), (3, 30)], ["k", "v"]), 1)
+        assert sorted(tuple(r) for r in table.read(spark).collect()) == [
+            (1, 11),
+            (2, 20),
+            (3, 30),
+        ]
+        # old version directory still readable (time travel by pointer)
+        assert table.current_version() == 1
+        assert table.committed(0) and table.committed(1)
+    finally:
+        table.cleanup()
