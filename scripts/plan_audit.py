@@ -67,6 +67,9 @@ ALLOW = {
     # staged_r12:
     "staged:event_uplift_qini": {"GlobalWindow", "BroadcastNestedLoopJoin"},  # score-histogram prefix (|distinct scores| rows) + decile cumsum (10 rows); 1-row user-count broadcast
     "event_uplift_qini": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # staged_r13:
+    "staged:stat_spearman": {"GlobalWindow"},  # rank windows over the DAY-GRAIN series (calendar-bounded rows), not the event stream
+    "stat_spearman": {"GlobalWindow"},
 }
 
 
@@ -90,13 +93,14 @@ def main() -> int:
         staged_r10,
         staged_r11,
         staged_r12,
+        staged_r13,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)
