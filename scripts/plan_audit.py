@@ -70,6 +70,9 @@ ALLOW = {
     # staged_r13:
     "staged:stat_spearman": {"GlobalWindow"},  # rank windows over the DAY-GRAIN series (calendar-bounded rows), not the event stream
     "stat_spearman": {"GlobalWindow"},
+    # staged_r14:
+    "staged:sim_rrf_hybrid": {"BroadcastNestedLoopJoin"},  # 3 probe rows broadcast in the dense arm (sim_knn_query convention)
+    "sim_rrf_hybrid": {"BroadcastNestedLoopJoin"},
 }
 
 
@@ -94,13 +97,14 @@ def main() -> int:
         staged_r11,
         staged_r12,
         staged_r13,
+        staged_r14,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

@@ -132,3 +132,16 @@ def test_staged_r13_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r13
 
     getattr(staged_r13, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r14_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r14
+
+    return [c[0] for c in staged_r14.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r14_names())
+def test_staged_r14_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r14
+
+    getattr(staged_r14, name)(spark, degenerate_sf).collect()  # must not raise
