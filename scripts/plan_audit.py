@@ -73,6 +73,15 @@ ALLOW = {
     # staged_r14:
     "staged:sim_rrf_hybrid": {"BroadcastNestedLoopJoin"},  # 3 probe rows broadcast in the dense arm (sim_knn_query convention)
     "sim_rrf_hybrid": {"BroadcastNestedLoopJoin"},
+    # staged_r15:
+    "staged:stat_fisher_exact": {"GlobalWindow"},  # lf prefix spine bounded by the user POPULATION (event_ab_bayes precedent)
+    "stat_fisher_exact": {"GlobalWindow"},
+    "staged:stat_mcnemar": {"GlobalWindow"},  # lf spine bounded by the DISCORDANT-pair count
+    "stat_mcnemar": {"GlobalWindow"},
+    "staged:sim_retrieval_eval": {"BroadcastNestedLoopJoin"},  # 5 probe rows broadcast (sim_rrf_hybrid convention)
+    "sim_retrieval_eval": {"BroadcastNestedLoopJoin"},
+    "staged:sim_cluster_purity": {"GlobalWindow"},  # inherits sim_kmeans' K=8 seed window (allowlisted above)
+    "sim_cluster_purity": {"GlobalWindow"},
 }
 
 
@@ -98,13 +107,15 @@ def main() -> int:
         staged_r12,
         staged_r13,
         staged_r14,
+        staged_r15,
+        staged_r16,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

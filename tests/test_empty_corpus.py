@@ -145,3 +145,28 @@ def test_staged_r14_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r14
 
     getattr(staged_r14, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r15_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r15
+
+    return [c[0] for c in staged_r15.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r15_names())
+def test_staged_r15_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r15
+
+    getattr(staged_r15, name)(spark, degenerate_sf).collect()  # must not raise
+
+def _staged_r16_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r16
+
+    return [c[0] for c in staged_r16.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r16_names())
+def test_staged_r16_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r16
+
+    getattr(staged_r16, name)(spark, degenerate_sf).collect()  # must not raise
