@@ -170,3 +170,16 @@ def test_staged_r16_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r16
 
     getattr(staged_r16, name)(spark, degenerate_sf).collect()  # must not raise
+
+def _staged_r17_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r17
+
+    return [c[0] for c in staged_r17.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r17_names())
+def test_staged_r17_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r17
+
+    getattr(staged_r17, name)(spark, degenerate_sf).collect()  # must not raise
+
