@@ -121,6 +121,49 @@ def test_results_invariant_to_shuffle_partition_count(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_staged_waves_invariant_to_shuffle_partition_count(spark):
+    """Same enforcement for the order-sensitive STAGED ops (waves 14–17)
+    before their registration round: log-space tail sums over the
+    lf-table window (fisher), exact decimal inequality decisions across
+    partial aggregations (permutation test), rank fusion over rounded
+    scores (rrf, retrieval eval), fingerprint window minima (winnow),
+    iterated float entropies (purity, perplexity), and rank-window
+    checkpoints (heaps)."""
+    from parallel_mapreduce_wordcounting_spark.operators import (
+        staged_r14,
+        staged_r15,
+        staged_r16,
+        staged_r17,
+    )
+
+    from .conftest import SF_DIR
+
+    FNS = [
+        staged_r14.text_bm25,
+        staged_r14.sim_rrf_hybrid,
+        staged_r15.stat_fisher_exact,
+        staged_r15.sim_retrieval_eval,
+        staged_r15.dedup_winnow,
+        staged_r15.sim_cluster_purity,
+        staged_r16.stat_permutation_test,
+        staged_r16.stat_log_odds,
+        staged_r17.event_markov_perplexity,
+        staged_r17.text_heaps_law,
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for fn in FNS:
+                rows = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+                results.setdefault(fn.__name__, []).append(rows)
+        for k, (a, b) in results.items():
+            assert a == b, f"{k} differs between 3 and 200 shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
