@@ -82,6 +82,11 @@ ALLOW = {
     "sim_retrieval_eval": {"BroadcastNestedLoopJoin"},
     "staged:sim_cluster_purity": {"GlobalWindow"},  # inherits sim_kmeans' K=8 seed window (allowlisted above)
     "sim_cluster_purity": {"GlobalWindow"},
+    # staged_r18:
+    "staged:stat_autocorr": {"GlobalWindow"},  # row_number over the DAY-GRAIN series (calendar-bounded; stat_spearman precedent) + running Ljung-Box over the 7 lag rows
+    "stat_autocorr": {"GlobalWindow"},
+    "staged:win_hampel": {"BroadcastNestedLoopJoin"},  # 7-row ±3-day offset spine broadcast (cross with a literal range; neighborhood join itself is a hash join)
+    "win_hampel": {"BroadcastNestedLoopJoin"},
 }
 
 
@@ -110,13 +115,14 @@ def main() -> int:
         staged_r15,
         staged_r16,
         staged_r17,
+        staged_r18,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

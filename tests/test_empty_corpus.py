@@ -183,3 +183,16 @@ def test_staged_r17_survive_degenerate_corpus(spark, degenerate_sf, name):
 
     getattr(staged_r17, name)(spark, degenerate_sf).collect()  # must not raise
 
+
+
+def _staged_r18_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r18
+
+    return [c[0] for c in staged_r18.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r18_names())
+def test_staged_r18_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r18
+
+    getattr(staged_r18, name)(spark, degenerate_sf).collect()  # must not raise

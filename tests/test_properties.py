@@ -127,13 +127,16 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
     lf-table window (fisher), exact decimal inequality decisions across
     partial aggregations (permutation test), rank fusion over rounded
     scores (rrf, retrieval eval), fingerprint window minima (winnow),
-    iterated float entropies (purity, perplexity), and rank-window
-    checkpoints (heaps)."""
+    iterated float entropies (purity, perplexity), rank-window
+    checkpoints (heaps), microcent pseudo-value sums across the 1-row
+    totals broadcast (jackknife), lag-spine running Ljung–Box sums
+    (autocorr), and double windowed medians (hampel)."""
     from parallel_mapreduce_wordcounting_spark.operators import (
         staged_r14,
         staged_r15,
         staged_r16,
         staged_r17,
+        staged_r18,
     )
 
     from .conftest import SF_DIR
@@ -149,6 +152,9 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r16.stat_log_odds,
         staged_r17.event_markov_perplexity,
         staged_r17.text_heaps_law,
+        staged_r18.stat_jackknife,
+        staged_r18.stat_autocorr,
+        staged_r18.win_hampel,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
