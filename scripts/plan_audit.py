@@ -87,6 +87,11 @@ ALLOW = {
     "stat_autocorr": {"GlobalWindow"},
     "staged:win_hampel": {"BroadcastNestedLoopJoin"},  # 7-row ±3-day offset spine broadcast (cross with a literal range; neighborhood join itself is a hash join)
     "win_hampel": {"BroadcastNestedLoopJoin"},
+    # staged_r19:
+    "staged:sim_silhouette": {"GlobalWindow"},  # inherits sim_kmeans' K=8 seed window (allowlisted above); the rank window is per-vec_id partitioned
+    "sim_silhouette": {"GlobalWindow"},
+    "staged:pipeline_filter_funnel": {"GlobalWindow"},  # running survivors over the 5 ordered stage rows only
+    "pipeline_filter_funnel": {"GlobalWindow"},
 }
 
 
@@ -116,13 +121,14 @@ def main() -> int:
         staged_r16,
         staged_r17,
         staged_r18,
+        staged_r19,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

@@ -196,3 +196,16 @@ def test_staged_r18_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r18
 
     getattr(staged_r18, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r19_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r19
+
+    return [c[0] for c in staged_r19.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r19_names())
+def test_staged_r19_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r19
+
+    getattr(staged_r19, name)(spark, degenerate_sf).collect()  # must not raise

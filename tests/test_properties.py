@@ -137,6 +137,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r16,
         staged_r17,
         staged_r18,
+        staged_r19,
     )
 
     from .conftest import SF_DIR
@@ -155,6 +156,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r18.stat_jackknife,
         staged_r18.stat_autocorr,
         staged_r18.win_hampel,
+        staged_r19.sim_silhouette,
+        staged_r19.pipeline_filter_funnel,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
