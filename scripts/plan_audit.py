@@ -92,6 +92,9 @@ ALLOW = {
     "sim_silhouette": {"GlobalWindow"},
     "staged:pipeline_filter_funnel": {"GlobalWindow"},  # running survivors over the 5 ordered stage rows only
     "pipeline_filter_funnel": {"GlobalWindow"},
+    # staged_r20:
+    "staged:text_burrows_delta": {"BroadcastNestedLoopJoin"},  # |sources| x top-50 literal grid cross (~1000 rows); all corpus-volume joins are hash joins
+    "text_burrows_delta": {"BroadcastNestedLoopJoin"},
 }
 
 
@@ -122,13 +125,14 @@ def main() -> int:
         staged_r17,
         staged_r18,
         staged_r19,
+        staged_r20,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

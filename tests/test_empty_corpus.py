@@ -209,3 +209,16 @@ def test_staged_r19_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r19
 
     getattr(staged_r19, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r20_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r20
+
+    return [c[0] for c in staged_r20.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r20_names())
+def test_staged_r20_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r20
+
+    getattr(staged_r20, name)(spark, degenerate_sf).collect()  # must not raise

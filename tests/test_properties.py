@@ -138,6 +138,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r17,
         staged_r18,
         staged_r19,
+        staged_r20,
     )
 
     from .conftest import SF_DIR
@@ -158,6 +159,9 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r18.win_hampel,
         staged_r19.sim_silhouette,
         staged_r19.pipeline_filter_funnel,
+        staged_r20.dedup_capture_recapture,
+        staged_r20.text_burrows_delta,
+        staged_r20.graph_local_clustering,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
