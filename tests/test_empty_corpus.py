@@ -222,3 +222,16 @@ def test_staged_r20_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r20
 
     getattr(staged_r20, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r21_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r21
+
+    return [c[0] for c in staged_r21.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r21_names())
+def test_staged_r21_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r21
+
+    getattr(staged_r21, name)(spark, degenerate_sf).collect()  # must not raise

@@ -139,6 +139,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r18,
         staged_r19,
         staged_r20,
+        staged_r21,
     )
 
     from .conftest import SF_DIR
@@ -162,6 +163,9 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r20.dedup_capture_recapture,
         staged_r20.text_burrows_delta,
         staged_r20.graph_local_clustering,
+        staged_r21.stat_naive_bayes,
+        staged_r21.stat_decision_stump,
+        staged_r21.event_cusum_alarm,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
