@@ -214,9 +214,9 @@ def _w6_py(v: float) -> float:
     return math.copysign(math.floor(abs(v) * 1_000_000 + 0.5), v) / 1_000_000.0
 
 
-def _gd_oracle() -> str:
-    """Chained-CTE unroll of the 3 GD iterations: gradient CTE → weight
-    CTE per step, then the final accuracy/log-loss scan."""
+def _gd_prefix() -> str:
+    """The shared CTE chain through the final weights ``w3`` — reused by
+    ``staged_r22.pipeline_active_learning``'s oracle."""
     sql = (
         "WITH d AS ("
         "  SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2, "
@@ -239,6 +239,13 @@ def _gd_oracle() -> str:
             f"  {_w6_sql(f'w2 - {_GD_LR} * g2')} AS w2, n FROM g{i + 1}"
             ")"
         )
+    return sql
+
+
+def _gd_oracle() -> str:
+    """Chained-CTE unroll of the 3 GD iterations: gradient CTE → weight
+    CTE per step, then the final accuracy/log-loss scan."""
+    sql = _gd_prefix()
     z = "(w0 + w1 * x1 + w2 * x2)"
     return sql + (
         f" SELECT CAST(n AS BIGINT) AS n, w0, w1, w2, "
@@ -258,6 +265,37 @@ _GD_SCHEMA = (
     "n long, w0 double, w1 double, w2 double, n_correct long, "
     "accuracy double, logloss double"
 )
+
+
+def _gd_fit(spark: SparkSession, sf_dir: str):
+    """Run the 3 quantized GD iterations; return (features_df, weights)
+    with weights None on an empty corpus. Shared by ``stat_gd_logreg``
+    and ``staged_r22.pipeline_active_learning`` so both walk the one
+    trajectory the unrolled oracle CTEs replicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = (0.0, 0.0, 0.0)
+    for _ in range(_GD_ITERS):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = d.agg(
+            F.count("*").alias("n"),
+            F.avg(p - F.col("y")).alias("gb"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        if not r["n"]:
+            return d, None
+        w = (
+            _w6_py(w[0] - _GD_LR * r["gb"]),
+            _w6_py(w[1] - _GD_LR * r["g1"]),
+            _w6_py(w[2] - _GD_LR * r["g2"]),
+        )
+    return d, w
 
 
 def stat_gd_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,31 +319,9 @@ def stat_gd_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     data rows at all (partial aggregation); the driver collect is a
     single row per iteration, constant in corpus size. This is textbook
     synchronous data-parallel SGD with batch = everything."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select(
-        (F.col("l_quantity") / 50.0).alias("x1"),
-        (F.col("l_discount") * 10.0).alias("x2"),
-        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
-    )
-    w = (0.0, 0.0, 0.0)
-    n = None
-    for _ in range(_GD_ITERS):
-        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        r = d.agg(
-            F.count("*").alias("n"),
-            F.avg(p - F.col("y")).alias("gb"),
-            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
-            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
-        ).collect()[0]
-        n = r["n"]
-        if not n:
-            return spark.createDataFrame([], _GD_SCHEMA)
-        w = (
-            _w6_py(w[0] - _GD_LR * r["gb"]),
-            _w6_py(w[1] - _GD_LR * r["g1"]),
-            _w6_py(w[2] - _GD_LR * r["g2"]),
-        )
+    d, w = _gd_fit(spark, sf_dir)
+    if w is None:
+        return spark.createDataFrame([], _GD_SCHEMA)
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
     correct = F.when((z > 0.0) == (F.col("y") > 0.5), 1).otherwise(0)
     margin = (F.lit(2.0) * F.col("y") - F.lit(1.0)) * z

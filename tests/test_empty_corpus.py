@@ -235,3 +235,16 @@ def test_staged_r21_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r21
 
     getattr(staged_r21, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r22_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r22
+
+    return [c[0] for c in staged_r22.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r22_names())
+def test_staged_r22_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r22
+
+    getattr(staged_r22, name)(spark, degenerate_sf).collect()  # must not raise

@@ -140,6 +140,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r19,
         staged_r20,
         staged_r21,
+        staged_r22,
     )
 
     from .conftest import SF_DIR
@@ -166,6 +167,9 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r21.stat_naive_bayes,
         staged_r21.stat_decision_stump,
         staged_r21.event_cusum_alarm,
+        staged_r22.graph_kcore,
+        staged_r22.stat_mixture_em,
+        staged_r22.pipeline_active_learning,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
