@@ -248,3 +248,16 @@ def test_staged_r22_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r22
 
     getattr(staged_r22, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r23_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r23
+
+    return [c[0] for c in staged_r23.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r23_names())
+def test_staged_r23_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r23
+
+    getattr(staged_r23, name)(spark, degenerate_sf).collect()  # must not raise

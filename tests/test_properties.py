@@ -141,6 +141,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r20,
         staged_r21,
         staged_r22,
+        staged_r23,
     )
 
     from .conftest import SF_DIR
@@ -170,6 +171,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r22.graph_kcore,
         staged_r22.stat_mixture_em,
         staged_r22.pipeline_active_learning,
+        staged_r23.sim_dbscan,
+        staged_r23.dq_mahalanobis,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
