@@ -261,3 +261,16 @@ def test_staged_r23_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r23
 
     getattr(staged_r23, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r24_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r24
+
+    return [c[0] for c in staged_r24.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r24_names())
+def test_staged_r24_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r24
+
+    getattr(staged_r24, name)(spark, degenerate_sf).collect()  # must not raise

@@ -142,6 +142,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r21,
         staged_r22,
         staged_r23,
+        staged_r24,
     )
 
     from .conftest import SF_DIR
@@ -173,6 +174,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r22.pipeline_active_learning,
         staged_r23.sim_dbscan,
         staged_r23.dq_mahalanobis,
+        staged_r24.event_ab_sprt,
+        staged_r24.text_hash_embed,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
