@@ -106,6 +106,17 @@ ALLOW = {
     "event_ab_sprt": {"GlobalWindow"},
     "staged:event_seasonal_decompose": {"GlobalWindow"},
     "event_seasonal_decompose": {"GlobalWindow"},
+    # staged_r25: the isotonic windows and the O(B²) pair enumeration run
+    # over the ≤10-row BIN spine (one bin aggregate absorbs the events);
+    # bollinger windows ride the day-grain series (stat_spearman
+    # precedent); the periodogram broadcast-crosses a 13-row literal
+    # period spine with the day series (stat_kde_grid shape)
+    "staged:stat_isotonic": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    "stat_isotonic": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    "staged:win_bollinger": {"GlobalWindow"},
+    "win_bollinger": {"GlobalWindow"},
+    "staged:event_periodogram": {"BroadcastNestedLoopJoin"},
+    "event_periodogram": {"BroadcastNestedLoopJoin"},
 }
 
 
@@ -141,13 +152,14 @@ def main() -> int:
         staged_r22,
         staged_r23,
         staged_r24,
+        staged_r25,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21, staged_r22, staged_r23, staged_r24):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21, staged_r22, staged_r23, staged_r24, staged_r25):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

@@ -143,6 +143,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r22,
         staged_r23,
         staged_r24,
+        staged_r25,
     )
 
     from .conftest import SF_DIR
@@ -176,6 +177,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r23.dq_mahalanobis,
         staged_r24.event_ab_sprt,
         staged_r24.text_hash_embed,
+        staged_r25.stat_isotonic,
+        staged_r25.graph_label_prop,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
