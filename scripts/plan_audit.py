@@ -117,6 +117,12 @@ ALLOW = {
     "win_bollinger": {"GlobalWindow"},
     "staged:event_periodogram": {"BroadcastNestedLoopJoin"},
     "event_periodogram": {"BroadcastNestedLoopJoin"},
+    # staged_r26: rolling-corr and seasonal-anomaly windows ride the
+    # calendar-bounded day-grain series (stat_spearman precedent)
+    "staged:win_rolling_corr": {"GlobalWindow"},
+    "win_rolling_corr": {"GlobalWindow"},
+    "staged:event_anomaly_seasonal": {"GlobalWindow"},
+    "event_anomaly_seasonal": {"GlobalWindow"},
 }
 
 
@@ -153,13 +159,14 @@ def main() -> int:
         staged_r23,
         staged_r24,
         staged_r25,
+        staged_r26,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
     # registrations start plan-clean
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21, staged_r22, staged_r23, staged_r24, staged_r25):
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21, staged_r22, staged_r23, staged_r24, staged_r25, staged_r26):
         suffix = mod.__name__.rsplit(".", 1)[-1]
         for name in dir(mod):
             fn = getattr(mod, name)

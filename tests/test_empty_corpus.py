@@ -287,3 +287,16 @@ def test_staged_r25_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r25
 
     getattr(staged_r25, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r26_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r26
+
+    return [c[0] for c in staged_r26.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r26_names())
+def test_staged_r26_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r26
+
+    getattr(staged_r26, name)(spark, degenerate_sf).collect()  # must not raise

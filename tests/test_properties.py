@@ -144,6 +144,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r23,
         staged_r24,
         staged_r25,
+        staged_r26,
     )
 
     from .conftest import SF_DIR
@@ -179,6 +180,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r24.text_hash_embed,
         staged_r25.stat_isotonic,
         staged_r25.graph_label_prop,
+        staged_r26.win_rolling_corr,
+        staged_r26.dedup_cross_lingual,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
