@@ -145,6 +145,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r24,
         staged_r25,
         staged_r26,
+        staged_r27,
     )
 
     from .conftest import SF_DIR
@@ -182,6 +183,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r25.graph_label_prop,
         staged_r26.win_rolling_corr,
         staged_r26.dedup_cross_lingual,
+        staged_r27.sql_pivot,
+        staged_r27.event_attribution_shapley,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
