@@ -191,7 +191,10 @@ def stat_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 4
 
 
-def _lpa_oracle() -> str:
+def lpa_cte_chain() -> str:
+    """The full LPA oracle CTE chain (shingles → edges e0 → labels
+    l0..l{_LPA_ROUNDS}) WITHOUT a final SELECT — shared with
+    staged_r28.graph_modularity's oracle, which scores these labels."""
     from .dedup import SHINGLES_CTE, _ORACLE_PAIR_JACCARD
 
     sql = (
@@ -218,7 +221,11 @@ def _lpa_oracle() -> str:
             f"  SELECT p.node, coalesce(m.lab, p.lab) AS lab FROM l{i - 1} p "
             f"  LEFT JOIN m{i} m ON p.node = m.node)"
         )
-    return sql + (
+    return sql
+
+
+def _lpa_oracle() -> str:
+    return lpa_cte_chain() + (
         f" SELECT l.node AS doc_id, CAST(l.lab AS BIGINT) AS community, "
         "CAST(s.cs AS BIGINT) AS community_size "
         f"FROM l{_LPA_ROUNDS} l JOIN (SELECT lab, count(*) AS cs "
@@ -263,13 +270,26 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
     )
+    labels = lpa_labels(docs, edges)
+    sizes = labels.groupBy("lab").agg(F.count("*").cast("long").alias("cs"))
+    return labels.join(sizes, "lab").select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").cast("long").alias("community"),
+        F.col("cs").alias("community_size"),
+    )
+
+
+def lpa_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """The 4 synchronous LPA rounds over explicit (node, lab) starts and
+    directed (u, v) edges — factored out so composers (e.g.
+    staged_r28.graph_modularity) can persist the EDGE set once and reuse
+    it; each round's lineage references `edges` twice-per-round, so an
+    unpersisted expensive edge source would re-execute O(rounds) times."""
     labels = docs
     wmode = Window.partitionBy("node").orderBy(F.desc("k"), F.asc("lab"))
     for _ in range(_LPA_ROUNDS):
         cnt = (
-            edges.join(
-                labels.select(F.col("node").alias("v"), "lab"), "v"
-            )
+            edges.join(labels.select(F.col("node").alias("v"), "lab"), "v")
             .groupBy(F.col("u").alias("node"), "lab")
             .agg(F.count("*").alias("k"))
         )
@@ -281,12 +301,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = labels.join(mode, "node", "left").select(
             "node", F.coalesce("new_lab", "lab").alias("lab")
         )
-    sizes = labels.groupBy("lab").agg(F.count("*").cast("long").alias("cs"))
-    return labels.join(sizes, "lab").select(
-        F.col("node").alias("doc_id"),
-        F.col("lab").cast("long").alias("community"),
-        F.col("cs").alias("community_size"),
-    )
+    return labels
 
 
 # --- integer-centered periodogram ---------------------------------------------------

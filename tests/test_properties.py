@@ -146,6 +146,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r25,
         staged_r26,
         staged_r27,
+        staged_r28,
     )
 
     from .conftest import SF_DIR
@@ -185,6 +186,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r26.dedup_cross_lingual,
         staged_r27.sql_pivot,
         staged_r27.event_attribution_shapley,
+        staged_r28.stat_wilcoxon,
+        staged_r28.event_user_lifecycle,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
