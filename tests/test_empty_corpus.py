@@ -326,3 +326,16 @@ def test_staged_r28_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r28
 
     getattr(staged_r28, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r29_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r29
+
+    return [c[0] for c in staged_r29.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r29_names())
+def test_staged_r29_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r29
+
+    getattr(staged_r29, name)(spark, degenerate_sf).collect()  # must not raise

@@ -147,6 +147,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r26,
         staged_r27,
         staged_r28,
+        staged_r29,
     )
 
     from .conftest import SF_DIR
@@ -188,6 +189,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r27.event_attribution_shapley,
         staged_r28.stat_wilcoxon,
         staged_r28.event_user_lifecycle,
+        staged_r29.stat_cochran_armitage,
+        staged_r29.event_window_sweep,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
