@@ -148,6 +148,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r27,
         staged_r28,
         staged_r29,
+        staged_r30,
     )
 
     from .conftest import SF_DIR
@@ -191,6 +192,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r28.event_user_lifecycle,
         staged_r29.stat_cochran_armitage,
         staged_r29.event_window_sweep,
+        staged_r30.stat_median_ci,
+        staged_r30.warehouse_incremental_stats,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
