@@ -149,6 +149,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r28,
         staged_r29,
         staged_r30,
+        staged_r31,
     )
 
     from .conftest import SF_DIR
@@ -194,6 +195,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r29.event_window_sweep,
         staged_r30.stat_median_ci,
         staged_r30.warehouse_incremental_stats,
+        staged_r31.stat_fit_compare,
+        staged_r31.event_intraday_profile,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
