@@ -365,3 +365,16 @@ def test_staged_r31_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r31
 
     getattr(staged_r31, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r32_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r32
+
+    return [c[0] for c in staged_r32.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r32_names())
+def test_staged_r32_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r32
+
+    getattr(staged_r32, name)(spark, degenerate_sf).collect()  # must not raise

@@ -150,6 +150,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r29,
         staged_r30,
         staged_r31,
+        staged_r32,
     )
 
     from .conftest import SF_DIR
@@ -197,6 +198,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r30.warehouse_incremental_stats,
         staged_r31.stat_fit_compare,
         staged_r31.event_intraday_profile,
+        staged_r32.text_source_template,
+        staged_r32.join_null_safe,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
