@@ -151,6 +151,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r30,
         staged_r31,
         staged_r32,
+        staged_r33,
     )
 
     from .conftest import SF_DIR
@@ -200,6 +201,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r31.event_intraday_profile,
         staged_r32.text_source_template,
         staged_r32.join_null_safe,
+        staged_r33.stat_dispersion,
+        staged_r33.scan_fixed_width,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
