@@ -391,3 +391,16 @@ def test_staged_r33_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r33
 
     getattr(staged_r33, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r34_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r34
+
+    return [c[0] for c in staged_r34.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r34_names())
+def test_staged_r34_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r34
+
+    getattr(staged_r34, name)(spark, degenerate_sf).collect()  # must not raise

@@ -152,6 +152,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r31,
         staged_r32,
         staged_r33,
+        staged_r34,
     )
 
     from .conftest import SF_DIR
@@ -203,6 +204,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r32.join_null_safe,
         staged_r33.stat_dispersion,
         staged_r33.scan_fixed_width,
+        staged_r34.stat_paired_ttest,
+        staged_r34.event_conversion_lag_hist,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
