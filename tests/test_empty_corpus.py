@@ -404,3 +404,16 @@ def test_staged_r34_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r34
 
     getattr(staged_r34, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r35_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r35
+
+    return [c[0] for c in staged_r35.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r35_names())
+def test_staged_r35_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r35
+
+    getattr(staged_r35, name)(spark, degenerate_sf).collect()  # must not raise

@@ -153,6 +153,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r32,
         staged_r33,
         staged_r34,
+        staged_r35,
     )
 
     from .conftest import SF_DIR
@@ -206,6 +207,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r33.scan_fixed_width,
         staged_r34.stat_paired_ttest,
         staged_r34.event_conversion_lag_hist,
+        staged_r35.dq_key_uniqueness,
+        staged_r35.agg_weighted_median,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
