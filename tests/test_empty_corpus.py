@@ -417,3 +417,16 @@ def test_staged_r35_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r35
 
     getattr(staged_r35, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r36_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r36
+
+    return [c[0] for c in staged_r36.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r36_names())
+def test_staged_r36_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r36
+
+    getattr(staged_r36, name)(spark, degenerate_sf).collect()  # must not raise

@@ -154,6 +154,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r33,
         staged_r34,
         staged_r35,
+        staged_r36,
     )
 
     from .conftest import SF_DIR
@@ -209,6 +210,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r34.event_conversion_lag_hist,
         staged_r35.dq_key_uniqueness,
         staged_r35.agg_weighted_median,
+        staged_r36.set_except_all,
+        staged_r36.stat_kruskal_wallis,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
