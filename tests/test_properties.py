@@ -155,6 +155,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r34,
         staged_r35,
         staged_r36,
+        staged_r37,
     )
 
     from .conftest import SF_DIR
@@ -212,6 +213,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r35.agg_weighted_median,
         staged_r36.set_except_all,
         staged_r36.stat_kruskal_wallis,
+        staged_r37.dq_join_cardinality,
+        staged_r37.agg_abc_analysis,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
