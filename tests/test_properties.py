@@ -156,6 +156,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r35,
         staged_r36,
         staged_r37,
+        staged_r38,
     )
 
     from .conftest import SF_DIR
@@ -215,6 +216,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r36.stat_kruskal_wallis,
         staged_r37.dq_join_cardinality,
         staged_r37.agg_abc_analysis,
+        staged_r38.stat_mantel_haenszel,
+        staged_r38.stat_regression_to_mean,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
