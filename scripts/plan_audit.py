@@ -243,6 +243,15 @@ def main() -> int:
                 and not name.startswith("_")
                 and getattr(fn, "__module__", "").endswith(suffix)
                 and not already_registered
+                # only operator-shaped callables: fn(spark, sf_dir) — skips
+                # helpers like hilbert_d / lpa_labels the modules also export
+                and [
+                    p
+                    for p in __import__("inspect")
+                    .signature(fn)
+                    .parameters
+                ][:1]
+                == ["spark"]
             ):
                 targets[f"staged:{name}"] = fn
 
