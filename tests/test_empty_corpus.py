@@ -456,3 +456,16 @@ def test_staged_r38_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r38
 
     getattr(staged_r38, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r39_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r39
+
+    return [c[0] for c in staged_r39.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r39_names())
+def test_staged_r39_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r39
+
+    getattr(staged_r39, name)(spark, degenerate_sf).collect()  # must not raise

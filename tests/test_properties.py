@@ -157,6 +157,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r36,
         staged_r37,
         staged_r38,
+        staged_r39,
     )
 
     from .conftest import SF_DIR
@@ -218,6 +219,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r37.agg_abc_analysis,
         staged_r38.stat_mantel_haenszel,
         staged_r38.stat_regression_to_mean,
+        staged_r39.agg_ratio_pitfall,
+        staged_r39.dq_id_continuity,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
