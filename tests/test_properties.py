@@ -158,6 +158,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r37,
         staged_r38,
         staged_r39,
+        staged_r40,
     )
 
     from .conftest import SF_DIR
@@ -221,6 +222,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r38.stat_regression_to_mean,
         staged_r39.agg_ratio_pitfall,
         staged_r39.dq_id_continuity,
+        staged_r40.split_time_holdout,
+        staged_r40.win_group_zscore,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
