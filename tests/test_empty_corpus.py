@@ -482,3 +482,16 @@ def test_staged_r40_survive_degenerate_corpus(spark, degenerate_sf, name):
     from parallel_mapreduce_wordcounting_spark.operators import staged_r40
 
     getattr(staged_r40, name)(spark, degenerate_sf).collect()  # must not raise
+
+
+def _staged_r41_names():
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r41
+
+    return [c[0] for c in staged_r41.DEV_CASES]
+
+
+@pytest.mark.parametrize("name", _staged_r41_names())
+def test_staged_r41_survive_degenerate_corpus(spark, degenerate_sf, name):
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r41
+
+    getattr(staged_r41, name)(spark, degenerate_sf).collect()  # must not raise

@@ -159,6 +159,7 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r38,
         staged_r39,
         staged_r40,
+        staged_r41,
     )
 
     from .conftest import SF_DIR
@@ -224,6 +225,8 @@ def test_staged_waves_invariant_to_shuffle_partition_count(spark):
         staged_r39.dq_id_continuity,
         staged_r40.split_time_holdout,
         staged_r40.win_group_zscore,
+        staged_r41.fn_minmax_scale,
+        staged_r41.event_repeat_rate,
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
