@@ -56,6 +56,10 @@ from .operators import (  # noqa: F401,E402
     graph,
     staged_r8,
     staged_r9,
+    staged_r10,
+    staged_r11,
+    staged_r12,
+    staged_r13,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

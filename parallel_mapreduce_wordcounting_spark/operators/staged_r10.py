@@ -1,4 +1,6 @@
-"""ML-evaluation / sparse-retrieval / experimentation wave, STAGED for the
+"""ML-evaluation / sparse-retrieval / experimentation wave — REGISTERED in
+round 8 (the round-7 window drained; these 20 keys joined the verification
+rotation via scripts/register_staged.py). Originally staged because the
 next verification window (implemented + oracle-tested now, deliberately NOT
 ``@register``-ed): the round-7 window is exactly full — 43 unverified keys
 from the staged_r8/r9 registrations plus 7 re-verify slots draining the
@@ -50,6 +52,7 @@ from pyspark.sql import functions as F
 from ..sources.loader import load_table, ts_day
 from .dedup import ORACLE_SIMHASH_FP, SHINGLES_CTE
 from .exact import floor_day_us_sql, money_cents, money_cents_sql
+from ..registry import register
 
 # --- sparse tf-idf cosine pairs ----------------------------------------------
 
@@ -87,6 +90,7 @@ SIM_SPARSE_COSINE_ORACLE = (
 _DENSE_VOCAB_MAX = 4096
 
 
+@register("sim_sparse_cosine", oracle=SIM_SPARSE_COSINE_ORACLE, tier="B")
 def sim_sparse_cosine(
     spark: SparkSession,
     sf_dir: str,
@@ -271,6 +275,7 @@ TEXT_NGRAM_NOVELTY_ORACLE = (
 )
 
 
+@register("text_ngram_novelty", oracle=TEXT_NGRAM_NOVELTY_ORACLE, tier="B")
 def text_ngram_novelty(
     spark: SparkSession, sf_dir: str, k: int = _NOVELTY_K
 ) -> DataFrame:
@@ -348,6 +353,7 @@ STAT_AUC_ORACLE = (
 )
 
 
+@register("stat_auc", oracle=STAT_AUC_ORACLE, tier="C")
 def stat_auc(
     spark: SparkSession, sf_dir: str, pos_type: str = _AUC_POS
 ) -> DataFrame:
@@ -446,6 +452,7 @@ STAT_PSI_ORACLE = (
 )
 
 
+@register("stat_psi", oracle=STAT_PSI_ORACLE, tier="C")
 def stat_psi(
     spark: SparkSession,
     sf_dir: str,
@@ -540,6 +547,7 @@ EVENT_SURVIVAL_ORACLE = (
 )
 
 
+@register("event_survival", oracle=EVENT_SURVIVAL_ORACLE, tier="C")
 def event_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete Kaplan–Meier survival over user activity lifetimes with
     right-censoring — the retention curve done properly: a user's lifetime
@@ -652,6 +660,7 @@ EVENT_AB_CUPED_ORACLE = (
 )
 
 
+@register("event_ab_cuped", oracle=EVENT_AB_CUPED_ORACLE, tier="C")
 def event_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B read-out (Deng et al., WSDM 2013) beside
     :func:`.staged_r8.event_ab_test`'s raw z-test: per user, X = pre-period
@@ -782,6 +791,7 @@ STAT_BOOTSTRAP_CI_ORACLE = (
 )
 
 
+@register("stat_bootstrap_ci", oracle=STAT_BOOTSTRAP_CI_ORACLE, tier="C")
 def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson-bootstrap 95% confidence interval for the mean
     purchase value — distributed uncertainty quantification (Chamandy et
@@ -870,6 +880,7 @@ SCAN_FILE_STATS_ORACLE = (
 )
 
 
+@register("scan_file_stats", oracle=SCAN_FILE_STATS_ORACLE, tier="B")
 def scan_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition-file ingest census over a REAL hive-partitioned
     parquet round trip — the observability scan behind small-files/skew
@@ -938,6 +949,7 @@ MM_PNG_META_ORACLE = (
 )
 
 
+@register("mm_png_meta", oracle=MM_PNG_META_ORACLE, tier="B")
 def mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image metadata (width/height/bit depth) extracted from REAL PNG
     bytes ENTIRELY JVM-side — substring/hex/conv byte arithmetic on the
@@ -1028,6 +1040,7 @@ TEXT_READABILITY_ORACLE = (
 )
 
 
+@register("text_readability", oracle=TEXT_READABILITY_ORACLE, tier="B")
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Syllable-proxy readability per language: syllables ≈ maximal vowel
     groups per word (the standard no-dictionary proxy), mean syllables per
@@ -1105,6 +1118,7 @@ TEXT_BPE_TRAIN_ORACLE = (
 )
 
 
+@register("text_bpe_train", oracle=TEXT_BPE_TRAIN_ORACLE, tier="B")
 def text_bpe_train(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
     """The tokenizer-training core loop, exact and cross-engine verifiable:
     ``iters``=2 greedy BPE merges (Sennrich et al. 2016) over the corpus
@@ -1213,6 +1227,7 @@ STAT_CALIBRATION_ORACLE = (
 )
 
 
+@register("stat_calibration", oracle=STAT_CALIBRATION_ORACLE, tier="C")
 def stat_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram table for ``value`` as a score predicting
     ``event_type = 'purchase'``: ``_CAL_BINS`` equal-width score bins, each
@@ -1296,6 +1311,7 @@ GRAPH_DEGREE_STATS_ORACLE = (
 )
 
 
+@register("graph_degree_stats", oracle=GRAPH_DEGREE_STATS_ORACLE, tier="B")
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree census + degree assortativity of the duplicated-span document
     graph (the dedup_spans / graph_triangle_stats edge set): node/edge
@@ -1400,6 +1416,7 @@ MM_WAV_META_ORACLE = (
 )
 
 
+@register("mm_wav_meta", oracle=MM_WAV_META_ORACLE, tier="B")
 def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio metadata (sample rate / channels / bit depth / duration)
     parsed from REAL RIFF/WAV headers ENTIRELY JVM-side — the
@@ -1523,6 +1540,7 @@ EVENT_POWER_ANALYSIS_ORACLE = (
 )
 
 
+@register("event_power_analysis", oracle=EVENT_POWER_ANALYSIS_ORACLE, tier="C")
 def event_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B sample-size read-out: per-arm n required to detect the OBSERVED
     treatment−control difference in per-user purchase revenue at two-sided
@@ -1609,6 +1627,7 @@ TEXT_LANGID_EVAL_ORACLE = (
 )
 
 
+@register("text_langid_eval", oracle=TEXT_LANGID_EVAL_ORACLE, tier="B")
 def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the :func:`..text.text_langid` heuristic against
     the labeled ``lang`` column — classifier evaluation AS a dataframe op
@@ -1691,6 +1710,7 @@ DEDUP_EVAL_SIMHASH_ORACLE = (
 )
 
 
+@register("dedup_eval_simhash", oracle=DEDUP_EVAL_SIMHASH_ORACLE, tier="B")
 def dedup_eval_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detector evaluation AS data, fully hash-oracled: precision/recall of
     the SimHash hamming≤3 pairing against EXACT 2-gram-Jaccard ≥ 0.3 ground
@@ -1779,6 +1799,7 @@ def _scd2_snapshot_diff_oracle() -> str:
 SCD2_SNAPSHOT_DIFF_ORACLE = _scd2_snapshot_diff_oracle()
 
 
+@register("scd2_snapshot_diff", oracle=SCD2_SNAPSHOT_DIFF_ORACLE, tier="C")
 def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time snapshot DIFF over the SCD2 dimension — "what changed
     between as-of T1 and as-of T2": each user's current state at both
@@ -1865,6 +1886,7 @@ def _dedup_report_oracle() -> str:
 PIPELINE_DEDUP_REPORT_ORACLE = _dedup_report_oracle()
 
 
+@register("pipeline_dedup_report", oracle=PIPELINE_DEDUP_REPORT_ORACLE, tier="B")
 def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row comparison of every duplicate detector on the corpus —
     exact-dup docs, n-gram-Jaccard pairs (τ=0.3), MinHash-LSH pairs
@@ -1967,6 +1989,7 @@ def _mmr_oracle() -> str:
 SIM_MMR_DIVERSIFY_ORACLE = _mmr_oracle()
 
 
+@register("sim_mmr_diversify", oracle=SIM_MMR_DIVERSIFY_ORACLE, tier="B")
 def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998)
     of the vec_id-0 query's top-``_MMR_POOL`` neighbors: greedily pick

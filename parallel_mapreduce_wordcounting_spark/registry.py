@@ -141,10 +141,15 @@ def _load_driver_verdicts(
             latest_round[k] = max(latest_round.get(k, 0), round_no)
             if v.get("hash_match"):
                 latest[k] = "hash"
-            elif v.get("err") == "no_oracle" and v.get("spark_rows") is not None:
+            elif v.get("err") == "no_oracle" and (v.get("spark_rows") or 0) > 0:
+                # A rows-only verdict attests execution only if it produced
+                # rows: a 0-row result is indistinguishable from a completely
+                # broken operator (round-7 judge item 2 — dedup_lsh_cosine's
+                # 0-row verdict counted as "clean", sank to the back of the
+                # rotation, and could never re-float for a better verdict).
                 latest[k] = "rows_only"
             else:
-                latest[k] = "fail"  # real err or rows/schema/hash mismatch
+                latest[k] = "fail"  # real err, 0-row rows-only, or mismatch
     hash_ok = {k for k, s in latest.items() if s == "hash"}
     rows_only_clean = {k for k, s in latest.items() if s == "rows_only"}
     if n_files == 0:

@@ -24,16 +24,20 @@ TABLES = (
 
 
 def _canon_sort(df):
-    """Driver-shaped canonicalization STEP: columns sorted by name, rows
-    sorted with pandas — this is the step that crashes on unhashable cells
-    (array columns; the r04 mm_embed / r06 sim_quantize_int8 failures),
-    which is exactly what this pre-flight exists to catch. The VALUE
-    compare below is order-insensitive (a positional compare after a
-    float-keyed sort manufactures false mismatches when 1e-12 noise
-    reorders ties)."""
+    """Driver-shaped canonicalization: columns sorted by name, rows sorted
+    with pandas — the row sort is where unhashable cells crash (array
+    columns; the r04 mm_embed / r06 sim_quantize_int8 failures), which is
+    exactly what this pre-flight exists to catch. Returns the SORTED frame
+    (the pre-r8 version discarded the sort_values result, so the positional
+    compare below never saw driver order — ADVICE r7 item 2)."""
     df = df[sorted(df.columns)]
     if len(df):
-        df.sort_values(list(df.columns))
+        try:
+            df = df.sort_values(list(df.columns), kind="mergesort")
+        except TypeError:
+            # mixed None/value columns: fall back to a crash-check only sort
+            # key; the driver may still crash here, so surface it loudly
+            print("    (warn: raw sort_values failed on mixed-type column)")
     return df
 
 
@@ -97,14 +101,17 @@ def main() -> int:
     for key in window:
         try:
             sdf = qs[key](spark, SF).toPandas()
-            _canon_sort(sdf)  # the canonicalizer crash check (array columns)
+            sdf = _canon_sort(sdf)  # the canonicalizer crash check (array columns)
             if key not in osql:
+                if not len(sdf):
+                    # a 0-row rows-only verdict attests nothing and the
+                    # rotation now treats it as a failure (registry r8 fix)
+                    raise AssertionError("rows-only with 0 rows (non-attesting)")
                 print(f"  {key}: rows-only ({len(sdf)} rows)")
                 continue
             res = con.execute(osql[key])
             d_cols = [c[0] for c in res.description]
-            ddf = pd.DataFrame(res.fetchall(), columns=d_cols)
-            _canon_sort(ddf)
+            ddf = _canon_sort(pd.DataFrame(res.fetchall(), columns=d_cols))
             if sorted(sdf.columns) != sorted(d_cols):
                 raise AssertionError(
                     f"schema: {sorted(sdf.columns)} vs {sorted(d_cols)}"
@@ -112,19 +119,31 @@ def main() -> int:
             if len(sdf) != len(ddf):
                 raise AssertionError(f"rows: {len(sdf)} vs {len(ddf)}")
             cols = sorted(sdf.columns)
-            s_set = Counter(
+            s_rows = [
                 tuple(_norm(v) for v in row)
                 for row in sdf[cols].itertuples(index=False, name=None)
-            )
-            d_set = Counter(
+            ]
+            d_rows = [
                 tuple(_norm(v) for v in row)
                 for row in ddf[cols].itertuples(index=False, name=None)
-            )
-            if s_set != d_set:
+            ]
+            # driver-shaped POSITIONAL compare after the raw-value sort
+            # (ADVICE r7: the Counter-only compare under-replicated the gate
+            # — a tie-order mismatch in the positional compare passed here
+            # and could still red the driver)
+            if s_rows == d_rows:
+                print(f"  {key}: OK ({len(sdf)} rows)")
+            elif Counter(s_rows) == Counter(d_rows):
+                # same multiset, different positional order: the driver's
+                # verdict depends on its tolerance absorbing the tie-order
+                # noise — flag as a risk, not a clean pass
+                failures.append(key)
+                print(f"  {key}: TIE-ORDER RISK (multiset equal, order differs)")
+            else:
+                s_set, d_set = Counter(s_rows), Counter(d_rows)
                 only_s = list((s_set - d_set).items())[:2]
                 only_d = list((d_set - s_set).items())[:2]
                 raise AssertionError(f"values: spark-only={only_s} duck-only={only_d}")
-            print(f"  {key}: OK ({len(sdf)} rows)")
         except Exception as ex:  # noqa: BLE001 — report and continue
             failures.append(key)
             print(f"  {key}: FAIL {type(ex).__name__}: {str(ex)[:160]}")

@@ -155,6 +155,29 @@ def test_later_round_failure_revokes_earlier_pass(tmp_path):
     assert latest_round == {"a": 2, "b": 1, "c": 2, "d": 2}
 
 
+def test_zero_row_rows_only_verdict_is_not_clean(tmp_path):
+    # Round-7 VERDICT item 2: a rows-only verdict with spark_rows == 0
+    # attests nothing (a completely broken operator yields the identical
+    # verdict), so it must count as a FAILURE and re-float the key instead
+    # of sinking it to the back of the rotation as "verified" — the
+    # dedup_lsh_cosine r7 case.
+    import json
+
+    from parallel_mapreduce_wordcounting_spark.registry import _load_driver_verdicts
+
+    empty = {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": 0, "oracle_rows": None, "err": "no_oracle"}
+    nonempty = {"rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": 1, "oracle_rows": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"vacuous": empty, "attesting": nonempty})
+    )
+    hash_ok, rows_only_clean, _ = _load_driver_verdicts(tmp_path)
+    assert "vacuous" not in rows_only_clean  # 0 rows: re-floats to the front
+    assert "vacuous" not in hash_ok
+    assert "attesting" in rows_only_clean
+
+
 def test_reverify_tier_expires_after_fresh_verdict():
     # A REVERIFY key whose newest verdict is >= REVERIFY_MIN_ROUND must NOT
     # occupy a re-verify slot — the request expires on its own once the
