@@ -87,22 +87,29 @@ DRIVER_WINDOW = 50  # operational invariant: the driver verifies 50 keys/round
 # the re-verify tier while its newest verdict is from a round BEFORE the
 # stamp below — once the driver lands a fresh verdict, the key returns to
 # the normal rotation with no hand-editing (the round-2 lesson: hand-kept
-# rotation state goes stale). Round 5: the TIMESTAMP_NTZ environment change
-# broke (and the loader fix re-routed) every ts-consuming operator, but
-# three of them held stale r1/r2 greens and never re-floated;
-# scan_events_ns now emits the normalized TimestampType and hasn't been
-# driver-checked since r2.
-REVERIFY_MIN_ROUND = 5  # verdicts from rounds < this don't cover the change
-REVERIFY_KEYS = frozenset(
-    {
-        "win_lag_lead",
-        "join_range",
-        "stream_watermark",
-        "scan_events_ns",
-        "stream_session",
-        "stream_dedup",
-    }
-)
+# rotation state goes stale). Entries map key -> the first round whose
+# verdict covers the current code; a verdict from an EARLIER round is
+# stale. Round 5: the TIMESTAMP_NTZ environment change broke (and the
+# loader fix re-routed) every ts-consuming operator, but three of them
+# held stale r1/r2 greens and never re-floated. (Per-key stamps, not one
+# global: a round-8 change can demand re-verification without re-floating
+# every round-5 entry whose fresh verdict already landed.)
+REVERIFY_MIN_ROUNDS: dict[str, int] = {
+    "win_lag_lead": 5,
+    "join_range": 5,
+    "stream_watermark": 5,
+    "scan_events_ns": 5,
+    "stream_session": 5,
+    "stream_dedup": 5,
+}
+# Back-compat aliases (tests and scripts consume these shapes)
+REVERIFY_KEYS = frozenset(REVERIFY_MIN_ROUNDS)
+
+
+def _reverify_pending(key: str) -> bool:
+    """True while ``key``'s newest driver verdict predates the round its
+    current implementation first shipped in (expires on a fresh verdict)."""
+    return key in REVERIFY_MIN_ROUNDS and _LATEST_ROUND.get(key, 0) < REVERIFY_MIN_ROUNDS[key]
 
 
 def _load_driver_verdicts(
@@ -188,7 +195,7 @@ def _emission_order() -> list[str]:
     def rank(key: str) -> tuple[int, int, str]:
         if key not in verified:
             return (0, 0, key)  # no usable verdict: must be in the window
-        if key in REVERIFY_KEYS and _LATEST_ROUND.get(key, 0) < REVERIFY_MIN_ROUND:
+        if _reverify_pending(key):
             return (1, 0, key)  # stale green: re-present until a fresh verdict lands
         # Verified keys drain stalest-first: whatever window slots the two
         # front tiers leave spare go to the keys whose verdicts are oldest

@@ -36,13 +36,11 @@ def test_unverified_keys_lead_the_emission_order():
     # predates the change stamp), then the rest — each alphabetical
     from parallel_mapreduce_wordcounting_spark.registry import (
         _LATEST_ROUND,
-        REVERIFY_MIN_ROUND,
+        _reverify_pending,
     )
 
     reverify = sorted(
-        k
-        for k in (verified & REVERIFY_KEYS) & set(REGISTRY)
-        if _LATEST_ROUND.get(k, 0) < REVERIFY_MIN_ROUND
+        k for k in (verified & REVERIFY_KEYS) & set(REGISTRY) if _reverify_pending(k)
     )
     assert order[len(unverified) : len(unverified) + len(reverify)] == reverify
     # the verified back tier drains stalest-first (oldest verdict round,
@@ -61,18 +59,11 @@ def test_reverify_keys_fit_in_driver_window():
     # expired out of the tier (round-5 verdict item 1: the unfiltered loop
     # re-asserted window membership for keys the driver had just re-verified)
     # and makes no window claim here.
-    from parallel_mapreduce_wordcounting_spark.registry import (
-        _LATEST_ROUND,
-        REVERIFY_MIN_ROUND,
-    )
+    from parallel_mapreduce_wordcounting_spark.registry import _reverify_pending
 
     order = _emission_order()
     front = set(order[:DRIVER_WINDOW])
-    live_reverify = {
-        k
-        for k in REVERIFY_KEYS & set(REGISTRY)
-        if _LATEST_ROUND.get(k, 0) < REVERIFY_MIN_ROUND
-    }
+    live_reverify = {k for k in REVERIFY_KEYS & set(REGISTRY) if _reverify_pending(k)}
     for k in (set(REGISTRY) - driver_verified()) | live_reverify:
         assert k in front, f"{k} fell outside the driver window"
 
@@ -183,9 +174,8 @@ def test_reverify_tier_expires_after_fresh_verdict():
     # occupy a re-verify slot — the request expires on its own once the
     # driver lands a fresh verdict, no hand-editing of the set required.
     from parallel_mapreduce_wordcounting_spark.registry import (
-        _LATEST_ROUND,
-        REVERIFY_MIN_ROUND,
         _emission_order,
+        _reverify_pending,
     )
 
     order = _emission_order()
@@ -193,7 +183,7 @@ def test_reverify_tier_expires_after_fresh_verdict():
     unverified = sorted(set(REGISTRY) - verified)
     tier1 = order[len(unverified) :][: len(REVERIFY_KEYS)]
     for k in REVERIFY_KEYS & verified:
-        if _LATEST_ROUND.get(k, 0) >= REVERIFY_MIN_ROUND:
+        if not _reverify_pending(k):
             assert k not in tier1, f"{k} has a fresh verdict but still re-floats"
 
 

@@ -1,0 +1,96 @@
+"""Round-8 additions: the graph_triangle_stats per-span posting-list cap
+(VERDICT r7 item 5 — the documented-but-uncoded hub guard) and the
+dedup_lsh_cosine registered census form. Value parity vs DuckDB is covered
+by tests/test_oracle_parity.py; these pin what the oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_wordcounting_spark.operators import staged_r8, staged_r9
+
+from .conftest import SF_DIR
+
+
+def _write_docs(spark, tmp_path, texts):
+    """A minimal documents.parquet with the fixture schema."""
+    rows = [
+        (i, t, "en", "srcX", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_triangle_stats_caps_planted_mega_span(spark, tmp_path):
+    """A boilerplate span shared by MANY docs (the 10⁶-doc legal footer)
+    must be excluded from pairwise evidence once its posting list exceeds
+    max_postings — otherwise the span self-join emits a quadratic clique
+    (the 100 TB scale-killer the r7 verdict flagged). With the hub capped,
+    only the genuine 3-doc clique (a distinct duplicated passage) remains:
+    3 nodes, 3 edges, 3 wedges, 1 triangle, clustering 1.0."""
+    hub = "common boilerplate footer sentence repeated verbatim everywhere today"
+    clique = "a genuinely duplicated passage of exactly eight tokens here"
+    texts = [f"unique opener number {i} word filler {hub}" for i in range(6)]
+    texts += [f"distinct preamble {j} {clique}" for j in ("x", "y", "z")]
+    _write_docs(spark, tmp_path, texts)
+
+    # uncapped: the hub clique dominates (6 hub docs pair all-pairs)
+    raw = staged_r9.graph_triangle_stats(
+        spark, str(tmp_path), max_postings=1_000
+    ).collect()[0]
+    assert raw["n_nodes"] == 9 and raw["n_edges"] == 18  # C(6,2)+C(3,2)
+
+    # capped below the hub's 6 postings but above the clique's 3: the hub
+    # vanishes from the duplicate graph, the real clique survives intact
+    capped = staged_r9.graph_triangle_stats(
+        spark, str(tmp_path), max_postings=4
+    ).collect()[0]
+    assert tuple(capped) == (3, 3, 3, 1, 1.0)
+
+
+def test_triangle_stats_default_cap_leaves_fixture_unchanged(spark):
+    """The registered default (128) must not alter the fixture census —
+    the r7 hash-green verdict still attests the current code (fixture
+    posting lists top out at 4 members)."""
+    base = staged_r9.graph_triangle_stats(spark, SF_DIR).collect()
+    wide = staged_r9.graph_triangle_stats(spark, SF_DIR, max_postings=10**9).collect()
+    assert base == wide
+
+
+def test_triangle_oracle_applies_the_same_cap(spark, duck, tmp_path):
+    """The oracle's hot-span CTE mirrors the operator's cap, so fn-vs-SQL
+    parity holds even on a corpus WITH a planted hub at the registered
+    threshold (here: 129 docs sharing one span > the 128 default)."""
+    import parallel_mapreduce_wordcounting_spark as engine
+
+    hub = "shared footer line with exactly eight useful tokens inside"
+    texts = [f"doc {i} prefix tokens {hub}" for i in range(129)]
+    texts += [f"distinct preamble {j} zero duplication here at all okay" for j in range(3)]
+    _write_docs(spark, tmp_path, texts)
+
+    got = staged_r9.graph_triangle_stats(spark, str(tmp_path)).collect()[0]
+    # every pair among the 129 hub docs shares ONLY the capped span -> no
+    # edges (and SUM over the empty degree table is NULL on both engines)
+    assert tuple(got) == (0, 0, None, 0, None)
+
+    con_sql = engine.REGISTRY["graph_triangle_stats"].oracle.replace(
+        "FROM documents",
+        f"FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')",
+    )
+    oracle = duck.execute(con_sql).fetchone()
+    assert tuple(got) == tuple(oracle)
+
+
+def test_lsh_census_attests_execution(spark):
+    """The registered dedup_lsh_cosine form must always emit exactly one
+    non-vacuous row (VERDICT r7 item 1: the raw pair stream at τ=0.9 gave
+    a 0-row rows-only verdict indistinguishable from a broken operator),
+    with the exact-verify invariant visible as false_positives == 0 and
+    the fixture recall above the Charikar-collision floor the test-suite
+    pins for the raw operator."""
+    (row,) = staged_r8.dedup_lsh_cosine_census(spark, SF_DIR).collect()
+    assert row["n_exact_pairs"] > 0  # fixture truth is non-empty at τ=0.45
+    assert row["false_positives"] == 0  # every emitted pair exact-verified
+    assert row["n_true_hits"] == row["n_lsh_pairs"]
+    assert row["recall"] >= 0.8
