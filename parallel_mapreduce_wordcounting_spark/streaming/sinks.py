@@ -61,7 +61,20 @@ class UpsertTable:
         os.replace(tmp, self._pointer())  # atomic on POSIX
 
     def committed(self, batch_id: int) -> bool:
-        return os.path.isfile(os.path.join(self.root, f"v{batch_id}", "_SUCCESS"))
+        """A batch is committed only when the POINTER covers it.
+
+        The version directory's ``_SUCCESS`` marker is NOT sufficient: the
+        parquet write creates it before :meth:`_commit` flips ``_LATEST``,
+        so a crash in that window leaves a complete-looking ``v{batch_id}``
+        that no reader will ever resolve. Testing the marker here made the
+        redelivered batch a silent no-op while the pointer still targeted
+        the old version — the batch's merge was lost and every later batch
+        merged from stale state (ADVICE r7, medium). Pointer-based
+        committedness is crash-consistent because batch ids are monotonic
+        and each version folds in all prior state: pointer >= batch_id ⇔
+        this batch's merge is visible to readers."""
+        v = self.current_version()
+        return v is not None and v >= batch_id
 
     # -- read / upsert ---------------------------------------------------
 

@@ -82,7 +82,7 @@ def user_state_stream(stream: DataFrame) -> DataFrame:
     )
 
 
-ANOMALY_STATE_SCHEMA = "n long, sum_c long, sumsq_c long"
+ANOMALY_STATE_SCHEMA = "n long, sum_c long, sumsq_c long, max_ts_us long"
 ANOMALY_OUTPUT_SCHEMA = (
     "event_id long, user_id long, n_prior long, is_anomaly boolean"
 )
@@ -111,20 +111,45 @@ def user_anomaly_stream(stream):
     production escalates it to decimal the way stat_linreg does.
 
     Expects columns ``event_id``, ``user_id``, ``ts`` (TimestampType),
-    ``value``. Scale: state is 3 ints/user in the executor state store
-    (user_id-hash layout); each micro-batch shuffles only its own rows.
+    ``value``.
+
+    **Ordering contract (enforced, not assumed)**: row-for-row equivalence
+    with the batch window requires each user's events to arrive in
+    event-time order ACROSS micro-batches (intra-batch order is re-sorted
+    here; Spark cannot re-order what an earlier batch already folded into
+    state). The replay source satisfies this by chunking on event time. A
+    real out-of-order source must add a watermark+sort stage upstream — and
+    because silent divergence is worse than a dead query, the state carries
+    each user's max seen event time and a REGRESSION (a batch delivering an
+    event older than already-folded state) raises rather than emitting
+    flags computed from mis-ordered priors (ADVICE r7: the assumption was
+    only stated in an inline comment).
+
+    Scale: state is 4 ints/user in the executor state store (user_id-hash
+    layout); each micro-batch shuffles only its own rows.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, s, ss = state.get if state.exists else (0, 0, 0)
+        n, s, ss, max_ts_us = state.get if state.exists else (0, 0, 0, -(2**62))
         batch = pd.concat(list(pdfs))
-        # arrival order within the micro-batch = event time (the replay
-        # chunks are event-time ordered); ties broken by event_id like the
-        # batch window's ordering
+        # intra-batch order is re-established here; ties broken by
+        # event_id like the batch window's ordering
         batch = batch.sort_values(["ts", "event_id"])
+        # normalize to int64 µs regardless of the pandas datetime unit
+        # (datetime64[ns] under arrow-less transfer, [us] under pandas 2)
+        ts_us = batch["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        if n > 0 and len(ts_us) and int(ts_us[0]) < max_ts_us:
+            raise ValueError(
+                f"user {key[0]}: event at {int(ts_us[0])}µs arrived after "
+                f"state already folded {max_ts_us}µs — cross-batch event-time "
+                "order violated; add a watermark+sort stage upstream "
+                "(see user_anomaly_stream ordering contract)"
+            )
+        if len(ts_us):
+            max_ts_us = max(max_ts_us, int(ts_us[-1]))
         v = batch["value"].to_numpy()
         cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
         out_flags = []
@@ -141,7 +166,7 @@ def user_anomaly_stream(stream):
             n += 1
             s += int(c)
             ss += int(c) * int(c)
-        state.update((n, s, ss))
+        state.update((n, s, ss, max_ts_us))
         yield pd.DataFrame(
             {
                 "event_id": batch["event_id"].to_numpy(),

@@ -197,69 +197,24 @@ def main() -> int:
 
     import parallel_mapreduce_wordcounting_spark as engine
     from parallel_mapreduce_wordcounting_spark.operators import (
-        staged_r8,
-        staged_r9,
-        staged_r10,
-        staged_r11,
-        staged_r12,
-        staged_r13,
-        staged_r14,
-        staged_r15,
-        staged_r16,
-        staged_r17,
-        staged_r18,
-        staged_r19,
-        staged_r20,
-        staged_r21,
-        staged_r22,
-        staged_r23,
-        staged_r24,
-        staged_r25,
-        staged_r26,
-        staged_r27,
-        staged_r28,
-        staged_r29,
-        staged_r30,
-        staged_r31,
-        staged_r32,
-        staged_r33,
-        staged_r34,
-        staged_r35,
-        staged_r36,
-        staged_r37,
-        staged_r38,
-        staged_r39,
-        staged_r40,
-        staged_r41,
+        operator_fns,
+        staged_modules,
     )
     from parallel_mapreduce_wordcounting_spark.plans import explain_str
 
     # registered keys + staged fns (prefixed) so the next round's
-    # registrations start plan-clean
+    # registrations start plan-clean. Staged waves are DISCOVERED
+    # (pkgutil over the operators package) — a new staged_rN.py joins the
+    # audit with no edit here (ADVICE r7: the hand-kept list was duplicated
+    # four places and a missed entry silently dropped coverage).
     targets = {k: engine.REGISTRY[k].fn for k in engine.REGISTRY}
-    for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21, staged_r22, staged_r23, staged_r24, staged_r25, staged_r26, staged_r27, staged_r28, staged_r29, staged_r30, staged_r31, staged_r32, staged_r33, staged_r34, staged_r35, staged_r36, staged_r37, staged_r38, staged_r39, staged_r40, staged_r41):
-        suffix = mod.__name__.rsplit(".", 1)[-1]
-        for name in dir(mod):
-            fn = getattr(mod, name)
+    for mod in staged_modules():
+        for name, fn in operator_fns(mod).items():
             already_registered = (
                 name in engine.REGISTRY and engine.REGISTRY[name].fn is fn
             )  # identity, not name: a staged REWORK of a registered key must
             # still be audited under its staged: prefix
-            if (
-                callable(fn)
-                and not name.startswith("_")
-                and getattr(fn, "__module__", "").endswith(suffix)
-                and not already_registered
-                # only operator-shaped callables: fn(spark, sf_dir) — skips
-                # helpers like hilbert_d / lpa_labels the modules also export
-                and [
-                    p
-                    for p in __import__("inspect")
-                    .signature(fn)
-                    .parameters
-                ][:1]
-                == ["spark"]
-            ):
+            if not already_registered:
                 targets[f"staged:{name}"] = fn
 
     flags: dict[str, list[str]] = {}

@@ -101,47 +101,14 @@ def main() -> None:
             merged.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
             print(f"replicated {table} x{n}", file=sys.stderr)
 
-    from parallel_mapreduce_wordcounting_spark.operators import (
-        staged_r8,
-        staged_r9,
-        staged_r10,
-        staged_r11,
-        staged_r12,
-        staged_r13,
-        staged_r14,
-        staged_r15,
-        staged_r16,
-        staged_r17,
-        staged_r18,
-        staged_r19,
-        staged_r20,
-        staged_r21,
-        staged_r22,
-        staged_r23,
-        staged_r24,
-        staged_r25,
-        staged_r26,
-        staged_r27,
-        staged_r28,
-        staged_r29,
-        staged_r30,
-        staged_r31,
-        staged_r32,
-        staged_r33,
-        staged_r34,
-        staged_r35,
-        staged_r36,
-        staged_r37,
-        staged_r38,
-        staged_r39,
-        staged_r40,
-        staged_r41,
-    )
+    from parallel_mapreduce_wordcounting_spark.operators import staged_modules
 
     def resolve(key: str):
         if key.startswith("staged:"):
+            # discovered, not hand-listed (ADVICE r7): every staged_rN.py
+            # on disk is searchable with no edit here
             name = key.split(":", 1)[1]
-            for mod in (staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21, staged_r22, staged_r23, staged_r24, staged_r25, staged_r26, staged_r27, staged_r28, staged_r29, staged_r30, staged_r31, staged_r32, staged_r33, staged_r34, staged_r35, staged_r36, staged_r37, staged_r38, staged_r39, staged_r40, staged_r41):
+            for mod in staged_modules():
                 if hasattr(mod, name):
                     return getattr(mod, name)
             raise KeyError(name)

@@ -82,6 +82,37 @@ def test_triangle_oracle_applies_the_same_cap(spark, duck, tmp_path):
     assert tuple(got) == tuple(oracle)
 
 
+def test_staged_module_discovery_sees_every_wave_on_disk():
+    """ADVICE r7: the staged_r* module list was hand-duplicated in four
+    places; a missed entry silently dropped those operators from the plan
+    audit. Discovery must enumerate exactly the staged_rN.py files on disk,
+    in wave order, and each module must expose at least one operator-shaped
+    callable."""
+    import re
+    from pathlib import Path
+
+    from parallel_mapreduce_wordcounting_spark import operators
+    from parallel_mapreduce_wordcounting_spark.operators import (
+        operator_fns,
+        staged_modules,
+    )
+
+    on_disk = sorted(
+        int(m.group(1))
+        for p in Path(operators.__path__[0]).glob("staged_r*.py")
+        if (m := re.fullmatch(r"staged_r(\d+)\.py", p.name))
+    )
+    mods = staged_modules()
+    assert [int(m.__name__.rsplit("_r", 1)[1]) for m in mods] == on_disk
+    assert on_disk == sorted(on_disk)
+    for mod in mods:
+        fns = operator_fns(mod)
+        assert fns, f"{mod.__name__} exposes no operator-shaped callables"
+        for name, fn in fns.items():
+            assert not name.startswith("_")
+            assert callable(fn)
+
+
 def test_lsh_census_attests_execution(spark):
     """The registered dedup_lsh_cosine form must always emit exactly one
     non-vacuous row (VERDICT r7 item 1: the raw pair stream at τ=0.9 gave

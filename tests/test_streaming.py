@@ -527,6 +527,46 @@ def test_anomaly_state_machine_equals_batch_window(spark):
     assert any(flag for _, flag in got.values())  # the fixture has outliers
 
 
+def test_anomaly_stream_rejects_cross_batch_time_regression(spark, tmp_path):
+    """ADVICE r7: the batch-equivalence contract assumes each user's events
+    arrive in event-time order ACROSS micro-batches; with a real
+    out-of-order source the flags would silently diverge. The state now
+    carries max seen event time per user and a regression must kill the
+    query loudly instead."""
+    import time
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from parallel_mapreduce_wordcounting_spark.streaming.runner import run_to_batch
+    from parallel_mapreduce_wordcounting_spark.streaming.stateful import (
+        user_anomaly_stream,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    late_first = spark.createDataFrame(
+        [(10 + i, 1, f"2024-01-02 00:00:{i:02d}", 1.0) for i in range(6)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    early_second = spark.createDataFrame(
+        [(i, 1, f"2024-01-01 00:00:{i:02d}", 1.0) for i in range(6)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # file source replays in modification-time order: write the LATER
+    # events first so the second micro-batch regresses user 1's clock
+    late_first.coalesce(1).write.parquet(str(tmp_path / "c1"))
+    time.sleep(1.1)  # distinct mtimes on coarse filesystems
+    early_second.coalesce(1).write.parquet(str(tmp_path / "c2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    with pytest.raises(StreamingQueryException, match="order violated"):
+        run_to_batch(spark, user_anomaly_stream(stream), output_mode="append")
+
+
 # --- idempotent foreachBatch upsert sink (streaming/sinks.py) ----------------
 
 
@@ -588,5 +628,46 @@ def test_upsert_batch_redelivery_is_noop(spark):
         # old version directory still readable (time travel by pointer)
         assert table.current_version() == 1
         assert table.committed(0) and table.committed(1)
+    finally:
+        table.cleanup()
+
+
+def test_upsert_crash_between_write_and_pointer_flip_is_recovered(spark):
+    """ADVICE r7 (medium): a crash AFTER the version write but BEFORE the
+    _LATEST pointer flip leaves a complete-looking v{batch_id} dir that no
+    reader resolves. The redelivered batch must re-apply (committed() is
+    pointer-based, not marker-based) — previously it no-op'd and the
+    batch's merge was silently lost."""
+    import os
+    import shutil
+
+    from parallel_mapreduce_wordcounting_spark.streaming import sinks
+
+    table = sinks.UpsertTable(None, ["k"])
+    try:
+        table.apply_batch(spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]), 0)
+        # simulate the crash window for batch 1: version dir fully written
+        # (with _SUCCESS) but the pointer never flipped
+        table.apply_batch(spark.createDataFrame([(1, 11), (3, 30)], ["k", "v"]), 1)
+        with open(table._pointer(), "w") as fh:
+            fh.write("0")  # roll the pointer back: the flip "never happened"
+        assert os.path.isfile(os.path.join(table.root, "v1", "_SUCCESS"))
+        assert not table.committed(1)  # marker alone must NOT count
+        # redelivery of batch 1 must merge for real, not no-op
+        table.apply_batch(spark.createDataFrame([(1, 11), (3, 30)], ["k", "v"]), 1)
+        assert table.current_version() == 1
+        assert sorted(tuple(r) for r in table.read(spark).collect()) == [
+            (1, 11),
+            (2, 20),
+            (3, 30),
+        ]
+        # and a redelivery of an OLDER batch stays a no-op under the
+        # pointer-based rule (pointer 1 covers batch 0)
+        table.apply_batch(spark.createDataFrame([(1, 999)], ["k", "v"]), 0)
+        assert sorted(tuple(r) for r in table.read(spark).collect()) == [
+            (1, 11),
+            (2, 20),
+            (3, 30),
+        ]
     finally:
         table.cleanup()
