@@ -55,19 +55,27 @@ BENCH_KEYS = [
     "pipeline_split_leakage",
 ]
 
+# Pinned per-query shuffle parallelism (VERDICT r7 item 6): r6→r7 showed
+# ±27% drift on UNTOUCHED operators (sim_topk_blocked, dedup_fuzzy_minhash,
+# stream_tumbling) because shuffle-partition count floated with the launch
+# env ($SPARK_GRAFT_CPUS) and session contention. A fixed count makes the
+# physical plan identical across rounds, so cross-round deltas measure code
+# changes, not the harness. 32 matches the driver's local[32] layout; the
+# default applies to every key unless overridden here.
+BENCH_SHUFFLE_PARTITIONS: dict[str, int] = {}
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-    # local[*] is legal — shuffle partitions then follow the machine's cores
-    n_cpus = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")  # local[*] is legal too
 
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("pmrwc-bench")
-        .config("spark.sql.shuffle.partitions", str(max(n_cpus * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -80,6 +88,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key in BENCH_KEYS:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(BENCH_SHUFFLE_PARTITIONS.get(key, DEFAULT_SHUFFLE_PARTITIONS)),
+        )
         fn = engine.REGISTRY[key].fn
         fn(spark, sf_dir).collect()  # warm-up (JIT, code cache, file listing)
         runs = []
