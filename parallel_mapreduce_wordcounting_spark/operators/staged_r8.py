@@ -904,6 +904,7 @@ def dedup_lsh_cosine_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the standard ANN-eval shape (recall@eval-set): the estimate's
     cost is corpus-size-independent while production dedup runs the raw
     banded operator alone, which stays ~linear."""
+    import hashlib
     import math
     import os
     import tempfile
@@ -912,20 +913,41 @@ def dedup_lsh_cosine_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_embedding
 
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
+    n, id_fp = (
+        e.agg(
+            F.count(F.lit(1)),
+            # id-set fingerprint: order-independent sum of the key hashes,
+            # in decimal(38) — a raw sum(long) of ±2⁶³-scale hashes aborts
+            # under ANSI overflow — one pass shared with the count
+            F.sum(F.xxhash64("vec_id").cast("decimal(38,0)")).cast("string"),
+        ).first()
+        or (0, None)
+    )
     stride = max(1, math.ceil(n / _LSH_CENSUS_EVAL_N))
     if stride > 1:
         # stage the eval slice as a fixture-shaped table so both the LSH
         # operator and the exact-truth GEMM run their normal sf_dir paths
-        # (the scan_binary_files staging precedent): bounded, deterministic
+        # (the scan_binary_files staging precedent): bounded, deterministic.
+        # The dir is keyed by the SOURCE corpus identity (md5 of sf_dir +
+        # the id-set fingerprint) on top of (n, stride) — keying on counts
+        # alone let two different corpora with equal row counts share one
+        # mutable dir, and the lazy DataFrame returned below reads the
+        # staging AFTER this function returns (r8 review finding). Same
+        # key ⇒ same deterministic slice, so an existing complete staging
+        # is REUSED rather than rewritten (no overwrite racing a concurrent
+        # reader of identical content).
+        tag = hashlib.md5(f"{sf_dir}|{id_fp}".encode()).hexdigest()[:12]
         eval_dir = os.path.join(
-            tempfile.gettempdir(), f"pmrwc_lsh_census_{os.getuid()}_{n}_{stride}"
+            tempfile.gettempdir(),
+            f"pmrwc_lsh_census_{os.getuid()}_{tag}_{n}_{stride}",
         )
-        (
-            e.where(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
-            .write.mode("overwrite")
-            .parquet(os.path.join(eval_dir, "embeddings.parquet"))
-        )
+        table_dir = os.path.join(eval_dir, "embeddings.parquet")
+        if not os.path.isfile(os.path.join(table_dir, "_SUCCESS")):
+            (
+                e.where(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
+                .write.mode("overwrite")
+                .parquet(table_dir)
+            )
         sf_dir = eval_dir
 
     lsh = dedup_lsh_cosine(

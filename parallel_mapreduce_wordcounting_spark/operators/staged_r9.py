@@ -996,34 +996,45 @@ def graph_triangle_stats(
     triangle matches exactly once, as three equi-joins Catalyst plans as
     hash joins. Exactness: all-integer until the final 6-dp ratio.
 
-    Scale: the span self-join can hub on mega-duplicated spans (a
-    boilerplate sentence in 10⁶ docs → 10¹² candidate pairs), so spans
-    whose posting list exceeds ``max_postings`` are EXCLUDED from pairing
-    before the self-join (the LSH candidate-cap pattern — a span that
-    common is boilerplate for :func:`..chunking.dedup_lines`'s channel,
-    not pairwise duplicate evidence). The hot-span set is by construction
-    tiny relative to postings (each survivor represents > ``max_postings``
-    posting rows), so the exclusion is a broadcast anti-join — no extra
-    shuffle of the posting table. The oracle applies the identical cap, so
-    the compare stays value-exact even on a corpus with planted hubs
-    (tests/test_round8.py plants one). Fixture posting lists top out at 4
-    members, so the default cap of 128 leaves the registered fixture
-    output (and its r7 hash-green verdict) bitwise unchanged."""
+    Scale: span pairing can hub on mega-duplicated spans (a boilerplate
+    sentence in 10⁶ docs → 10¹² candidate pairs), so spans whose posting
+    list exceeds ``max_postings`` are EXCLUDED from pairing (the LSH
+    candidate-cap pattern — a span that common is boilerplate for
+    :func:`..chunking.dedup_lines`'s channel, not pairwise duplicate
+    evidence). The cap rides the pairing's own shuffle: a window count
+    over partitionBy(h) tags rows spill-safely (a hub span streams
+    through the window sorter's disk spill, never an aggregation buffer),
+    over-cap rows drop at the filter, and the groupBy that collects the
+    now-bounded posting arrays reuses the window's hash(h) partitioning —
+    one exchange total, plan-asserted in tests/test_plans.py. The oracle
+    applies the identical cap, so the compare stays value-exact even on a
+    corpus with planted hubs (tests/test_round8.py plants one). Fixture
+    posting lists top out at 4 members, so the default cap of 128 leaves
+    the registered fixture output (and its r7 hash-green verdict) bitwise
+    unchanged."""
     d = load_table(spark, sf_dir, "documents")
     sh = _span_hashes(d, k)
-    # ONE shuffle on h does both the cap and the pairing: the posting list
-    # per span is bounded by max_postings, so materializing it as an array
-    # and exploding the < -ordered pairs JVM-side is strictly cheaper than
-    # the previous self-join (which shuffled the posting table twice and
-    # needed a separate counting pass for the cap — r8 bench showed the
-    # extra pass costing +20%). Over-cap spans fail the size() guard and
-    # drop out exactly like the oracle's HAVING count(*) > cap CTE; the
-    # size counts posting ROWS (intra-doc repeats included), mirroring the
-    # oracle's count(*).
+    # The cap is applied BEFORE any posting list materializes, in the SAME
+    # single shuffle that does the pairing: a window count over
+    # partitionBy(h) tags every posting row with its span's posting count
+    # (the window operator sorts and SPILLS oversized partitions — a
+    # 10⁶-doc boilerplate span streams through disk, it does not OOM an
+    # aggregation buffer the way a collect_list-first shape would: r8
+    # review finding), over-cap rows drop at the filter, and the groupBy
+    # that follows reuses the window's hash(h) partitioning — no second
+    # exchange, and the span explode is computed once (a separate counting
+    # pass recomputed it: measured +1.0 s at sf0.1). Every surviving list
+    # is ≤ max_postings, so collect_list is bounded and the < -ordered
+    # pairs explode JVM-side. The count counts posting ROWS (intra-doc
+    # repeats included), mirroring the oracle's HAVING count(*) CTE.
     e = (
-        sh.groupBy("h")
+        sh.withColumn(
+            "n_post", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .where(F.col("n_post") <= max_postings)
+        .groupBy("h")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .where((F.size("ds") >= 2) & (F.size("ds") <= max_postings))
+        .where(F.size("ds") >= 2)
         .select(
             F.explode(
                 F.expr(

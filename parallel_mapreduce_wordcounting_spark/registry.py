@@ -101,6 +101,14 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     "scan_events_ns": 5,
     "stream_session": 5,
     "stream_dedup": 5,
+    # r8: rewritten edge generation (posting-list cap + fused groupBy/
+    # explode pairing) and a capped oracle. Fixture output is bitwise
+    # unchanged (golden-pinned) and the full-surface preflight replayed
+    # fn-vs-oracle green at sf0.01 on the new code, but the r7 hash verdict
+    # attests the OLD plan — re-present when window capacity allows (the
+    # r8 window is exactly full with the 50 new registrations, so this
+    # drains in r9+).
+    "graph_triangle_stats": 8,
 }
 # Back-compat aliases (tests and scripts consume these shapes)
 REVERIFY_KEYS = frozenset(REVERIFY_MIN_ROUNDS)

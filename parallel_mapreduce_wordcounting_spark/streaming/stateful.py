@@ -82,7 +82,9 @@ def user_state_stream(stream: DataFrame) -> DataFrame:
     )
 
 
-ANOMALY_STATE_SCHEMA = "n long, sum_c long, sumsq_c long, max_ts_us long"
+ANOMALY_STATE_SCHEMA = (
+    "n long, sum_c long, sumsq_c long, max_ts_us long, max_event_id long"
+)
 ANOMALY_OUTPUT_SCHEMA = (
     "event_id long, user_id long, n_prior long, is_anomaly boolean"
 )
@@ -100,7 +102,9 @@ def user_anomaly_stream(stream):
     expresses (the decision for event i depends on the running stats of
     events 1..i-1 in arrival order, not on any whole-group aggregate).
 
-    State is three exact integers (count, Σcents, Σcents²) per user; each
+    State is five exact integers per user — the running stats (count,
+    Σcents, Σcents²) plus the ordering checkpoint (max event time µs, max
+    event_id at that time); each
     event is flagged iff (c − μ_prior)² > ANOMALY_Z2 · σ²_prior once
     ANOMALY_MIN_PRIOR priors exist, then folded into the state. μ/σ² are
     single double expressions over the integer state written IDENTICALLY
@@ -120,12 +124,15 @@ def user_anomaly_stream(stream):
     state). The replay source satisfies this by chunking on event time. A
     real out-of-order source must add a watermark+sort stage upstream — and
     because silent divergence is worse than a dead query, the state carries
-    each user's max seen event time and a REGRESSION (a batch delivering an
-    event older than already-folded state) raises rather than emitting
-    flags computed from mis-ordered priors (ADVICE r7: the assumption was
-    only stated in an inline comment).
+    each user's max seen (event time µs, event_id) pair and a REGRESSION
+    (a batch delivering an event LEXICOGRAPHICALLY at-or-before
+    already-folded state — the tiebreak matters: an equal-timestamp
+    arrival with a smaller event_id would fold after an event the batch
+    mirror orders it before) raises rather than emitting flags computed
+    from mis-ordered priors (ADVICE r7: the assumption was only stated in
+    an inline comment).
 
-    Scale: state is 4 ints/user in the executor state store (user_id-hash
+    Scale: state is 5 ints/user in the executor state store (user_id-hash
     layout); each micro-batch shuffles only its own rows.
     """
     import numpy as np
@@ -133,7 +140,9 @@ def user_anomaly_stream(stream):
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, s, ss, max_ts_us = state.get if state.exists else (0, 0, 0, -(2**62))
+        n, s, ss, max_ts_us, max_eid = (
+            state.get if state.exists else (0, 0, 0, -(2**62), -(2**62))
+        )
         batch = pd.concat(list(pdfs))
         # intra-batch order is re-established here; ties broken by
         # event_id like the batch window's ordering
@@ -141,15 +150,21 @@ def user_anomaly_stream(stream):
         # normalize to int64 µs regardless of the pandas datetime unit
         # (datetime64[ns] under arrow-less transfer, [us] under pandas 2)
         ts_us = batch["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
-        if n > 0 and len(ts_us) and int(ts_us[0]) < max_ts_us:
+        eids = batch["event_id"].to_numpy()
+        # lexicographic (ts, event_id) — a tie on ts across batches is only
+        # in order if the event_id is also ahead of the checkpoint (the
+        # batch mirror orders by (ts, event_id), so an equal-ts smaller-id
+        # arrival would silently fold after an event it sorts before)
+        if n > 0 and len(ts_us) and (int(ts_us[0]), int(eids[0])) <= (max_ts_us, max_eid):
             raise ValueError(
-                f"user {key[0]}: event at {int(ts_us[0])}µs arrived after "
-                f"state already folded {max_ts_us}µs — cross-batch event-time "
-                "order violated; add a watermark+sort stage upstream "
+                f"user {key[0]}: event (ts={int(ts_us[0])}µs, id={int(eids[0])}) "
+                f"arrived after state already folded (ts={max_ts_us}µs, "
+                f"id={max_eid}) — cross-batch event-time order violated; add "
+                "a watermark+sort stage upstream "
                 "(see user_anomaly_stream ordering contract)"
             )
         if len(ts_us):
-            max_ts_us = max(max_ts_us, int(ts_us[-1]))
+            max_ts_us, max_eid = int(ts_us[-1]), int(eids[-1])
         v = batch["value"].to_numpy()
         cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
         out_flags = []
@@ -166,7 +181,7 @@ def user_anomaly_stream(stream):
             n += 1
             s += int(c)
             ss += int(c) * int(c)
-        state.update((n, s, ss, max_ts_us))
+        state.update((n, s, ss, max_ts_us, max_eid))
         yield pd.DataFrame(
             {
                 "event_id": batch["event_id"].to_numpy(),

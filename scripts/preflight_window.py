@@ -32,12 +32,12 @@ def _canon_sort(df):
     compare below never saw driver order — ADVICE r7 item 2)."""
     df = df[sorted(df.columns)]
     if len(df):
-        try:
-            df = df.sort_values(list(df.columns), kind="mergesort")
-        except TypeError:
-            # mixed None/value columns: fall back to a crash-check only sort
-            # key; the driver may still crash here, so surface it loudly
-            print("    (warn: raw sort_values failed on mixed-type column)")
+        # NO exception handling here: a sort_values crash (unhashable array
+        # cell, mixed-type object column) is precisely the driver
+        # canonicalizer crash this tool exists to predict — swallowing it
+        # would pass a key the driver will red (r8 review finding). The
+        # caller's per-key except records it as FAIL.
+        df = df.sort_values(list(df.columns), kind="mergesort")
     return df
 
 

@@ -31,12 +31,20 @@ def promote(modname: str) -> int:
     lines = src.splitlines(keepends=True)
     out: list[str] = []
     n = 0
-    for i, line in enumerate(lines):
+    for line in lines:
         m = re.match(r"def ([a-z][a-z0-9_]*)\(\s*$|def ([a-z][a-z0-9_]*)\(spark", line)
         if m:
             name = m.group(1) or m.group(2)
             const = f"{name.upper()}_ORACLE"
-            already = out and out[-1].startswith("@register(")
+            # scan UP past any existing decorators: a def carrying another
+            # decorator between @register and itself must not get a second
+            # @register (duplicate-key ValueError at import)
+            j = len(out) - 1
+            while j >= 0 and out[j].lstrip().startswith("@"):
+                j -= 1
+            already = any(
+                o.startswith("@register(") for o in out[j + 1 :]
+            )
             if not already and not name.startswith("_") and re.search(
                 rf"^{const}\b", src, re.M
             ):
@@ -45,11 +53,25 @@ def promote(modname: str) -> int:
                 n += 1
         out.append(line)
     new = "".join(out)
-    if "from ..registry import register" not in new:
-        # insert after the last `from ..`/`from .` import line
+    if n and "from ..registry import register" not in new:
         nl = new.splitlines(keepends=True)
-        idx = max(i for i, l in enumerate(nl) if l.startswith("from ."))
-        nl.insert(idx + 1, "from ..registry import register\n")
+        # insert after the last SINGLE-LINE relative import (a line opening
+        # a parenthesized import list must not swallow the insert); if the
+        # module has none, fall back to just after the module docstring /
+        # __future__ block by inserting before the first def/class
+        candidates = [
+            i
+            for i, l in enumerate(nl)
+            if l.startswith("from .") and "(" not in l
+        ]
+        if candidates:
+            at = candidates[-1] + 1
+        else:
+            at = next(
+                (i for i, l in enumerate(nl) if l.startswith(("def ", "class ", "@"))),
+                len(nl),
+            )
+        nl.insert(at, "from ..registry import register\n")
         new = "".join(nl)
     path.write_text(new)
     return n

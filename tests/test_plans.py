@@ -237,6 +237,31 @@ def test_quantize_int8_zero_shuffle(spark):
     assert "Exchange" not in _plan_simple(spark, "sim_quantize_int8")
 
 
+def test_triangle_edge_derivation_single_exchange(spark):
+    """graph_triangle_stats' capped edge derivation must pay exactly ONE
+    hash exchange: the window count (cap tagging) and the posting-array
+    groupBy share the hash(h) partitioning — a second exchange means the
+    groupBy stopped reusing the window's shuffle (r8 review: the cap must
+    ride the pairing's own shuffle, not add a counting pass)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r9 import (
+        _span_hashes,
+    )
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    sh = _span_hashes(load_table(spark, SF_DIR, "documents"), 7)
+    grouped = (
+        sh.withColumn("n_post", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("n_post") <= 128)
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+    )
+    p = explain_str(grouped, "simple")
+    assert p.count("Exchange") == 1, p
+
+
 def test_dedup_lines_bcast_no_blocktext_shuffle(spark):
     """The broadcast form must not shuffle the block stream on block text:
     exactly two hash exchanges remain (the count aggregate and the per-doc

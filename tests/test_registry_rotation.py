@@ -53,19 +53,30 @@ def test_unverified_keys_lead_the_emission_order():
 
 
 def test_reverify_keys_fit_in_driver_window():
-    # The re-verify tier must never displace a key with NO verdict: both
-    # tiers together have to fit inside the driver's 50-slot window. A
-    # REVERIFY key whose newest verdict is already >= REVERIFY_MIN_ROUND has
-    # expired out of the tier (round-5 verdict item 1: the unfiltered loop
-    # re-asserted window membership for keys the driver had just re-verified)
-    # and makes no window claim here.
+    # The re-verify tier must never displace a key with NO verdict — those
+    # always claim their window slots — while re-verify itself is
+    # OPPORTUNISTIC by design ("re-presented while spare window slots
+    # exist", registry.py): it takes the slots immediately after the
+    # unverified tier, so it is in the window exactly when capacity
+    # allows. An expired REVERIFY key (fresh verdict >= its stamp) makes
+    # no claim at all (round-5 verdict item 1).
     from parallel_mapreduce_wordcounting_spark.registry import _reverify_pending
 
     order = _emission_order()
     front = set(order[:DRIVER_WINDOW])
-    live_reverify = {k for k in REVERIFY_KEYS & set(REGISTRY) if _reverify_pending(k)}
-    for k in (set(REGISTRY) - driver_verified()) | live_reverify:
-        assert k in front, f"{k} fell outside the driver window"
+    unverified = set(REGISTRY) - driver_verified()
+    for k in unverified:
+        assert k in front, f"{k} (no verdict) fell outside the driver window"
+    live_reverify = sorted(
+        k for k in REVERIFY_KEYS & set(REGISTRY) if _reverify_pending(k)
+    )
+    # re-verify keys occupy the positions straight after the unverified
+    # tier; each is in the window iff its rank fits the remaining capacity
+    for i, k in enumerate(live_reverify):
+        expected_pos = len(unverified) + i
+        assert order[expected_pos] == k
+        if expected_pos < DRIVER_WINDOW:
+            assert k in front
 
 
 def test_unverified_keys_fit_in_driver_window():
