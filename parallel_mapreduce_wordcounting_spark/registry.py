@@ -167,10 +167,13 @@ def _load_driver_verdicts(
                 latest[k] = "fail"  # real err, 0-row rows-only, or mismatch
     hash_ok = {k for k, s in latest.items() if s == "hash"}
     rows_only_clean = {k for k, s in latest.items() if s == "rows_only"}
-    if n_files == 0:
+    if n_files == 0 and ".zip" not in str(root):
         # Installed-package case: the verdict files only exist in a repo
         # checkout. Degrading to alphabetical emission is harmless for
         # query RESULTS but silently disables the rotation — say so.
+        # (Executor-side imports of the spark-shipped package ZIP also land
+        # here; those workers never call queries(), so warning from them is
+        # pure noise in every foreign-cwd run — skip the zip case.)
         logging.getLogger(__name__).warning(
             "no CORRECTNESS_r*.json found under %s; driver-verified set is "
             "empty and queries() emission order degrades to alphabetical",
