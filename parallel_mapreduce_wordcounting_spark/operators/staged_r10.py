@@ -294,23 +294,13 @@ def text_ngram_novelty(
     Scale: explode → md5 → two map-side-combining aggregates on the gram
     hash, linear in corpus token count; the doc↔gram join rides the same
     hash shuffle. Exact integers until one division."""
+    from .staged_r9 import _span_hashes
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
-        F.size("t") >= k
-    )
-    sh = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - k),
-                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
-                )
-            ).alias("span"),
-        )
-        .select("doc_id", F.md5("span").alias("h"))
-        .distinct()
-    )
+    # the shared shingle stream (size guard + slice/concat_ws/md5) — one
+    # definition, not a hand-synced inline copy (r8 review finding 9);
+    # .distinct() turns occurrences into the per-doc gram SET
+    sh = _span_hashes(d, k).distinct()
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     return (
         sh.join(dfreq, "h")
@@ -541,8 +531,16 @@ EVENT_SURVIVAL_ORACLE = (
     "  FROM km"
     ") SELECT dur AS duration_hours, CAST(n_risk AS BIGINT) AS n_risk, "
     "CAST(deaths AS BIGINT) AS n_deaths, "
+    # ln argument must be NULL-safe INSIDE the window: DuckDB evaluates
+    # every window expression in the SELECT before the CASE picks a branch,
+    # so a bare ln(factor) raises OutOfRange the moment ANY factor is 0
+    # (max-lifetime group fully uncensored) even though the min-factor CASE
+    # routes those rows to the 0 branch (r8 review finding 3). Spark's
+    # F.log(0) is natively NULL, so nullif keeps both engines' window sums
+    # identical: the zero row contributes nothing, and every row at/after
+    # it takes the CASE 0 branch anyway.
     "round(CASE WHEN min(factor) OVER (ORDER BY dur) = 0 THEN 0.0 "
-    "ELSE exp(sum(ln(factor)) OVER (ORDER BY dur)) END, 6) AS survival "
+    "ELSE exp(sum(ln(nullif(factor, 0))) OVER (ORDER BY dur)) END, 6) AS survival "
     "FROM f"
 )
 
@@ -847,24 +845,30 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_b")
         )
     )
-    point = F.broadcast(
-        base.agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.round(
-                F.sum(F.col("cents").cast(d38)).cast("double") / F.count("*") / 100.0,
-                6,
-            ).alias("mean"),
-        )
+    point = base.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(
+            F.try_divide(F.sum(F.col("cents").cast(d38)).cast("double"), F.count("*"))
+            / 100.0,
+            6,
+        ).alias("mean"),
     )
-    return (
-        means.crossJoin(point)
-        .agg(
-            F.first("n_rows").alias("n_rows"),
-            F.lit(_CI_B).cast("int").alias("n_replicates"),
-            F.first("mean").alias("mean"),
-            F.round(F.percentile("mean_b", F.lit(0.025)), 6).alias("ci_lo"),
-            F.round(F.percentile("mean_b", F.lit(0.975)), 6).alias("ci_hi"),
-        )
+    # Aggregate the replicate means to ONE row first, then attach the
+    # 1-row point estimates: the previous crossJoin(means, point).agg
+    # extracted n_rows with F.first, which over an EMPTY means table (no
+    # purchase rows) yields NULL where the oracle's scalar count subquery
+    # yields 0 (r8 review finding 1) — a global agg on each side emits its
+    # row unconditionally, so the degenerate corpus matches too.
+    ci = means.agg(
+        F.round(F.percentile("mean_b", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("mean_b", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(_CI_B).cast("int").alias("n_replicates"),
+        "mean",
+        "ci_lo",
+        "ci_hi",
     )
 
 
@@ -1182,10 +1186,18 @@ def text_bpe_train(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFram
                 break
             best = top[0]
             a_lit, b_lit, merged = best.a, best.b, best.a + best.b
+
+            def _q(s: str) -> str:
+                # SQL-literal-safe interpolation: corpus symbols can contain
+                # quotes/backslashes (don't, paths), and splicing them raw
+                # into F.expr is a parse error or a wrong compare (r8 review
+                # finding 5)
+                return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
             merge_expr = F.expr(
                 "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]), "
-                f"(acc, x) -> IF(element_at(acc, -1) = '{a_lit}' AND x = '{b_lit}', "
-                f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+                f"(acc, x) -> IF(element_at(acc, -1) = {_q(a_lit)} AND x = {_q(b_lit)}, "
+                f"concat(slice(acc, 1, size(acc) - 1), array({_q(merged)})), "
                 "concat(acc, array(x))))"
             )
             syms = syms.select("word", "freq", merge_expr.alias("syms")).persist()
@@ -2029,6 +2041,11 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MMR_POOL)
         .collect()  # bounded pool — candidate metadata, not the corpus
     )
+    if not cand_rows:
+        # query vector exists but has no candidates (single-vector corpus):
+        # same empty result as the oracle, instead of max() over an empty
+        # remaining set raising ValueError (r8 review finding 4)
+        return spark.createDataFrame([], "rank int, vec_id long, rel double")
     ids = [r.vec_id for r in cand_rows]
     rel = {r.vec_id: r.rel for r in cand_rows}
     X = np.array([r.embedding for r in cand_rows], dtype=np.float64)

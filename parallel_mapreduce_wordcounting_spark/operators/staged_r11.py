@@ -1174,12 +1174,18 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- grid-bucketed geo radius self-join --------------------------------------
 
-_GEO_RADIUS_KM = 200.0
+_GEO_RADIUS_KM = 500.0
 _EARTH_KM = 6371.0088
 # deterministic hash-derived coordinates: lat in [-60, 60), lon in [-180, 180)
 _GEO_H_SQL = "((c_custkey * 2654435761) % 4294967296)"
+# INDEPENDENT second Knuth hash for longitude: lat×lon needs 120000·360000
+# ≈ 4.3e10 cells, more than one 32-bit hash carries — deriving lon from
+# the high bits of the lat hash (the pre-r8 form) covered only
+# [-180°, -144°], a 36° sliver where the antimeridian is unreachable
+# (r8 review finding 2's root cause). 2246822519 is xxhash's PRIME32_2.
+_GEO_H2_SQL = "((c_custkey * 2246822519) % 4294967296)"
 _GEO_LAT_SQL = f"(({_GEO_H_SQL} % 120000) / 1000.0 - 60.0)"
-_GEO_LON_SQL = f"((({_GEO_H_SQL} // 120000) % 360000) / 1000.0 - 180.0)"
+_GEO_LON_SQL = f"(({_GEO_H2_SQL} % 360000) / 1000.0 - 180.0)"
 
 
 def _hav_sql(lat_a: str, lon_a: str, lat_b: str, lon_b: str) -> str:
@@ -1204,10 +1210,13 @@ GEO_RADIUS_JOIN_ORACLE = (
 
 @register("geo_radius_join", oracle=GEO_RADIUS_JOIN_ORACLE, tier="C")
 def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All point pairs within 200 km — the spatial self-join that must NOT
-    go quadratic: points land in a 2°×4° grid (cell spans ≥ the radius in
-    both axes at |lat| ≤ 60, so every qualifying pair is within one cell
-    step), the left side fans out to its 3×3 cell neighborhood, pairs form
+    """All point pairs within 500 km — the spatial self-join that must NOT
+    go quadratic: points land in a 5°×10° grid (cell spans ≥ the radius in
+    both axes at |lat| ≤ 60: 5° lat = 556 km, 10° lon at lat 60 = 557 km —
+    so every qualifying pair is within one cell step; 500 km keeps truth
+    non-vacuous at the full-globe sf0.001 density of 150 points, whose
+    closest pair sits at 455 km), the left side fans out to its 3×3 cell
+    neighborhood, pairs form
     by an EQUI-join on the cell key, and the exact haversine filter keeps
     true neighbors. Each unordered pair is found exactly once (the
     neighborhood covers b's unique home cell; ``a < b`` dedupes).
@@ -1234,16 +1243,29 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "lat",
         "lon",
-        F.floor(F.col("lat") / 2).alias("cy"),
-        F.floor(F.col("lon") / 4).alias("cx"),
+        F.floor(F.col("lat") / 5).alias("cy"),
+        F.floor(F.col("lon") / 10).alias("cx"),
     )
+    # Longitude cells wrap at the ±180 antimeridian: lon ∈ [-180, 180) →
+    # cx ∈ [-18, 17] (36 cells), so the neighborhood steps are taken modulo
+    # 36 — without the wrap, a pair straddling the antimeridian (cx −18 vs
+    # 17, true distance a few km) never forms a candidate while the
+    # oracle's brute-force haversine (periodic in Δlon by construction)
+    # includes it (r8 review finding 2). Latitude needs no wrap: |lat| < 60
+    # by construction, and an out-of-range ny simply matches nothing.
     a = cell.select(
         F.col("c_custkey").alias("cust_a"),
         F.col("lat").alias("lat_a"),
         F.col("lon").alias("lon_a"),
         F.explode(
-            F.array(*[F.struct((F.col("cy") + dy).alias("ny"), (F.col("cx") + dx).alias("nx"))
-                      for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+            F.array(*[
+                F.struct(
+                    (F.col("cy") + dy).alias("ny"),
+                    (F.pmod(F.col("cx") + dx + 18, F.lit(36)) - 18).alias("nx"),
+                )
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ])
         ).alias("nb"),
     ).select("cust_a", "lat_a", "lon_a", F.col("nb.ny").alias("cy"), F.col("nb.nx").alias("cx"))
     b = cell.select(
@@ -1388,9 +1410,14 @@ def event_ab_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("variant") == 1, 1)), F.lit(0)).alias("n_t"),
         F.coalesce(F.sum(F.when(F.col("variant") == 0, 1)), F.lit(0)).alias("n_c"),
     )
+    # the 9 lookups below each BROADCAST lf, and an unpersisted lf would be
+    # re-derived (events scan + spine + window) once per broadcast — ~10x
+    # wasted scan cost at the 100 TB shape (r8 review finding 7); persist
+    # it and materialize the 1-row result eagerly so the cache is released
+    # in the finally (the graph_triangle_stats convention)
     lf = _lf_table(
         spark, c.select((F.col("a_t") + F.col("b_t") + F.col("a_c") + F.col("b_c")).alias("m")), "m"
-    )
+    ).persist()
     terms = c.select(
         "*", F.explode(F.sequence(F.lit(0), F.col("a_t") - 1)).alias("i")
     )
@@ -1419,7 +1446,7 @@ def event_ab_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (l7 + l8 - l9)
     )
     p = terms.agg(F.sum(F.exp(lnterm)).alias("p"))
-    return c.crossJoin(F.broadcast(p)).select(
+    out = c.crossJoin(F.broadcast(p)).select(
         F.col("n_c").cast("long").alias("n_ctrl"),
         (F.col("a_c") - 1).cast("long").alias("conv_ctrl"),
         F.col("n_t").cast("long").alias("n_treat"),
@@ -1432,6 +1459,11 @@ def event_ab_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("post_mean_treat"),
         F.round(F.col("p"), 6).alias("p_treat_beats_ctrl"),
     )
+    try:
+        rows = out.collect()  # 1 row; every lf cache hit happens here
+    finally:
+        lf.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 # --- exact binomial tails + Benjamini–Hochberg -------------------------------
@@ -1451,13 +1483,19 @@ STAT_BINOM_FDR_ORACLE = (
     + "), terms AS ("
     "  SELECT g.event_type, g.n, g.k, "
     # j=0 / j=n boundary terms would evaluate 0·ln(0) (NaN) when the pooled
-    # rate is degenerate — guard each factor so boundaries contribute 0
+    # rate is degenerate — guard each factor so boundaries contribute 0.
+    # The ln ARGUMENTS are additionally nullif-guarded: with kk=0 (or
+    # kk=nn) every j>0 (j<n) row must evaluate ln(0), which DuckDB raises
+    # as OutOfRange where Spark's F.log yields NULL (r8 review finding 6);
+    # ln(nullif(0)) is NULL on both engines, the NULL lnterm drops out of
+    # the NULL-skipping sum, and the surviving boundary term gives the
+    # mathematically exact p=1.
     "  ln0.lf - lj.lf - lnj.lf "
-    "    + CASE WHEN j.j > 0 THEN j.j * ln((SELECT kk FROM pool) "
-    "          / (1.0 * (SELECT nn FROM pool))) ELSE 0.0 END "
+    "    + CASE WHEN j.j > 0 THEN j.j * ln(nullif((SELECT kk FROM pool) "
+    "          / (1.0 * (SELECT nn FROM pool)), 0)) ELSE 0.0 END "
     "    + CASE WHEN g.n > j.j THEN (g.n - j.j) "
-    "          * ln(((SELECT nn FROM pool) - (SELECT kk FROM pool)) "
-    "               / (1.0 * (SELECT nn FROM pool))) ELSE 0.0 END AS lnterm"
+    "          * ln(nullif(((SELECT nn FROM pool) - (SELECT kk FROM pool)) "
+    "               / (1.0 * (SELECT nn FROM pool)), 0)) ELSE 0.0 END AS lnterm"
     "  FROM g, LATERAL (SELECT unnest(generate_series(CAST(g.k AS BIGINT), CAST(g.n AS BIGINT))) AS j) j "
     "  JOIN lf ln0 ON ln0.j = g.n "
     "  JOIN lf lj ON lj.j = j.j "
@@ -1506,7 +1544,10 @@ def stat_binom_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pool = g.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
-    lf = _lf_table(spark, g.agg(F.max("n").alias("m")), "m")
+    # 3 broadcast lookups below — persist lf so the spine is derived once,
+    # released eagerly after the bounded family table materializes (the
+    # event_ab_bayes convention, r8 review finding 7)
+    lf = _lf_table(spark, g.agg(F.max("n").alias("m")), "m").persist()
     lnp = F.log(F.col("kk") / (1.0 * F.col("nn")))
     lnq = F.log((F.col("nn") - F.col("kk")) / (1.0 * F.col("nn")))
     terms = (
@@ -1565,7 +1606,7 @@ def stat_binom_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wk)
         .alias("kmax"),
     )
-    return kx.select(
+    out = kx.select(
         "event_type",
         "n",
         "k",
@@ -1573,6 +1614,11 @@ def stat_binom_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.coalesce(F.col("rank") <= F.col("kmax"), F.lit(False)).alias("rejected"),
     )
+    try:
+        rows = out.collect()  # |event_types| rows; lf cache hits happen here
+    finally:
+        lf.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 # --- dev-compare case table (consumed by tests/test_staged_r11.py) ------------

@@ -36,7 +36,6 @@ exact integers or pre-rounded values only.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -457,6 +456,20 @@ SINK_CSV_ROUNDTRIP_ORACLE = "SELECT doc_id, text, lang, source, n_chars FROM doc
 SINK_JSONL_ROUNDTRIP_ORACLE = SINK_CSV_ROUNDTRIP_ORACLE
 
 
+def _stage_dir(prefix: str, sf_dir: str) -> str:
+    """Deterministic uid-scoped staging dir per (operator, source corpus) —
+    the scan_binary_files convention: repeat invocations overwrite in place
+    instead of leaking a fresh mkdtemp per call (r8 review finding 8)."""
+    import hashlib
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.getuid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+
+
 @register("sink_csv_roundtrip", oracle=SINK_CSV_ROUNDTRIP_ORACLE, tier="C")
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + scan round trip over the FULL documents table (free-text
@@ -473,7 +486,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    out = tempfile.mkdtemp(prefix="pmrwc_csv_") + "/docs"
+    out = _stage_dir("pmrwc_csv", sf_dir) + "/docs"
     d.write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.schema(_DOCS_SCHEMA).option("header", "true").csv(out)
 
@@ -489,7 +502,7 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    out = tempfile.mkdtemp(prefix="pmrwc_jsonl_") + "/docs"
+    out = _stage_dir("pmrwc_jsonl", sf_dir) + "/docs"
     d.write.mode("overwrite").json(out)
     return spark.read.schema(_DOCS_SCHEMA).json(out)
 

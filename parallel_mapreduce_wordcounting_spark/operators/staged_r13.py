@@ -36,7 +36,6 @@ double expressions rounded ≤6 dp, winners picked on exact integers
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -491,7 +490,9 @@ def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     naturally) or use a splittable codec (bzip2, or zstd with seekable
     framing); the READ path here is identical either way."""
     d = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="pmrwc_gz_") + "/docs"
+    from .staged_r12 import _stage_dir
+
+    out = _stage_dir("pmrwc_gz", sf_dir) + "/docs"
     d.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
             "value"

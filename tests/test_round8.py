@@ -82,6 +82,86 @@ def test_triangle_oracle_applies_the_same_cap(spark, duck, tmp_path):
     assert tuple(got) == tuple(oracle)
 
 
+def test_geo_radius_join_finds_antimeridian_pairs(spark, duck, tmp_path):
+    """r8 review finding 2 (+ root cause): the 3×3 cell neighborhood must
+    WRAP longitude cells across ±180, and the coordinate generator must
+    actually cover the globe (the pre-r8 single-hash form packed all
+    longitudes into [-180°, -144°], so the antimeridian was unreachable
+    and the wrap untestable). custkeys 117744/1951008 hash to lons
+    -179.984/+179.968 at lat ≈ -59.45 — 3.24 km apart across the seam;
+    the unwrapped join can never form the candidate."""
+    import parallel_mapreduce_wordcounting_spark as engine
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r11 import (
+        geo_radius_join,
+    )
+
+    keys = [117744, 1951008, 5, 1000, 200000]  # seam pair + far-away noise
+    spark.createDataFrame([(k,) for k in keys], "c_custkey long").write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    got = {
+        (r.cust_a, r.cust_b): r.dist_km
+        for r in geo_radius_join(spark, str(tmp_path)).collect()
+    }
+    assert (117744, 1951008) in got, got
+    assert got[(117744, 1951008)] <= 4.0
+    sql = engine.REGISTRY["geo_radius_join"].oracle.replace(
+        "FROM customer",
+        f"FROM read_parquet('{tmp_path}/customer.parquet/*.parquet')",
+    )
+    want = {(a, b): d for a, b, d in duck.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_bootstrap_ci_empty_slice_matches_oracle(spark, duck, tmp_path):
+    """r8 review finding 1: with zero purchase rows the Spark side used to
+    emit n_rows=NULL (F.first over an empty crossJoin) where the oracle's
+    scalar count subquery emits 0 — both sides must agree on the
+    degenerate row."""
+    import parallel_mapreduce_wordcounting_spark as engine
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r10 import (
+        stat_bootstrap_ci,
+    )
+    from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
+
+    ev = load_table(spark, SF_DIR, "events").where(
+        F.col("event_type") != "purchase"
+    )
+    # round-trip through parquet so fn and oracle read the same bytes;
+    # write ts back as int64 ns like the fixture (unix_micros, not a
+    # timestamp->long cast, which truncates to SECONDS)
+    ev.withColumn("ts", F.unix_micros(F.col("ts")) * 1000).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    (got,) = stat_bootstrap_ci(spark, str(tmp_path)).collect()
+    assert got["n_rows"] == 0 and got["mean"] is None
+    sql = engine.REGISTRY["stat_bootstrap_ci"].oracle.replace(
+        "FROM events",
+        f"FROM read_parquet('{tmp_path}/events.parquet/*.parquet')",
+    )
+    (want,) = duck.execute(sql).fetchall()
+    assert (got["n_rows"], got["mean"], got["ci_lo"], got["ci_hi"]) == (
+        want[0],
+        want[2],
+        want[3],
+        want[4],
+    )
+
+
+def test_mmr_single_vector_corpus_returns_empty(spark, tmp_path):
+    """r8 review finding 4: a corpus holding ONLY the query vector has no
+    candidates; the greedy loop must return the oracle's empty result, not
+    raise ValueError on max() of an empty pool."""
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r10 import (
+        sim_mmr_diversify,
+    )
+
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    assert sim_mmr_diversify(spark, str(tmp_path)).count() == 0
+
+
 def test_staged_module_discovery_sees_every_wave_on_disk():
     """ADVICE r7: the staged_r* module list was hand-duplicated in four
     places; a missed entry silently dropped those operators from the plan
