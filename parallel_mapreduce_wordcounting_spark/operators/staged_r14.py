@@ -208,16 +208,12 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < _RRF_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    dot = F.expr(
-        "aggregate(zip_with(qe, embedding, (a, b) -> cast(a as double) * b), "
-        "0D, (acc, x) -> acc + x)"
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.expr(
-            f"aggregate(zip_with({c}, {c}, (a, b) -> cast(a as double) * b), "
-            "0D, (acc, x) -> acc + x)"
-        )
-    )
+    # the shared JVM-side fold from similarity.py — one definition of the
+    # dot/norm semantics, not a hand-synced F.expr copy (r8 review)
+    from .similarity import dot as _dot
+
+    dot = _dot(F.col("qe"), F.col("embedding"))
+    norm = lambda c: F.sqrt(_dot(F.col(c), F.col(c)))  # noqa: E731
     dense = (
         emb.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -241,12 +237,25 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    idf = toks.groupBy("word").agg(
-        (
-            F.log(F.lit(float(n_docs) + 1.0))
-            - F.log(F.count_distinct("doc_id") + F.lit(1.0))
-        ).alias("idf")
+    # N rides as a broadcast 1-row frame (the text_bm25 shape in this same
+    # file) — an eager .count() here paid a synchronous full-table scan at
+    # plan-CONSTRUCTION time, twice per harness compare (r8 review
+    # finding 8)
+    nd = F.broadcast(
+        load_table(spark, sf_dir, "documents").agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs")
+        )
+    )
+    idf = (
+        toks.groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(nd)
+        .select(
+            "word",
+            (F.log(F.col("n_docs") + 1.0) - F.log(F.col("df") + F.lit(1.0))).alias(
+                "idf"
+            ),
+        )
     )
     w = tf.join(idf, "word").select(
         "doc_id", "word", (F.col("tf") * F.col("idf")).alias("w")
@@ -354,12 +363,26 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, ["lang", "source"], "left")
         .withColumn("obs", F.coalesce(F.col("n"), F.lit(0)))
     )
-    e = F.col("rn") * F.col("cn") / (1.0 * F.col("nn"))
-    chi = grid.agg(
-        F.sum((F.col("obs") - e) * (F.col("obs") - e) / e).alias("chi2"),
-        F.max("nn").alias("nn"),
-        F.count_distinct("lang").alias("r"),
-        F.count_distinct("source").alias("c"),
+    # margin product in decimal(38): the oracle's rn/cn are HUGEINT (DuckDB
+    # widens sum(BIGINT)), so its product is exact before the double divide
+    # — a raw long*long on the Spark side aborts under ANSI overflow at the
+    # corpus sizes the docstring targets (r8 review finding 10); the exact
+    # product converts to double at the division on both engines.
+    e = (F.col("rn").cast("decimal(38,0)") * F.col("cn")).cast("double") / (
+        1.0 * F.col("nn")
+    )
+    # dims count MARGIN ROWS (NULL-inclusive, = the oracle's count(*) FROM
+    # rt/ct): count_distinct("lang") drops a NULL lang row and shifts both
+    # the reported dims and the V denominator (r8 review finding 4)
+    rdim = rt.agg(F.count(F.lit(1)).alias("r"))
+    cdim = ct.agg(F.count(F.lit(1)).alias("c"))
+    chi = (
+        grid.agg(
+            F.sum((F.col("obs") - e) * (F.col("obs") - e) / e).alias("chi2"),
+            F.max("nn").alias("nn"),
+        )
+        .crossJoin(F.broadcast(rdim))
+        .crossJoin(F.broadcast(cdim))
     )
     return chi.select(
         F.col("nn").cast("long").alias("n"),
@@ -459,6 +482,23 @@ EVENT_MARKOV_EVAL_ORACLE = (
 )
 
 
+def markov_transitions(spark: SparkSession, sf_dir: str):
+    """The shared first-order transition matrix: (event_type, next_type, n)
+    counts and per-antecedent totals, transitions ordered by
+    (ts, event_id) within user — ONE definition of what a "transition" is
+    for both event_markov_eval and event_markov_perplexity (staged_r17);
+    the (ts, event_id) tiebreak is the exactness-critical piece a
+    hand-synced copy would let drift (r8 review finding 7)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    tr = s.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    tot = tr.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return tr, tot
+
+
 def event_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation of the majority-transition next-event predictor: for
     each antecedent type, predict the most frequent next type (the
@@ -474,12 +514,7 @@ def event_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user-partitioned window over the event stream (the
     event_sessionize shape), then aggregates over the |types|² transition
     matrix — a constant-size frame."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = e.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    ).filter(F.col("next_type").isNotNull())
-    tr = s.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    tr, tot = markov_transitions(spark, sf_dir)
     rk = Window.partitionBy("event_type").orderBy(
         F.col("n").desc(), "next_type"
     )
@@ -488,7 +523,6 @@ def event_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("event_type", F.col("next_type").alias("predicted"), "n")
     )
-    tot = tr.groupBy("event_type").agg(F.sum("n").alias("total"))
     return pred.join(F.broadcast(tot), "event_type").select(
         "event_type",
         "predicted",

@@ -479,16 +479,12 @@ def sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(qe, embedding, (a, b) -> cast(a as double) * b), "
-        "0D, (acc, x) -> acc + x)"
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.expr(
-            f"aggregate(zip_with({c}, {c}, (a, b) -> cast(a as double) * b), "
-            "0D, (acc, x) -> acc + x)"
-        )
-    )
+    # the shared JVM-side fold from similarity.py — one definition of the
+    # dot/norm semantics, not a hand-synced F.expr copy (r8 review)
+    from .similarity import dot as _dot
+
+    dot = _dot(F.col("qe"), F.col("embedding"))
+    norm = lambda c: F.sqrt(_dot(F.col(c), F.col(c)))  # noqa: E731
     r = (
         emb.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -712,8 +708,17 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero shuffle, whole-stage codegen); the pair join is bucketed by
     fingerprint value — never all-pairs; the exact-gram verify join
     runs over CANDIDATE documents only."""
-    t = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        # docs shorter than the k+w-1 guarantee emit no fingerprints (the
+        # oracle's generate_series(1, 0) is simply empty) and can never
+        # appear in a candidate pair, so drop them BEFORE the transforms:
+        # without the guard, Spark's sequence(1, greatest(n, 0)) bottoms
+        # out at the DESCENDING [1, 0] and slice(_, 0, k) throws
+        # INVALID_PARAMETER_VALUE on any short/empty doc (r8 review; the
+        # curation_ext.py size-guard precedent)
+        .where(F.size("toks") >= _WIN_K + _WIN_W - 1)
     )
     g = t.select(
         "doc_id",

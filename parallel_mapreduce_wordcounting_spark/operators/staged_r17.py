@@ -40,6 +40,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table
+from .staged_r15 import _WIN_K, _WIN_W
+
+#: winnowing guarantee length k + w - 1: any shared token run at least this
+#: long forces a shared fingerprint — the eval's ground-truth gram size is
+#: DERIVED from the staged_r15 knobs so tuning them cannot silently stale
+#: the theorem this eval measures (r8 review finding 6)
+_GUAR = _WIN_K + _WIN_W - 1
 
 # --- numpy .npy header metadata ----------------------------------------------
 
@@ -174,13 +181,9 @@ def event_markov_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one user-partitioned window (the event_sessionize shape),
     then constant-size |types|² arithmetic."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = e.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    ).filter(F.col("next_type").isNotNull())
-    tr = s.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
-    tot = tr.groupBy("event_type").agg(F.sum("n").alias("total"))
+    from .staged_r14 import markov_transitions
+
+    tr, tot = markov_transitions(spark, sf_dir)
     p = F.col("n") / (1.0 * F.col("total"))
     h = (
         tr.join(F.broadcast(tot), "event_type")
@@ -205,13 +208,13 @@ def _winnow_parts():
     return _WIN_K, _WIN_W, dedup_winnow
 
 
-# ground truth: pairs sharing >= k+w-1 = 7 consecutive tokens
+# ground truth: pairs sharing >= k+w-1 consecutive tokens
 _TRUTH7_SQL = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
     "FROM documents), g7 AS ("
     "  SELECT doc_id, unnest(list_transform(generate_series(1, "
-    "    greatest(len(toks) - 6, 0)), "
-    "    i -> array_to_string(list_slice(toks, i, i + 6), ' '))) AS g"
+    f"    greatest(len(toks) - {_GUAR - 1}, 0)), "
+    f"    i -> array_to_string(list_slice(toks, i, i + {_GUAR - 1}), ' '))) AS g"
     "  FROM t"
     "), gd AS (SELECT DISTINCT doc_id, g FROM g7) "
     "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
@@ -255,16 +258,24 @@ def dedup_eval_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape); pred reuses dedup_winnow's bucketed fingerprint join; the TP
     join is pair-keyed. No all-pairs anywhere."""
     _, _, dedup_winnow = _winnow_parts()
-    pred = dedup_winnow(spark, sf_dir).select("doc_a", "doc_b")
-    t = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    # persist both sides: three counting actions follow, and without the
+    # cache the fingerprint pipeline and the truth self-join each run
+    # twice from scratch (r8 review finding 9)
+    pred = dedup_winnow(spark, sf_dir).select("doc_a", "doc_b").persist()
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        # the short-doc guard (see dedup_winnow): sub-guarantee docs have
+        # no 7-token runs and Spark's descending sequence(1, 0) would
+        # throw in the transform below
+        .where(F.size("toks") >= _GUAR)
     )
     g7 = t.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 6, 0)), "
-                "i -> concat_ws(' ', slice(toks, i, 7)))"
+                f"transform(sequence(1, greatest(size(toks) - {_GUAR - 1}, 0)), "
+                f"i -> concat_ws(' ', slice(toks, i, {_GUAR})))"
             )
         ).alias("g"),
     ).distinct()
@@ -275,22 +286,30 @@ def dedup_eval_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    ).persist()
+    try:
+        n_truth = truth.count()
+        n_pred = pred.count()
+        tp = truth.join(pred, ["doc_a", "doc_b"]).count()
+    finally:
+        truth.unpersist()
+        pred.unpersist()
+    # the ratios round in SPARK (HALF_UP on doubles, like the oracle's
+    # DuckDB round) — Python round() is banker's and flips dyadic halves
+    # such as 1/128 (r8 review finding 3)
+    counts = spark.createDataFrame(
+        [(n_truth, n_pred, tp)], "n_truth long, n_pred long, tp long"
     )
-    n_truth = truth.count()
-    n_pred = pred.count()
-    tp = truth.join(pred, ["doc_a", "doc_b"]).count()
-    return spark.createDataFrame(
-        [
-            (
-                n_truth,
-                n_pred,
-                tp,
-                round(tp / n_pred, 6) if n_pred else None,
-                round(tp / n_truth, 6) if n_truth else None,
-            )
-        ],
-        "n_truth long, n_pred long, tp long, precision_r double, "
-        "recall_r double",
+    return counts.select(
+        "n_truth",
+        "n_pred",
+        "tp",
+        F.round(
+            F.col("tp") / F.nullif(F.col("n_pred").cast("double"), F.lit(0.0)), 6
+        ).alias("precision_r"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0)), 6
+        ).alias("recall_r"),
     )
 
 

@@ -193,6 +193,37 @@ def test_staged_module_discovery_sees_every_wave_on_disk():
             assert callable(fn)
 
 
+def test_winnow_survives_short_docs(spark, tmp_path):
+    """r8 review (r14–r17 wave): docs shorter than the k+w−1 winnowing
+    guarantee used to crash the transform (Spark's sequence(1, 0) descends
+    and slice(_, 0, k) throws); they must instead be invisible — exactly
+    the oracle's empty generate_series — while long shared runs still pair
+    with recall 1.0 in the eval."""
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r15 import (
+        dedup_winnow,
+    )
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r17 import (
+        dedup_eval_winnow,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8-token run
+    texts = [
+        "",  # empty doc
+        "one",  # 1 token
+        "two tokens here",  # 3 tokens
+        "four tokens right here now six",  # 6 tokens (< guarantee 7)
+        f"doc five prefix {run}",
+        f"other preamble x {run}",
+    ]
+    _write_docs(spark, tmp_path, texts)
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_winnow(spark, str(tmp_path)).collect()
+    }
+    assert (4, 5) in pairs  # the planted 8-token shared run is found
+    (ev,) = dedup_eval_winnow(spark, str(tmp_path)).collect()
+    assert ev["n_truth"] == 1 and ev["recall_r"] == 1.0
+
+
 def test_lsh_census_attests_execution(spark):
     """The registered dedup_lsh_cosine form must always emit exactly one
     non-vacuous row (VERDICT r7 item 1: the raw pair stream at τ=0.9 gave
