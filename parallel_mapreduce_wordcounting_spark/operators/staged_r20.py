@@ -231,11 +231,14 @@ STAT_KENDALL_ORACLE = (
     "      ELSE 0 END) AS y"
     "  FROM events GROUP BY 1"
     "), p AS ("
+    # sign() products, not raw delta products: Δclicks·Δcents overflows
+    # int64 at large SF (Spark wraps silently, DuckDB errors — a
+    # cross-engine divergence); only the SIGN decides concordance
     "  SELECT "
-    "  CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) "
-    "    AS BIGINT) AS conc, "
-    "  CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) "
-    "    AS BIGINT) AS disc, "
+    "  CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) > 0 "
+    "    THEN 1 ELSE 0 END) AS BIGINT) AS conc, "
+    "  CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0 "
+    "    THEN 1 ELSE 0 END) AS BIGINT) AS disc, "
     "  CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tie_x, "
     "  CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS tie_y, "
     "  CAST(count(*) AS BIGINT) AS n_pairs"
@@ -292,13 +295,17 @@ def stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = g.select(
         F.col("day").alias("day_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
     )
-    dx = F.col("xa") - F.col("xb")
-    dy = F.col("ya") - F.col("yb")
+    # sign() products, not raw delta products: Δclicks·Δcents overflows
+    # int64 at large SF (Spark wraps silently, DuckDB errors); only the
+    # SIGN decides concordance, and ±1/0 double products are IEEE-exact
+    sg = F.signum(F.col("xa") - F.col("xb")) * F.signum(
+        F.col("ya") - F.col("yb")
+    )
     p = (
         a.join(b, F.col("day_a") < F.col("day_b"))
         .agg(
-            F.sum(F.when(dx * dy > 0, 1).otherwise(0)).alias("conc"),
-            F.sum(F.when(dx * dy < 0, 1).otherwise(0)).alias("disc"),
+            F.sum(F.when(sg > 0, 1).otherwise(0)).alias("conc"),
+            F.sum(F.when(sg < 0, 1).otherwise(0)).alias("disc"),
             F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0)).alias(
                 "tie_x"
             ),

@@ -120,10 +120,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_fuzzy_minhash
 
     pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    edges = pairs.select(
-        F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v")
+            )
+        )
+        # materialize + truncate lineage ONCE up front, then once per peel
+        # round (the min_label_propagation pattern, dedup.py): without it
+        # every round's count() re-runs the whole MinHash pipeline plus all
+        # prior rounds — O(rounds²) recompute and an O(rounds)-deep plan
+        .localCheckpoint()
     )
     prev = edges.count()
     for _ in range(64):  # backstop far above any real peel depth
@@ -137,7 +145,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nxt = edges.join(keep, "u", "semi").join(
             keep.select(F.col("u").alias("v")), "v", "semi"
-        )
+        ).localCheckpoint()
         cnt = nxt.count()
         if cnt == prev:
             break

@@ -315,12 +315,11 @@ def graph_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (cc == 0).alias("is_bridge"),
         )
-        rows = res.collect()
-        return res.sparkSession.createDataFrame(
-            rows,
-            "doc_id_a long, doc_id_b long, n_common long, n_union long, "
-            "embeddedness double, is_bridge boolean",
-        )
+        # materialize + truncate lineage EXECUTOR-side before the finally
+        # unpersists p — the result is per-EDGE, so the previous
+        # collect()/createDataFrame round-trip funneled an unbounded frame
+        # through the driver just to decouple it from the persisted input
+        return res.localCheckpoint()
     finally:
         p.unpersist()
 

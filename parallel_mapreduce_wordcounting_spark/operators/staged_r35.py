@@ -359,9 +359,13 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .where(F.col("d") >= k)
                     .select("u")
                 )
+                # materialize + truncate lineage per round (the
+                # min_label_propagation / graph_kcore pattern): without it
+                # every count() re-runs all prior rounds across ALL k values
+                # — O(total-rounds²) recompute and an unboundedly deep plan
                 nxt = cur.join(keep, "u", "semi").join(
                     keep.select(F.col("u").alias("v")), "v", "semi"
-                )
+                ).localCheckpoint()
                 cnt = nxt.count()
                 if cnt == prev_cnt:
                     break
@@ -373,10 +377,11 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = result.groupBy(F.col("u").alias("doc_id")).agg(
             F.max("k").cast("long").alias("coreness")
         )
-        rows = out.collect()
-        return out.sparkSession.createDataFrame(
-            rows, "doc_id long, coreness long"
-        )
+        # executor-side materialization decouples the per-NODE result from
+        # the persisted input before the finally releases it (the previous
+        # collect()/createDataFrame round-trip pulled an unbounded frame
+        # through the driver)
+        return out.localCheckpoint()
     finally:
         p.unpersist()
 
