@@ -28,8 +28,12 @@ def staged_modules() -> list:
 
 def operator_fns(mod) -> dict:
     """The operator-shaped public callables DEFINED in ``mod``: first
-    parameter ``spark`` (the registry's QueryFn shape), skipping helpers
-    like ``hilbert_d`` / ``lpa_labels`` the modules also export."""
+    parameter ``spark`` AND a ``-> DataFrame`` return annotation (the
+    registry's QueryFn shape — every DEV_CASES fn carries it), skipping
+    helpers like ``hilbert_d`` / ``lpa_labels`` / ``markov_transitions``
+    the modules also export (the last matches the (spark, sf_dir)
+    signature but returns a (tr, tot) TUPLE, which crashed the plan
+    audit's explain on a non-DataFrame)."""
     suffix = mod.__name__.rsplit(".", 1)[-1]
     out = {}
     for name in dir(mod):
@@ -40,9 +44,11 @@ def operator_fns(mod) -> dict:
             and getattr(fn, "__module__", "").endswith(suffix)
         ):
             try:
-                params = list(inspect.signature(fn).parameters)
+                sig = inspect.signature(fn)
             except (TypeError, ValueError):
                 continue
-            if params[:1] == ["spark"]:
+            if list(sig.parameters)[:1] == ["spark"] and "DataFrame" in str(
+                sig.return_annotation
+            ):
                 out[name] = fn
     return out

@@ -191,6 +191,18 @@ def test_staged_module_discovery_sees_every_wave_on_disk():
         for name, fn in fns.items():
             assert not name.startswith("_")
             assert callable(fn)
+        # every DEV_CASES op must be discovered (the -> DataFrame filter
+        # must never hide a real operator from the audit)...
+        for key, fn, *_ in getattr(mod, "DEV_CASES", []):
+            assert fn.__name__ in operator_fns(
+                __import__(fn.__module__, fromlist=["_"])
+            ), f"{key} hidden from discovery"
+    # ...while tuple-returning helpers that merely MATCH the (spark,
+    # sf_dir) signature stay out (markov_transitions crashed the plan
+    # audit's explain with 'tuple' has no attribute '_sc')
+    from parallel_mapreduce_wordcounting_spark.operators import staged_r14
+
+    assert "markov_transitions" not in operator_fns(staged_r14)
 
 
 def test_winnow_survives_short_docs(spark, tmp_path):

@@ -255,6 +255,9 @@ def test_binary_files_staging_dir_is_reused(spark):
     staged_r8.scan_binary_files(spark, SF_DIR).count()
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"pmrwc_blobs_{hashlib.md5(SF_DIR.encode()).hexdigest()[:8]}",
+        # mirror the operator's path exactly (it gained the uid component
+        # when staging dirs became per-user; the old uid-less literal here
+        # went stale and raised FileNotFoundError)
+        f"pmrwc_blobs_{os.getuid()}_{hashlib.md5(SF_DIR.encode()).hexdigest()[:8]}",
     )
     assert len(os.listdir(stage)) == 50
