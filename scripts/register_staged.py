@@ -1,20 +1,29 @@
 """One-shot registration tool: promote a staged operator wave into the
-registry by inserting ``@register(...)`` decorators above each top-level
-operator def whose ``NAME_ORACLE`` constant exists in the same module, plus
-the ``from ..registry import register`` import.
+registry by appending a registration block that loops over the module's
+``DEV_CASES`` — the (key, fn, oracle) triples the wave's tests already
+verify — so the registered surface is BY CONSTRUCTION the tested one.
 
-Why a tool instead of 49 hand edits: the r10–r13 promotion touches every
-operator in four files, and a hand-typed decorator with a mismatched
-oracle-constant name would silently register the wrong SQL (the constant
-names are mechanical transforms of the function names, so generate them).
-Idempotent: a def that already has a decorator line above it is skipped.
+Why a block over DEV_CASES instead of inserting ``@register`` decorators
+above each def (the r10–r13 promotion's mechanism): the decorator needed a
+``NAME_ORACLE`` constant whose name is a mechanical transform of the
+function name, and the r14+ waves broke that contract 16 times (e.g.
+``stat_hill_tail`` keeps its SQL in ``STAT_HILL_ORACLE``), so those ops
+would have been SILENTLY skipped at their registration round; rows-only
+ops (oracle=None, no constant at all) were skipped too; and ``text_bleu``
+assigns its constant BELOW the def, so even a matched decorator would
+NameError at import (decorators evaluate at def time; the appended block
+evaluates after every definition). DEV_CASES is the single source of
+truth the tests pin — registration now cannot drift from it.
 
-Usage: python scripts/register_staged.py staged_r10 staged_r11 ...
+Idempotent: a module already carrying the block (or whose keys are in the
+registry) is skipped / no-op at import.
+
+Usage: python scripts/register_staged.py staged_r14 staged_r15 ...
 """
 
 from __future__ import annotations
 
-import re
+import ast
 import sys
 from pathlib import Path
 
@@ -24,56 +33,74 @@ OPS = Path(__file__).resolve().parents[1] / "parallel_mapreduce_wordcounting_spa
 # tier B, relational/statistical/eventing are tier C (display metadata only)
 B_PREFIXES = ("sim_", "dedup_", "text_", "dq_", "pipeline_", "mm_", "scan_", "sample_", "graph_")
 
+MARKER = "# -- wave registration (appended by scripts/register_staged.py) --"
+
+BLOCK = f'''
+
+{MARKER}
+from ..registry import REGISTRY as _REGISTRY
+from ..registry import register as _register
+
+for _key, _fn, _oracle in DEV_CASES:
+    if _key not in _REGISTRY:  # idempotent under re-import / re-promotion
+        _register(
+            _key,
+            oracle=_oracle,
+            tier="B" if _key.startswith({B_PREFIXES!r}) else "C",
+        )(_fn)
+del _REGISTRY, _register
+'''
+
+
+def _dev_cases_count(src: str) -> int:
+    """Number of (key, fn, oracle) triples in the module's DEV_CASES
+    literal — the count of keys the appended block will register."""
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and any(
+                isinstance(t, ast.Name) and t.id == "DEV_CASES" for t in node.targets
+            )
+            and isinstance(node.value, (ast.List, ast.Tuple))
+        ):
+            return len(node.value.elts)
+    return 0
+
+
+def _wire_package_import(modname: str) -> None:
+    """Insert ``modname`` into the package root's ``from .operators import
+    (...)`` block — the second half of promotion (the registration block
+    only runs when the module is imported; the r8 end-to-end probe showed
+    a promoted-but-unwired module registers nothing)."""
+    init = OPS.parent / "__init__.py"
+    src = init.read_text()
+    if f"\n    {modname},\n" in src:
+        return  # already wired
+    anchor = "\n    staged_r13,\n)"
+    closer = "\n)"
+    if anchor in src:
+        src = src.replace(anchor, f"\n    staged_r13,\n    {modname},{closer}", 1)
+    else:
+        # later promotions: insert before the import tuple's closing paren
+        # (the block ends at the first ')' on its own line after staged_r8)
+        idx = src.index("staged_r8,")
+        end = src.index("\n)", idx)
+        src = src[:end] + f"\n    {modname}," + src[end:]
+    init.write_text(src)
+
 
 def promote(modname: str) -> int:
     path = OPS / f"{modname}.py"
     src = path.read_text()
-    lines = src.splitlines(keepends=True)
-    out: list[str] = []
-    n = 0
-    for line in lines:
-        m = re.match(r"def ([a-z][a-z0-9_]*)\(\s*$|def ([a-z][a-z0-9_]*)\(spark", line)
-        if m:
-            name = m.group(1) or m.group(2)
-            const = f"{name.upper()}_ORACLE"
-            # scan UP past any existing decorators: a def carrying another
-            # decorator between @register and itself must not get a second
-            # @register (duplicate-key ValueError at import)
-            j = len(out) - 1
-            while j >= 0 and out[j].lstrip().startswith("@"):
-                j -= 1
-            already = any(
-                o.startswith("@register(") for o in out[j + 1 :]
-            )
-            if not already and not name.startswith("_") and re.search(
-                rf"^{const}\b", src, re.M
-            ):
-                tier = "B" if name.startswith(B_PREFIXES) else "C"
-                out.append(f'@register("{name}", oracle={const}, tier="{tier}")\n')
-                n += 1
-        out.append(line)
-    new = "".join(out)
-    if n and "from ..registry import register" not in new:
-        nl = new.splitlines(keepends=True)
-        # insert after the last SINGLE-LINE relative import (a line opening
-        # a parenthesized import list must not swallow the insert); if the
-        # module has none, fall back to just after the module docstring /
-        # __future__ block by inserting before the first def/class
-        candidates = [
-            i
-            for i, l in enumerate(nl)
-            if l.startswith("from .") and "(" not in l
-        ]
-        if candidates:
-            at = candidates[-1] + 1
-        else:
-            at = next(
-                (i for i, l in enumerate(nl) if l.startswith(("def ", "class ", "@"))),
-                len(nl),
-            )
-        nl.insert(at, "from ..registry import register\n")
-        new = "".join(nl)
-    path.write_text(new)
+    if MARKER in src:
+        _wire_package_import(modname)  # heal a half-done promotion
+        return 0  # already promoted
+    n = _dev_cases_count(src)
+    if n == 0:
+        raise SystemExit(f"{modname}: no DEV_CASES literal found — nothing to promote")
+    path.write_text(src + BLOCK)
+    _wire_package_import(modname)
     return n
 
 
