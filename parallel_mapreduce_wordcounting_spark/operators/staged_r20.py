@@ -765,57 +765,74 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     MICRO-units (identical double tree both engines) so per-degree
     means sum exactly; one double division per output cell, rounded 6.
 
-    Scale: the wedge join fans each node's neighbor list to d² pairs —
-    Σd² bounded by the LSH-verified pair graph (sparse by
-    construction); the closure probe is edge-keyed. This is the
-    standard distributed triangle shape (node-iterator join); for
-    power-law graphs the compact-forward ordering (probe only u<v<w)
-    halves it — noted, not needed at this graph's density."""
-    from .dedup import dedup_ngram_jaccard
+    Scale: pair discovery goes through the LSH funnel — the registered
+    ``dedup_fuzzy_minhash`` (banded MinHash candidates → exact-Jaccard
+    verify), driver-hash-verified EQUAL to the exact inverted-index pair
+    set on this fixture (text_bleu's rationale: the exact postings
+    self-join is Σfreq²-quadratic here — measured 13.9 s vs ~2 s at
+    sf0.1), persisted once (graph_modularity precedent) because the
+    degree, wedge and closure stages each reference it. The wedge join
+    fans each node's neighbor list to d² pairs — Σd² bounded by the
+    LSH-verified pair graph (sparse by construction); the closure probe
+    is edge-keyed. This is the standard distributed triangle shape
+    (node-iterator join); for power-law graphs the compact-forward
+    ordering (probe only u<v<w) halves it — noted, not needed at this
+    graph's density."""
+    from .dedup import dedup_fuzzy_minhash
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
-    )
-    adj = pairs.unionAll(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
-    n1 = adj.select("u", F.col("v").alias("v1"))
-    n2 = adj.select("u", F.col("v").alias("v2"))
-    wedges = n1.join(n2, "u").where(F.col("v1") < F.col("v2"))
-    tri = (
-        wedges.join(
-            pairs.select(
-                F.col("u").alias("v1"), F.col("v").alias("v2")
-            ),
-            ["v1", "v2"],
+    p = dedup_fuzzy_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b").persist()
+    try:
+        p.count()  # materialize so every consumer reads the cache
+        pairs = p.select(
+            F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
         )
-        .groupBy("u")
-        .agg(F.count("*").alias("t"))
-    )
-    cc = (
-        deg.join(tri, "u", "left")
-        .where(F.col("d") >= 2)
-        .select(
-            "d",
-            F.round(
-                1000000
-                * 2.0
-                * F.coalesce(F.col("t"), F.lit(0))
-                / (F.col("d") * (F.col("d") - 1.0)),
-                0,
+        adj = pairs.unionAll(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+        n1 = adj.select("u", F.col("v").alias("v1"))
+        n2 = adj.select("u", F.col("v").alias("v2"))
+        wedges = n1.join(n2, "u").where(F.col("v1") < F.col("v2"))
+        tri = (
+            wedges.join(
+                pairs.select(
+                    F.col("u").alias("v1"), F.col("v").alias("v2")
+                ),
+                ["v1", "v2"],
             )
-            .cast("long")
-            .alias("ccq"),
+            .groupBy("u")
+            .agg(F.count("*").alias("t"))
         )
-    )
-    return cc.groupBy(F.col("d").alias("degree")).agg(
-        F.count("*").alias("n_nodes"),
-        F.round(F.sum("ccq") / (1000000.0 * F.count("*")), 6).alias("mean_cc"),
-        F.sum(F.when(F.col("ccq") == 1000000, 1).otherwise(0)).alias(
-            "n_closed"
-        ),
-    )
+        cc = (
+            deg.join(tri, "u", "left")
+            .where(F.col("d") >= 2)
+            .select(
+                "d",
+                F.round(
+                    1000000
+                    * 2.0
+                    * F.coalesce(F.col("t"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1.0)),
+                    0,
+                )
+                .cast("long")
+                .alias("ccq"),
+            )
+        )
+        out = cc.groupBy(F.col("d").alias("degree")).agg(
+            F.count("*").alias("n_nodes"),
+            F.round(F.sum("ccq") / (1000000.0 * F.count("*")), 6).alias(
+                "mean_cc"
+            ),
+            F.sum(F.when(F.col("ccq") == 1000000, 1).otherwise(0)).alias(
+                "n_closed"
+            ),
+        )
+        # per-degree result materializes executor-side before the finally
+        # releases the persisted pair set (graph_edge_embeddedness pattern)
+        return out.localCheckpoint()
+    finally:
+        p.unpersist()
 
 
 DEV_CASES = [
