@@ -86,16 +86,29 @@ def main() -> int:
                 )
                 assert len(sdf) == len(ddf), f"rows: {len(sdf)} vs {len(ddf)}"
                 cols = sorted(sdf.columns)
-                s_rows = sorted(
+                # positional compare after the pandas sort, exactly like
+                # preflight_window (a Python sorted() over the normalized
+                # tuples crashes comparing None against a value — e.g.
+                # sim_dbscan's NULL cluster_id on noise rows — and the gate
+                # never does that sort)
+                s_rows = [
                     tuple(_norm(v) for v in row)
                     for row in sdf[cols].itertuples(index=False, name=None)
-                )
-                d_rows = sorted(
+                ]
+                d_rows = [
                     tuple(_norm(v) for v in row)
                     for row in ddf[cols].itertuples(index=False, name=None)
-                )
-                assert s_rows == d_rows, "value mismatch after canonicalize"
-                print(f"  {key}: OK ({len(sdf)} rows)")
+                ]
+                if s_rows == d_rows:
+                    print(f"  {key}: OK ({len(sdf)} rows)")
+                    continue
+                from collections import Counter
+
+                if Counter(s_rows) == Counter(d_rows):
+                    raise AssertionError(
+                        "TIE-ORDER RISK (multiset equal, order differs)"
+                    )
+                raise AssertionError("value mismatch after canonicalize")
             except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
                 failures.append(f"{wave}:{key}: {e}")
                 print(f"  {key}: FAIL {str(e)[:160]}")
