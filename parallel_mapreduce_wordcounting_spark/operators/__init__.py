@@ -47,8 +47,21 @@ def operator_fns(mod) -> dict:
                 sig = inspect.signature(fn)
             except (TypeError, ValueError):
                 continue
-            if list(sig.parameters)[:1] == ["spark"] and "DataFrame" in str(
-                sig.return_annotation
-            ):
-                out[name] = fn
+            if list(sig.parameters)[:1] == ["spark"]:
+                if "DataFrame" in str(sig.return_annotation):
+                    out[name] = fn
+                elif sig.return_annotation is inspect.Signature.empty:
+                    # An operator-shaped callable with NO return annotation
+                    # would silently vanish from plan-audit/scale coverage
+                    # (ADVICE r8): be loud so the omission is a warning in
+                    # every audit run, not an invisible coverage hole.
+                    import warnings
+
+                    warnings.warn(
+                        f"{mod.__name__}.{name} takes `spark` first but has "
+                        "no return annotation — add `-> DataFrame` (counted "
+                        "in audits) or a non-DataFrame annotation (helper, "
+                        "excluded deliberately)",
+                        stacklevel=2,
+                    )
     return out

@@ -482,7 +482,7 @@ EVENT_MARKOV_EVAL_ORACLE = (
 )
 
 
-def markov_transitions(spark: SparkSession, sf_dir: str):
+def markov_transitions(spark: SparkSession, sf_dir: str) -> tuple:
     """The shared first-order transition matrix: (event_type, next_type, n)
     counts and per-antecedent totals, transitions ordered by
     (ts, event_id) within user — ONE definition of what a "transition" is

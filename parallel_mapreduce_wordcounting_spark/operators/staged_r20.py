@@ -711,16 +711,22 @@ mm_tar_index.__doc__ = mm_tar_index.__doc__.format(n=_TAR_N)
 
 
 def _edges_oracle() -> str:
-    """Exact near-dup edges (both directions) from the REGISTERED
-    dedup_ngram_jaccard spec (shingle Jaccard >= 0.3)."""
-    from .dedup import SHINGLES_CTE, _ORACLE_PAIR_JACCARD
+    """Exact near-dup edges (both directions) at the SAME threshold the
+    Spark side's pair source verifies at: ``dedup.JACCARD_THRESHOLD``
+    (0.6), shared by ``dedup_fuzzy_minhash``'s exact-Jaccard verify.
+    One constant drives both engines so the operator and its oracle
+    cannot silently diverge on datasets with pairs between thresholds
+    (the round-8 ADVICE finding: the oracle previously hard-coded 0.3
+    while the fn's LSH funnel verified at 0.6 — equal only because this
+    fixture's Jaccard distribution is bimodal)."""
+    from .dedup import JACCARD_THRESHOLD, SHINGLES_CTE, _ORACLE_PAIR_JACCARD
 
     return (
         f"{SHINGLES_CTE}, "
         "pairs AS ("
         "  SELECT a.doc_id AS u, b.doc_id AS v"
         "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
-        f"  WHERE {_ORACLE_PAIR_JACCARD} >= 0.3"
+        f"  WHERE {_ORACLE_PAIR_JACCARD} >= {JACCARD_THRESHOLD}"
         "), adj AS ("
         "  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs"
         ")"
@@ -751,7 +757,9 @@ GRAPH_LOCAL_CLUSTERING_ORACLE = (
 
 def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient census of the exact near-dup graph
-    (dedup_ngram_jaccard edges, J ≥ 0.3): per degree, how many nodes,
+    (dedup_fuzzy_minhash edges, verified J ≥ dedup.JACCARD_THRESHOLD =
+    0.6 — the oracle derives its edge set from the SAME constant): per
+    degree, how many nodes,
     their mean local coefficient cc(v) = 2·tri(v)/(d(d−1)), and how many
     close into full cliques — "are duplicate neighborhoods cliques or
     chains?", which decides whether keep-one-per-CLUSTER collapse

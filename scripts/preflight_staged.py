@@ -38,6 +38,16 @@ def main() -> int:
     from parallel_mapreduce_wordcounting_spark.operators import staged_modules
 
     want = set(sys.argv[1:])
+    known = {
+        m.__name__.rsplit(".", 1)[-1] for m in staged_modules()
+    }
+    unknown = want - known
+    if unknown:
+        # a misspelled wave name previously skipped silently and the run
+        # printed "0/0 clean" — a passing preflight in which nothing ran
+        print(f"preflight_staged: unknown wave name(s): {sorted(unknown)}")
+        print(f"  known waves: {sorted(known)}")
+        return 2
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("pmrwc-preflight-staged")
@@ -118,6 +128,12 @@ def main() -> int:
         for f in failures:
             print(" ", f)
         return 1
+    if n_checked == 0:
+        # nothing matched (e.g. every named wave is already registered):
+        # exiting 0 here would read as a passing preflight in which
+        # nothing ran
+        print("preflight_staged: 0 cases checked — nothing matched the filter")
+        return 2
     print(f"preflight_staged: {n_checked}/{n_checked} clean at {SF}")
     return 0
 

@@ -41,7 +41,11 @@ BLOCK = f'''
 from ..registry import REGISTRY as _REGISTRY
 from ..registry import register as _register
 
-for _key, _fn, _oracle in DEV_CASES:
+for _case in DEV_CASES:
+    # defensive unpack: preflight_staged tolerates len(case) > 3 variance,
+    # so the promoted block must too — a strict 3-tuple unpack would raise
+    # ValueError at package import for any future 4-element entry
+    _key, _fn, _oracle = _case[0], _case[1], (_case[2] if len(_case) > 2 else None)
     if _key not in _REGISTRY:  # idempotent under re-import / re-promotion
         _register(
             _key,
