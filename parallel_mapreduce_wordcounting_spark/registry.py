@@ -102,13 +102,13 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     "stream_session": 5,
     "stream_dedup": 5,
     # r8: rewritten edge generation (posting-list cap + fused groupBy/
-    # explode pairing) and a capped oracle. Fixture output is bitwise
-    # unchanged (golden-pinned) and the full-surface preflight replayed
-    # fn-vs-oracle green at sf0.01 on the new code, but the r7 hash verdict
-    # attests the OLD plan — re-present when window capacity allows (the
-    # r8 window is exactly full with the 50 new registrations, so this
-    # drains in r9+).
-    "graph_triangle_stats": 8,
+    # explode pairing) and a capped oracle; r9: degree-ordered
+    # (compact-forward) triangle-join orientation. Fixture output is
+    # bitwise unchanged both times (golden-pinned; orientation-invariant
+    # census) and the preflight replays fn-vs-oracle green at sf0.01 on
+    # the new code, but the newest hash verdict attests the OLD plan —
+    # re-present while window capacity allows.
+    "graph_triangle_stats": 9,
 }
 # Back-compat aliases (tests and scripts consume these shapes)
 REVERIFY_KEYS = frozenset(REVERIFY_MIN_ROUNDS)
