@@ -26,6 +26,23 @@ from ..registry import register
 from ..sources.loader import load_table
 
 
+# ROUND-10 ORACLE (written + tested in round 9, registration deferred
+# because the r9 verification window is exactly full — COVERAGE.md round-10
+# plan): the stubbed decode is deterministic byte arithmetic, so the whole
+# surface IS DuckDB-expressible — width/height from octet_length and the
+# first payload byte (hex-substr parse), checksum = md5 over the same utf-8
+# bytes. Flip to oracle=MM_BINARY_SURFACE_ORACLE in round 10.
+MM_BINARY_SURFACE_ORACLE = (
+    "SELECT doc_id, 'application/octet-stream' AS mime, "
+    "CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+    "md5(text) AS checksum, "
+    "CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width, "
+    "CAST(CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INT) + 1 "
+    "  AS INT) AS height "
+    "FROM documents WHERE octet_length(encode(text)) >= 100"
+)
+
+
 @register("mm_binary_surface", oracle=None, tier="B")
 def mm_binary_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct through a filter and a mapInPandas
@@ -197,6 +214,28 @@ def mm_embed(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
     )
 
 
+# ROUND-10 ORACLE (same deferral as MM_BINARY_SURFACE_ORACLE): the stub
+# demuxer is fixed 64-byte windows sampled every 4th, so DuckDB can replay
+# it byte-exactly — substr(hex(payload), 128i+1, 128) IS frame i in hex,
+# and the fingerprint is defined over that lowercase-hex form (DuckDB's
+# sha256 only accepts VARCHAR, so hashing the hex string instead of the
+# raw bytes is what makes the digest cross-engine checkable — the
+# dedup_simhash md5-fingerprint precedent).
+MM_FRAME_SAMPLE_ORACLE = (
+    "WITH hx AS ("
+    "  SELECT doc_id, hex(encode(text)) AS h, "
+    "  octet_length(encode(text)) // 64 AS nf FROM documents"
+    "), f AS ("
+    "  SELECT doc_id, h, unnest(generate_series(0, nf - 1)) AS i"
+    "  FROM hx WHERE nf >= 1"
+    ") SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+    "substr(sha256(lower(substr(h, CAST(128 * i + 1 AS BIGINT), 128))), 1, 16)"
+    "  AS frame_sha, "
+    "64 AS n_bytes "
+    "FROM f WHERE i % 4 = 0"
+)
+
+
 @register("mm_frame_sample", oracle=None, tier="B")
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over an opaque video-like payload (rows-only).
@@ -228,7 +267,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         continue
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)
-                    rows["frame_sha"].append(hashlib.sha256(frame).hexdigest()[:16])
+                    # fingerprint over the lowercase-hex form, not the raw
+                    # bytes: an SQL oracle can recompute it (sha256 there is
+                    # VARCHAR-only) and the digest is just as discriminating
+                    rows["frame_sha"].append(
+                        hashlib.sha256(frame.hex().encode("ascii")).hexdigest()[:16]
+                    )
                     rows["n_bytes"].append(len(frame))
             yield pd.DataFrame(rows)
 

@@ -106,6 +106,21 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ROUND-10 ORACLE (written + tested in round 9, registration deferred —
+# the r9 window is exactly full): the demonstration UDTF's OUTPUT is plain
+# relational algebra (10 decile rows per lang, integer-floor budget), so
+# the oracle states the expected result even though DuckDB has no UDTF.
+# Flip to oracle=UDTF_PYTHON_ORACLE in round 10.
+UDTF_PYTHON_ORACLE = (
+    "WITH s AS ("
+    "  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "  FROM documents GROUP BY lang"
+    ") SELECT lang, CAST(d AS INT) AS decile, "
+    "CAST(total_chars // 10 AS BIGINT) AS char_budget "
+    "FROM (SELECT lang, total_chars, unnest(generate_series(0, 9)) AS d FROM s)"
+)
+
+
 @register("udtf_python", oracle=None)
 def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 3.5+): one row in, many rows out — expands each

@@ -96,6 +96,46 @@ def test_degree_orientation_is_a_permutation_of_the_edge_set(spark):
     assert sorted((min(r.da, r.db), max(r.da, r.db)) for r in eo) == sorted(pairs)
 
 
+def _oracle_compare(spark, duck, fn, oracle_sql):
+    from .conftest import compare_frames
+
+    res = duck.execute(oracle_sql)
+    cols = [c[0] for c in res.description]
+    compare_frames(fn(spark, SF_DIR), res.fetchall(), cols)
+
+
+def test_mm_binary_surface_matches_round10_oracle(spark, duck):
+    """The round-10 oracle (registration deferred: the r9 window is full)
+    must already replay the stub decode byte-exactly — width/height from
+    octet_length and the first payload byte, md5 over the same utf-8
+    bytes."""
+    from parallel_mapreduce_wordcounting_spark.operators import multimodal
+
+    _oracle_compare(
+        spark, duck, multimodal.mm_binary_surface,
+        multimodal.MM_BINARY_SURFACE_ORACLE,
+    )
+
+
+def test_mm_frame_sample_matches_round10_oracle(spark, duck):
+    """DuckDB reconstructs each sampled 64-byte frame via
+    unhex(substr(hex(payload))) and sha256 must agree with hashlib's."""
+    from parallel_mapreduce_wordcounting_spark.operators import multimodal
+
+    _oracle_compare(
+        spark, duck, multimodal.mm_frame_sample,
+        multimodal.MM_FRAME_SAMPLE_ORACLE,
+    )
+
+
+def test_udtf_python_matches_round10_oracle(spark, duck):
+    """The UDTF demonstration's OUTPUT is plain relational algebra; the
+    deferred oracle states it (10 decile rows per lang, floor budget)."""
+    from parallel_mapreduce_wordcounting_spark.operators import udfs
+
+    _oracle_compare(spark, duck, udfs.udtf_python, udfs.UDTF_PYTHON_ORACLE)
+
+
 def test_triangle_stats_fixture_output_unchanged_by_orientation(spark, duck):
     """The registered census must stay value-identical to the oracle (which
     still orients by id): nodes/edges/wedges/triangles/clustering are all
