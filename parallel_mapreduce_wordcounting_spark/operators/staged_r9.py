@@ -1293,9 +1293,15 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     number that says whether val/test loss is measuring generalization
     or memorized overlap. This inverts text_contamination's roles: there
     a tiny eval set broadcasts against training docs; here TRAIN is the
-    large side, so the distinct train-gram set joins the held-out gram
-    stream as an ordinary shuffle hash join on gram — broadcast would be
-    a 100 TB hazard, and the oracle states the same left join.
+    large side, so membership is decided by ONE hash exchange of the full
+    gram stream (train+eval together): groupBy(gram) folds the distinct
+    train-gram set and the per-split occurrence counts into the same
+    aggregate, so no gram crosses the wire twice and there is no join on
+    the data-proportional path — broadcast OR a second shuffle of the
+    train grams would both be 100 TB hazards (the original form shuffled
+    train grams twice: distinct, then the eval left join; the oracle
+    still states that equivalent left join declaratively). Per-split doc
+    counts ride a separate explode-free scan that joins at 2 rows.
 
     Exactness: gram counts are exact int64; leakage is one double
     division, 6 dp. Docs shorter than 5 words carry no 5-gram evidence
@@ -1332,18 +1338,49 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    tr = grams.where(F.col("split") == "train").select("gram").distinct()
-    ev = grams.where(F.col("split") != "train")
-    return (
-        ev.join(tr.withColumn("hit", F.lit(1)), "gram", "left")
+    per_gram = grams.groupBy("gram").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("in_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("val_cnt"),
+        F.sum((F.col("split") == "test").cast("long")).alias("test_cnt"),
+    )
+    totals = per_gram.agg(
+        *[
+            agg
+            for s in ("val", "test")
+            for agg in (
+                F.sum(f"{s}_cnt").alias(f"{s}_grams"),
+                F.sum(F.col(f"{s}_cnt") * F.col("in_train")).alias(f"{s}_leaked"),
+            )
+        ]
+    )
+    by_split = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("split"),
+                        F.col(f"{s}_grams").alias("n_grams"),
+                        F.col(f"{s}_leaked").alias("n_leaked"),
+                    )
+                    for s in ("val", "test")
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    n_docs = (
+        toks.where(F.col("split") != "train")
         .groupBy("split")
-        .agg(
-            F.count_distinct("doc_id").cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_leaked"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / (1.0 * F.count("*")), 6
-            ).alias("leakage"),
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    )
+    return (
+        by_split.where(F.col("n_grams") > 0)  # a gram-less split emits no row
+        .join(F.broadcast(n_docs), "split")
+        .select(
+            "split",
+            "n_docs",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_leaked").cast("long").alias("n_leaked"),
+            F.round(F.col("n_leaked") / (1.0 * F.col("n_grams")), 6).alias("leakage"),
         )
     )
 
