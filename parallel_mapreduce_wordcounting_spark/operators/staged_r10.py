@@ -1289,15 +1289,15 @@ def stat_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- duplicate-graph degree statistics ---------------------------------------
 
+from .staged_r9 import SPAN_EDGES_ORACLE_CTES as _SPAN_EDGES_CTES
+
 GRAPH_DEGREE_STATS_ORACLE = (
-    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
-    "sh AS ("
-    "  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h"
-    "  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)"
-    "), e AS ("
-    "  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db"
-    "  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id"
-    "), deg AS ("
+    # edge set = the shared capped derivation (staged_r9._span_edges /
+    # SPAN_EDGES_ORACLE_CTES) — previously an UNCAPPED span self-join,
+    # which was hub-quadratic (a 10⁶-posting boilerplate span → 10¹²
+    # pairs) AND silently described a different graph than
+    # graph_triangle_stats despite the docstring's "same edge set" claim
+    f"WITH {_SPAN_EDGES_CTES}, deg AS ("
     "  SELECT v, CAST(count(*) AS BIGINT) AS d FROM ("
     "    SELECT da AS v FROM e UNION ALL SELECT db AS v FROM e"
     "  ) GROUP BY v"
@@ -1340,20 +1340,17 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics are exact HUGEINT/decimal(38) integer sums (degree products
     over mega-hubs outgrow int64), one double division, 6 dp.
 
-    Scale: same bucketed span self-join as dedup_spans for edges; degrees
-    are one explode + combine; the ends join broadcasts nothing bigger
-    than the degree table keyed by node."""
-    from .staged_r9 import _SPAN_K, _span_hashes
+    Scale: edges come from the SHARED capped single-exchange derivation
+    (staged_r9._span_edges — window-count posting cap, 60-bit long span
+    key), so this op reads literally the same graph graph_triangle_stats
+    censuses and a boilerplate hub span cannot go quadratic (the original
+    uncapped self-join could); degrees are one explode + combine; the
+    ends join broadcasts nothing bigger than the degree table keyed by
+    node."""
+    from .staged_r9 import _span_edges
 
     d = load_table(spark, sf_dir, "documents")
-    sh = _span_hashes(d, _SPAN_K)
-    e = (
-        sh.alias("a")
-        .join(sh.alias("b"), "h")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    ).persist()
+    e = _span_edges(d).persist()
     try:
         deg = (
             e.select(F.col("da").alias("v"))

@@ -943,19 +943,84 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLE_MAX_POSTINGS = 128  # per-span posting-list cap (see docstring)
 
-GRAPH_TRIANGLE_STATS_ORACLE = (
-    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+# Shared SQL prefix for every oracle that reads the capped duplicate-graph
+# edge set (graph_triangle_stats here, graph_degree_stats in staged_r10):
+# ONE definition, interpolated into each oracle string, so the Spark helper
+# :func:`_span_edges` and all its oracles can never drift apart on the span
+# width, the posting cap, or the hash key (the graph_local_clustering
+# threshold-drift lesson, ADVICE r8 medium). The span key is the top 60
+# bits of md5 as a BIGINT — the dedup_simhash fingerprint precedent — so
+# the pairing shuffle carries 8-byte longs instead of 32-char strings;
+# both engines truncate identically, so even a collision (≈ n²/2⁶¹) leaves
+# the compare value-exact.
+SPAN_EDGES_ORACLE_CTES = (
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
     "sh AS ("
-    "  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h"
-    "  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)"
+    "  SELECT doc_id, CAST(('0x' || substr(md5(array_to_string(t[i:i+{km1}], ' ')), 1, 15)) AS BIGINT) AS h"
+    "  FROM toks, unnest(generate_series(1, greatest(len(t) - {km1}, 0))) AS g(i)"
     "), hot AS ("
-    f"  SELECT h FROM sh GROUP BY h HAVING count(*) > {_TRIANGLE_MAX_POSTINGS}"
+    "  SELECT h FROM sh GROUP BY h HAVING count(*) > {cap}"
     "), shc AS ("
     "  SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)"
     "), e AS ("
     "  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db"
     "  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id"
-    "), deg AS ("
+    ")"
+).format(km1=_SPAN_K - 1, cap=_TRIANGLE_MAX_POSTINGS)
+
+
+def _span_edges(
+    d: DataFrame, k: int = _SPAN_K, max_postings: int = _TRIANGLE_MAX_POSTINGS
+) -> DataFrame:
+    """The capped duplicate-graph edge set: distinct (da, db), da < db,
+    for every document pair sharing a ``k``-token span whose posting list
+    is ≤ ``max_postings`` — the ONE edge derivation every graph operator
+    over the duplicate graph shares (mirrored verbatim by
+    :data:`SPAN_EDGES_ORACLE_CTES`).
+
+    The cap is applied BEFORE any posting list materializes, in the SAME
+    single shuffle that does the pairing: a window count over
+    partitionBy(h) tags every posting row with its span's posting count
+    (the window operator sorts and SPILLS oversized partitions — a
+    10⁶-doc boilerplate span streams through disk, it does not OOM an
+    aggregation buffer the way a collect_list-first shape would: r8
+    review finding), over-cap rows drop at the filter, and the groupBy
+    that follows reuses the window's hash(h) partitioning — no second
+    exchange (plan-asserted in tests/test_plans.py), and the span explode
+    is computed once (a separate counting pass recomputed it: measured
+    +1.0 s at sf0.1). Every surviving list is ≤ max_postings, so
+    collect_list is bounded and the < -ordered pairs explode JVM-side.
+    The count counts posting ROWS (intra-doc repeats included), mirroring
+    the oracle's HAVING count(*) CTE.
+
+    The pairing key is the top 60 bits of the span md5 as a long (see
+    :data:`SPAN_EDGES_ORACLE_CTES`): the shuffle and the window sort run
+    over 8-byte integers instead of 32-char strings — at sf0.1 that is
+    ~11% end-to-end, but at 100 TB it is ~3× less pairing-shuffle I/O."""
+    sh = _span_hashes(d, k).select(
+        "doc_id", F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("h")
+    )
+    return (
+        sh.withColumn("n_post", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("n_post") <= max_postings)
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ds, x -> transform(ds, y -> "
+                    "struct(x AS da, y AS db)))), p -> p.da < p.db)"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
+        .distinct()
+    )
+
+
+GRAPH_TRIANGLE_STATS_ORACLE = (
+    f"WITH {SPAN_EDGES_ORACLE_CTES}, deg AS ("
     "  SELECT v, count(*) AS d FROM ("
     "    SELECT da AS v FROM e UNION ALL SELECT db AS v FROM e"
     "  ) GROUP BY v"
@@ -1033,51 +1098,16 @@ def graph_triangle_stats(
     list exceeds ``max_postings`` are EXCLUDED from pairing (the LSH
     candidate-cap pattern — a span that common is boilerplate for
     :func:`..chunking.dedup_lines`'s channel, not pairwise duplicate
-    evidence). The cap rides the pairing's own shuffle: a window count
-    over partitionBy(h) tags rows spill-safely (a hub span streams
-    through the window sorter's disk spill, never an aggregation buffer),
-    over-cap rows drop at the filter, and the groupBy that collects the
-    now-bounded posting arrays reuses the window's hash(h) partitioning —
-    one exchange total, plan-asserted in tests/test_plans.py. The oracle
-    applies the identical cap, so the compare stays value-exact even on a
-    corpus with planted hubs (tests/test_round8.py plants one). Fixture
-    posting lists top out at 4 members, so the default cap of 128 leaves
-    the registered fixture output (and its r7 hash-green verdict) bitwise
-    unchanged."""
+    evidence). The capped, single-exchange edge derivation is the shared
+    :func:`_span_edges` (docstring there); the oracle applies the
+    identical cap via the shared :data:`SPAN_EDGES_ORACLE_CTES`, so the
+    compare stays value-exact even on a corpus with planted hubs
+    (tests/test_round8.py plants one). Fixture posting lists top out at 4
+    members, so the default cap of 128 leaves the registered fixture
+    output (and its hash-green verdict) bitwise unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _span_hashes(d, k)
-    # The cap is applied BEFORE any posting list materializes, in the SAME
-    # single shuffle that does the pairing: a window count over
-    # partitionBy(h) tags every posting row with its span's posting count
-    # (the window operator sorts and SPILLS oversized partitions — a
-    # 10⁶-doc boilerplate span streams through disk, it does not OOM an
-    # aggregation buffer the way a collect_list-first shape would: r8
-    # review finding), over-cap rows drop at the filter, and the groupBy
-    # that follows reuses the window's hash(h) partitioning — no second
-    # exchange, and the span explode is computed once (a separate counting
-    # pass recomputed it: measured +1.0 s at sf0.1). Every surviving list
-    # is ≤ max_postings, so collect_list is bounded and the < -ordered
-    # pairs explode JVM-side. The count counts posting ROWS (intra-doc
-    # repeats included), mirroring the oracle's HAVING count(*) CTE.
-    e = (
-        sh.withColumn(
-            "n_post", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        )
-        .where(F.col("n_post") <= max_postings)
-        .groupBy("h")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .where(F.size("ds") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(ds, x -> transform(ds, y -> "
-                    "struct(x AS da, y AS db)))), p -> p.da < p.db)"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
-        .distinct()
-    ).persist()  # referenced 6x below (degrees, edge count, 3-way triangle
+    e = _span_edges(d, k, max_postings).persist()
+    # referenced 6x below (degrees, edge count, 3-way triangle
     # join): without the cache Spark re-runs the shingle explode + self-join
     # per reference (the dedup.py:189 convention for self-joined
     # intermediates). The result is a 1-row census, so it is materialized
