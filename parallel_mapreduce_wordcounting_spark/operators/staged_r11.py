@@ -744,12 +744,22 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     — common-neighbor similarity where rare shared neighbors count more
     (Adamic & Adar 2003, public formula). Top-k strongest pairs.
 
-    The pair generation is the DEGREE-BOUNDED self-join: only parts with
-    2 ≤ degree ≤ 64 fan out (a part supplied by d suppliers contributes
-    d(d−1)/2 pairs — capping d caps the quadratic term, the standard
-    super-connector guard in link prediction; dropped hubs carry the least
-    AA weight by construction, 1/ln d → 0). Work is Σ_p min(d_p, cap)² —
-    linear-ish on power-law graphs at any corpus size.
+    The pair generation is DEGREE-BOUNDED BY CONSTRUCTION (the
+    staged_r9._span_edges pattern): a window count over
+    partitionBy(l_partkey) tags each (part, supplier) row with the part's
+    supplier degree IN the pairing's own shuffle (spill-safe — a
+    super-connector streams through the window sorter's disk spill, never
+    an aggregation buffer), rows outside 2 ≤ d ≤ 64 drop at the filter
+    BEFORE any pair exists, and the groupBy that collects the now-bounded
+    supplier lists reuses the window's hash(l_partkey) partitioning — one
+    exchange, then the ≤ d(d−1)/2 ordered pairs explode JVM-side. The
+    previous form wrote self-join-then-cap-join, and Catalyst executed it
+    in exactly that order (plan-read r9): a part with 10⁶ suppliers would
+    have fanned out 10¹² rows before the cap's inner join dropped them.
+    Capping d caps the quadratic term (the standard super-connector guard
+    in link prediction; dropped hubs carry the least AA weight by
+    construction, 1/ln d → 0); work is Σ_p min(d_p, cap)² — linear-ish on
+    power-law graphs at any corpus size.
 
     Exactness: degrees and common-part counts are exact ints; each pair's
     score sums the same 1/ln(d) doubles on both engines (≤ cap terms,
@@ -762,24 +772,29 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
-    deg = (
-        ps.groupBy("l_partkey")
-        .agg(F.count("*").alias("d"))
-        .filter((F.col("d") >= 2) & (F.col("d") <= _AA_DEG_CAP))
-        .select(F.col("l_partkey").alias("pk"), "d")
-    )
-    a = ps.alias("a")
-    b = ps.alias("b")
+    # ps is distinct, so the window row count IS the part's supplier
+    # degree; the post-collect size("ss") equals it for surviving parts,
+    # so the 1/ln(d) weight needs no carried column (adding d to the
+    # groupBy key would force a second exchange)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        ps.withColumn(
+            "d", F.count(F.lit(1)).over(Window.partitionBy("l_partkey"))
         )
-        .join(deg, F.col("a.l_partkey") == F.col("pk"))
+        .where((F.col("d") >= 2) & (F.col("d") <= _AA_DEG_CAP))
+        .groupBy("l_partkey")
+        .agg(F.collect_list("l_suppkey").alias("ss"))
+        .select(
+            F.size("ss").alias("d"),
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ss, x -> transform(ss, y -> "
+                    "struct(x AS sa, y AS sb)))), p -> p.sa < p.sb)"
+                )
+            ).alias("p"),
+        )
         .groupBy(
-            F.col("a.l_suppkey").alias("supp_a"),
-            F.col("b.l_suppkey").alias("supp_b"),
+            F.col("p.sa").alias("supp_a"),
+            F.col("p.sb").alias("supp_b"),
         )
         .agg(
             F.count("*").alias("common_parts"),
