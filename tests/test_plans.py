@@ -262,6 +262,18 @@ def test_triangle_edge_derivation_single_exchange(spark):
     assert p.count("Exchange") == 1, p
 
 
+def test_adamic_adar_no_join_nodes(spark):
+    """graph_adamic_adar's pair generation must contain NO join operator:
+    the degree cap binds as a window filter BEFORE any pair exists and
+    the ordered pairs explode JVM-side from bounded supplier lists (r9
+    finding: the previous self-join-then-cap-join shape fanned out a
+    super-connector's d² pairs before the cap's inner join dropped them).
+    A Join node reappearing means the cap stopped binding pre-fan-out."""
+    p = _plan_simple(spark, "graph_adamic_adar")
+    assert "Join" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
 def test_dedup_lines_bcast_no_blocktext_shuffle(spark):
     """The broadcast form must not shuffle the block stream on block text:
     exactly two hash exchanges remain (the count aggregate and the per-doc
