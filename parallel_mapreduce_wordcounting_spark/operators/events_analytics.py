@@ -40,8 +40,13 @@ from .exact import floor_day_us_sql, money_cents, money_cents_sql
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → view → purchase: users counted at
     stage k only if the stage-k event strictly follows their stage-(k-1)
-    event. Three min-aggregates chained by per-user joins — all three
-    shuffle on user_id, so AQE coalesces them onto one exchange layout."""
+    event. Three min-aggregates chained by per-user joins. Every exchange
+    in the plan is hash(user_id) (plan-read r9: five of them — each stage's
+    pre-FILTERED event stream crosses the wire once, plus the chained
+    join/agg reuses), so per-stage traffic is the filtered subset, never
+    the full event log; a single-shuffle window-chain form would move ALL
+    events through one exchange instead — more bytes, fewer barriers —
+    and only wins when the three stage types dominate the log."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", ts_us("ts").alias("ts_us")
     )

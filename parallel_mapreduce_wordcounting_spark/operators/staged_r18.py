@@ -576,7 +576,7 @@ STAT_GUMBEL_ORACLE = (
     "  sqrt(6.0 * (CAST(n * s2 - s1 * s1 AS DOUBLE) "
     "      / CAST(n * (n - 1) AS DOUBLE))) / pi() / 100.0 AS beta_d"
     "  FROM s WHERE n >= 2"
-    ") SELECT t.horizon_days, f.n_blocks, "
+    ") SELECT CAST(t.horizon_days AS BIGINT) AS horizon_days, f.n_blocks, "
     "round(f.mean_d, 6) AS block_mean, "
     "round(f.beta_d, 6) AS gumbel_beta, "
     f"round(f.mean_d - {_EULER_GAMMA} * f.beta_d, 6) AS gumbel_mu, "

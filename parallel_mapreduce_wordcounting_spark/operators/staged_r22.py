@@ -208,10 +208,14 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     center set equals the oracle's ``least()`` chain exactly (min of
     rounded values is associative).
 
-    Scale: each of the k rounds is one linear scan (corpus ×
-    |new center| = 1 dot each) + a TakeOrdered argmax; the collected
-    state is k rows — constant in corpus size. The final result is the
-    k-row selection itself."""
+    Scale: each of the k rounds is one linear scan recomputing the min
+    distance against ALL centers picked so far (round r costs r dots per
+    corpus row — Σ = k(k−1)/2 ≈ 28 dots/row total at k=8; an incremental
+    form carrying the prior per-row min would cost k dots/row but needs
+    a corpus-sized persisted intermediate per round — at a fixed small k
+    the stateless rescan is the better trade) + a TakeOrdered argmax;
+    the collected state is k rows — constant in corpus size. The final
+    result is the k-row selection itself."""
     from .similarity import dot
 
     e = load_table(spark, sf_dir, "embeddings")
