@@ -1037,7 +1037,7 @@ GRAPH_TRIANGLE_STATS_ORACLE = (
 )
 
 
-def orient_by_degree(pairs: DataFrame) -> DataFrame:
+def orient_by_degree(pairs: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Re-orient an undirected edge set (``da``/``db``, any orientation)
     so every edge points from its LOWER-(degree, id) endpoint to its
     higher one — the compact-forward orientation (Chiba & Nishizeki 1985;
@@ -1047,13 +1047,19 @@ def orient_by_degree(pairs: DataFrame) -> DataFrame:
     skewed duplicate graph (one boilerplate hub in 10⁵ docs) the hub's
     edges all point INTO it and generate zero wedge rows. Two equi-joins
     against the degree table; the (deg, id) pair is a total order, so the
-    orientation — and every count derived from it — is deterministic."""
-    deg = (
-        pairs.select(F.col("da").alias("v"))
-        .unionAll(pairs.select(F.col("db").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
+    orientation — and every count derived from it — is deterministic.
+
+    ``deg`` (columns ``v``, ``d`` = undirected degree over ``pairs``) may
+    be passed in by callers that already aggregate it — triangle census
+    needs degrees anyway for the wedge count, and reusing the frame saves
+    one aggregation pass over the (persisted) edge set."""
+    if deg is None:
+        deg = (
+            pairs.select(F.col("da").alias("v"))
+            .unionAll(pairs.select(F.col("db").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
     j = pairs.join(
         deg.select(F.col("v").alias("da"), F.col("d").alias("d_a")), "da"
     ).join(deg.select(F.col("v").alias("db"), F.col("d").alias("d_b")), "db")
@@ -1140,7 +1146,9 @@ def graph_triangle_stats(
     # edges and wedges are orientation-invariant, so the oracle and the
     # fixture hash are bitwise unchanged (pinned in tests/test_round9.py,
     # with a planted hub-wedge graph measuring the join-input reduction).
-    eo = orient_by_degree(e).persist()  # 3 refs in the triangle join
+    eo = orient_by_degree(e, deg).persist()  # 3 refs in the triangle join;
+    # deg passed through so the orientation reuses this function's own
+    # degree aggregate instead of re-aggregating the edge set
     tri = (
         eo.alias("e1")
         .join(eo.alias("e2"), F.col("e1.db") == F.col("e2.da"))
