@@ -68,6 +68,15 @@ from .operators import (  # noqa: F401,E402
     staged_r19,
     staged_r20,
     staged_r21,
+    staged_r22,
+    staged_r23,
+    staged_r24,
+    staged_r25,
+    staged_r26,
+    staged_r27,
+    staged_r28,
+    staged_r29,
+    staged_r30,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

@@ -31,7 +31,7 @@ from ..sources.loader import load_table
 # plan): the stubbed decode is deterministic byte arithmetic, so the whole
 # surface IS DuckDB-expressible — width/height from octet_length and the
 # first payload byte (hex-substr parse), checksum = md5 over the same utf-8
-# bytes. Flip to oracle=MM_BINARY_SURFACE_ORACLE in round 10.
+# bytes. FLIPPED to oracle=MM_BINARY_SURFACE_ORACLE in round 10.
 MM_BINARY_SURFACE_ORACLE = (
     "SELECT doc_id, 'application/octet-stream' AS mime, "
     "CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
@@ -43,10 +43,12 @@ MM_BINARY_SURFACE_ORACLE = (
 )
 
 
-@register("mm_binary_surface", oracle=None, tier="B")
+@register("mm_binary_surface", oracle=MM_BINARY_SURFACE_ORACLE, tier="B")
 def mm_binary_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct through a filter and a mapInPandas
-    feature-extract stage (rows-only: binary plumbing isn't SQL-oracled).
+    feature-extract stage. Fully hash-oracled since round 10: the stub
+    decode is deterministic byte arithmetic, so DuckDB replays the whole
+    surface (MM_BINARY_SURFACE_ORACLE above).
 
     Helpers are nested so cloudpickle ships them BY VALUE: a module-level
     helper would pickle by reference and require the engine package on every
@@ -124,6 +126,12 @@ def mm_embed_vectors(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFra
     )
 
 
+# Largest payload (bytes) for which mm_embed's integer-histogram
+# reconstruction from L2-normalized float32 vectors is provably exact:
+# absolute error per bucket ≈ count · 1.2e-7 must stay < 0.5, and a
+# bucket count is bounded by the payload size.
+_MM_EMBED_EXACT_MAX_BYTES = 4_000_000
+
 MM_EMBED_ORACLE = (
     # the exact byte-value histogram (mod 64) of each document's utf-8
     # payload, recomputed from first principles: hex the blob once, parse
@@ -174,7 +182,31 @@ def mm_embed(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
     emb = mm_embed_vectors(spark, sf_dir, dim)
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"),
-        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_src"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_src_raw"),
+    ).select(
+        "vec_id",
+        # The round(x_i·‖c‖) reconstruction below is provably exact only
+        # while every bucket count stays under ~4e6 (float32 relative
+        # error ~1.2e-7 must keep the absolute error below 0.5; a count
+        # can be at most the payload size, so bounding n_src bounds every
+        # bucket). Beyond that a single flipped count would surface as a
+        # spurious oracle-hash FAILURE — fail loudly here instead so an
+        # oversized document is a clear error, not a silent mis-verdict
+        # (r9 ADVICE item 1).
+        F.when(
+            F.assert_true(
+                F.col("n_src_raw") <= _MM_EMBED_EXACT_MAX_BYTES,
+                F.format_string(
+                    "mm_embed: %s-byte payload exceeds the float32-exact "
+                    "histogram reconstruction bound (%s bytes); use "
+                    "mm_embed_vectors and an exact integer bincount path "
+                    "for payloads this large",
+                    F.col("n_src_raw").cast("string"),
+                    F.lit(str(_MM_EMBED_EXACT_MAX_BYTES)),
+                ),
+            ).isNull(),
+            F.col("n_src_raw"),
+        ).alias("n_src"),
     )
     j = emb.join(docs, "vec_id")
     sum_x = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double"))
@@ -236,9 +268,12 @@ MM_FRAME_SAMPLE_ORACLE = (
 )
 
 
-@register("mm_frame_sample", oracle=None, tier="B")
+@register("mm_frame_sample", oracle=MM_FRAME_SAMPLE_ORACLE, tier="B")
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over an opaque video-like payload (rows-only).
+    """Frame sampling over an opaque video-like payload. Fully
+    hash-oracled since round 10: the stub demuxer is fixed 64-byte
+    windows sampled every 4th, which DuckDB replays byte-exactly over
+    the hex form (MM_FRAME_SAMPLE_ORACLE above).
 
     Real part: the one-row-in / many-rows-out mapInPandas plumbing a video
     pipeline needs — each payload expands to its sampled frames with typed

@@ -681,6 +681,7 @@ DEV_CASES = [
 
 
 # -- wave registration (appended by scripts/register_staged.py) --
+from ..registry import B_PREFIXES as _B_PREFIXES
 from ..registry import REGISTRY as _REGISTRY
 from ..registry import register as _register
 
@@ -693,6 +694,6 @@ for _case in DEV_CASES:
         _register(
             _key,
             oracle=_oracle,
-            tier="B" if _key.startswith(('sim_', 'dedup_', 'text_', 'dq_', 'pipeline_', 'mm_', 'scan_', 'sample_', 'graph_')) else "C",
+            tier="B" if _key.startswith(_B_PREFIXES) else "C",
         )(_fn)
-del _REGISTRY, _register
+del _B_PREFIXES, _REGISTRY, _register

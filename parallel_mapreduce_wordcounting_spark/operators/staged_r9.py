@@ -953,7 +953,7 @@ _TRIANGLE_MAX_POSTINGS = 128  # per-span posting-list cap (see docstring)
 # the pairing shuffle carries 8-byte longs instead of 32-char strings;
 # both engines truncate identically, so even a collision (≈ n²/2⁶¹) leaves
 # the compare value-exact.
-SPAN_EDGES_ORACLE_CTES = (
+_SPAN_EDGES_ORACLE_TEMPLATE = (
     "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
     "sh AS ("
     "  SELECT doc_id, CAST(('0x' || substr(md5(array_to_string(t[i:i+{km1}], ' ')), 1, 15)) AS BIGINT) AS h"
@@ -966,7 +966,22 @@ SPAN_EDGES_ORACLE_CTES = (
     "  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db"
     "  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id"
     ")"
-).format(km1=_SPAN_K - 1, cap=_TRIANGLE_MAX_POSTINGS)
+)
+
+
+def span_edges_oracle_ctes(
+    k: int = _SPAN_K, max_postings: int = _TRIANGLE_MAX_POSTINGS
+) -> str:
+    """The oracle CTE prefix matching :func:`_span_edges` AT THE SAME
+    ``(k, max_postings)`` — a function, not only a constant, so a caller
+    running the Spark side with non-default parameters can build an
+    oracle that computes the SAME graph (r9 ADVICE item 2: the fixed
+    constant silently mismatched any non-default call — the exact drift
+    class the shared CTE was introduced to kill)."""
+    return _SPAN_EDGES_ORACLE_TEMPLATE.format(km1=k - 1, cap=max_postings)
+
+
+SPAN_EDGES_ORACLE_CTES = span_edges_oracle_ctes()
 
 
 def _span_edges(
@@ -1052,7 +1067,12 @@ def orient_by_degree(pairs: DataFrame, deg: DataFrame | None = None) -> DataFram
     ``deg`` (columns ``v``, ``d`` = undirected degree over ``pairs``) may
     be passed in by callers that already aggregate it — triangle census
     needs degrees anyway for the wedge count, and reusing the frame saves
-    one aggregation pass over the (persisted) edge set."""
+    one aggregation pass over the (persisted) edge set. ``deg`` MUST
+    cover every endpoint of ``pairs`` (i.e. be computed over the same or
+    a superset edge set); the joins below are LEFT joins guarded by an
+    ``assert_true``, so a deg frame that misses an endpoint fails the job
+    loudly instead of silently dropping edges and undercounting triangles
+    (r9 ADVICE item 3)."""
     if deg is None:
         deg = (
             pairs.select(F.col("da").alias("v"))
@@ -1061,13 +1081,24 @@ def orient_by_degree(pairs: DataFrame, deg: DataFrame | None = None) -> DataFram
             .agg(F.count("*").alias("d"))
         )
     j = pairs.join(
-        deg.select(F.col("v").alias("da"), F.col("d").alias("d_a")), "da"
-    ).join(deg.select(F.col("v").alias("db"), F.col("d").alias("d_b")), "db")
+        deg.select(F.col("v").alias("da"), F.col("d").alias("d_a")), "da", "left"
+    ).join(deg.select(F.col("v").alias("db"), F.col("d").alias("d_b")), "db", "left")
+    covered = F.assert_true(
+        F.col("d_a").isNotNull() & F.col("d_b").isNotNull(),
+        F.lit(
+            "orient_by_degree: deg does not cover every endpoint of pairs "
+            "(was it computed over a different edge set?)"
+        ),
+    )
     a_first = F.struct(F.col("d_a"), F.col("da")) < F.struct(
         F.col("d_b"), F.col("db")
     )
     return j.select(
-        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("da"),
+        # `covered` is null whenever the assertion passes, so isNull() is
+        # a no-op gate that anchors the assert into the evaluated plan
+        F.when(covered.isNull() & a_first, F.col("da"))
+        .otherwise(F.col("db"))
+        .alias("da"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("db"),
     )
 

@@ -110,7 +110,7 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the r9 window is exactly full): the demonstration UDTF's OUTPUT is plain
 # relational algebra (10 decile rows per lang, integer-floor budget), so
 # the oracle states the expected result even though DuckDB has no UDTF.
-# Flip to oracle=UDTF_PYTHON_ORACLE in round 10.
+# FLIPPED to oracle=UDTF_PYTHON_ORACLE in round 10.
 UDTF_PYTHON_ORACLE = (
     "WITH s AS ("
     "  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars "
@@ -121,7 +121,7 @@ UDTF_PYTHON_ORACLE = (
 )
 
 
-@register("udtf_python", oracle=None)
+@register("udtf_python", oracle=UDTF_PYTHON_ORACLE)
 def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 3.5+): one row in, many rows out — expands each
     (lang, source) group row into per-decile synthetic budget rows.

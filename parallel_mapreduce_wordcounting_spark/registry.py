@@ -24,6 +24,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, "QuerySpec"] = {}
 
+# Tier convention for wave-promoted keys (display metadata only): LLM-
+# pipeline-ish prefixes are tier B, relational/statistical/eventing are
+# tier C. SINGLE source of truth — the registration blocks appended by
+# scripts/register_staged.py import this rather than inlining the tuple,
+# so a future prefix addition reclassifies every promoted wave at once
+# (r9 ADVICE: 8 modules carried verbatim copies that a template edit
+# would have left stale).
+B_PREFIXES = (
+    "sim_",
+    "dedup_",
+    "text_",
+    "dq_",
+    "pipeline_",
+    "mm_",
+    "scan_",
+    "sample_",
+    "graph_",
+)
+
 
 @dataclass
 class QuerySpec:

@@ -29,15 +29,12 @@ from pathlib import Path
 
 OPS = Path(__file__).resolve().parents[1] / "parallel_mapreduce_wordcounting_spark" / "operators"
 
-# tier convention from the registered surface: LLM-pipeline-ish prefixes are
-# tier B, relational/statistical/eventing are tier C (display metadata only)
-B_PREFIXES = ("sim_", "dedup_", "text_", "dq_", "pipeline_", "mm_", "scan_", "sample_", "graph_")
-
 MARKER = "# -- wave registration (appended by scripts/register_staged.py) --"
 
 BLOCK = f'''
 
 {MARKER}
+from ..registry import B_PREFIXES as _B_PREFIXES
 from ..registry import REGISTRY as _REGISTRY
 from ..registry import register as _register
 
@@ -50,9 +47,9 @@ for _case in DEV_CASES:
         _register(
             _key,
             oracle=_oracle,
-            tier="B" if _key.startswith({B_PREFIXES!r}) else "C",
+            tier="B" if _key.startswith(_B_PREFIXES) else "C",
         )(_fn)
-del _REGISTRY, _register
+del _B_PREFIXES, _REGISTRY, _register
 '''
 
 
