@@ -25,7 +25,7 @@ counterparts at scale.
 from __future__ import annotations
 
 import pandas as pd  # module-level: the pandas_udf type hints resolve here
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import REGISTRY, register
@@ -443,41 +443,112 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tier="B",
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram Jaccard pairs (threshold 0.3) via a sparse inverted-index
-    join — not all-pairs: explode to (doc, shingle), self-join on the shingle,
-    count shared shingles per candidate pair, then J = c / (|a| + |b| - c).
-    Pairs sharing zero shingles (J = 0 < threshold) never materialize, so the
-    cost is Σ_shingle freq² — near-linear on real corpora — while remaining
-    exactly equal to the brute-force oracle. The standard exact set-similarity
-    join shape (PPJoin's inverted-index core, minus the prefix filter)."""
-    sh = shingle_sets(spark, sf_dir)
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (threshold 0.3) via a PREFIX-FILTERED
+    inverted-index join — the full AllPairs/PPJoin construction (Bayardo,
+    Ma & Srikant, WWW'07; Xiao et al., WWW'08), not just its
+    inverted-index core:
+
+    1. global token order = (document frequency ASC, shingle) — rarest
+       first, deterministic;
+    2. each document indexes only its first ``|a| − ⌈τ·|a|⌉ + 1``
+       shingles in that order (its *prefix*). The first shared shingle of
+       any pair with J ≥ τ provably sits in BOTH prefixes: were it past
+       a's prefix, all shared shingles would fit in a's ⌈τ|a|⌉−1 suffix,
+       yet J ≥ τ forces |b| ≥ τ|a| and so an overlap ≥ τ/(1+τ)·(|a|+|b|)
+       ≥ τ|a| — contradiction. Prefix⋈prefix therefore yields a candidate
+       SUPERSET — the filter is lossless;
+    3. a size filter (τ·na ≤ nb, applied under da < db symmetry) prunes
+       candidates no Jaccard value could pass;
+    4. candidates are verified with the EXACT Jaccard over the full
+       shingle arrays (array_intersect, JVM-side) and thresholded.
+
+    Output is bitwise identical to the brute-force oracle — the filter
+    changes COST, never the result set. The scale win over the unfiltered
+    join (the r9 verdict's one flagged scale-killer here): a boilerplate
+    shingle shared by 10⁶ diverse docs is the most FREQUENT token, sorts
+    last in every document's order, falls outside every prefix, and
+    generates ZERO candidate pairs — where the unfiltered join fanned out
+    ~10¹² — while pair output on genuinely near-identical corpora is
+    exactly the (irreducibly quadratic) true result set."""
+    return ngram_jaccard_pairs_of(shingle_sets(spark, sf_dir), threshold)
+
+
+def ngram_prefix_postings(sh: DataFrame, tau: float) -> DataFrame:
+    """The AllPairs prefix index of a shingle-set frame (``doc_id``,
+    ``shingles``): postings (doc_id, shingle, n_sh) restricted to each
+    document's first ``|a| − ⌈τ·|a|⌉ + 1`` shingles under the global
+    (df ASC, shingle) order. Factored out of :func:`dedup_ngram_jaccard`
+    so the hub-pruning property is directly testable on planted corpora
+    (tests/test_round10.py)."""
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     posts = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )  # shingle sets are distinct already
-    a = posts.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = posts.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    shared = (
-        a.join(b, ["shingle"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("c"))
+    df_sh = posts.groupBy("shingle").agg(F.count("*").alias("df_sh"))
+    return (
+        posts.join(df_sh, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df_sh", "shingle")
+            ),
+        )
+        # prefix length |a| − ⌈τ·|a|⌉ + 1; the 1e-9 backs the product off
+        # fp overshoot (a τ·n that lands just above its true integer value
+        # would ceil one too high and truncate the prefix LOSSILY;
+        # undershoot only lengthens it)
+        .where(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(tau * F.col("n_sh") - 1e-9) + 1
+        )
+        .select("doc_id", "shingle", "n_sh")
+    )
+
+
+def ngram_jaccard_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
+    """Exact Jaccard pairs ≥ ``tau`` over a shingle-set frame — the
+    prefix-filtered engine behind :func:`dedup_ngram_jaccard` (docstring
+    there), reusable over any (doc_id, shingles) input."""
+    ranked = ngram_prefix_postings(sh, tau)
+    cand = (
+        ranked.select(
+            F.col("doc_id").alias("doc_id_a"), "shingle", F.col("n_sh").alias("na")
+        )
+        .join(
+            ranked.select(
+                F.col("doc_id").alias("doc_id_b"), "shingle", F.col("n_sh").alias("nb")
+            ),
+            "shingle",
+        )
+        .where(
+            (F.col("doc_id_a") < F.col("doc_id_b"))
+            # size filter: J ≥ τ needs τ·max(na,nb) ≤ min(na,nb); the
+            # 1e-9 back-off keeps fp overshoot from pruning a boundary pair
+            & (tau * F.greatest("na", "nb") - 1e-9 <= F.least("na", "nb"))
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
     )
     return (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sa")),
             "doc_id_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sb")),
             "doc_id_b",
         )
+        .withColumn("c", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard_raw",
-            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
+            F.col("c").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("c")),
         )
-        .where(F.col("jaccard_raw") >= 0.3)
+        .where(F.col("jaccard_raw") >= tau)
         .select("doc_id_a", "doc_id_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
 

@@ -128,6 +128,14 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # the new code, but the newest hash verdict attests the OLD plan —
     # re-present while window capacity allows.
     "graph_triangle_stats": 9,
+    # r10: both gained the lossless AllPairs/PPJoin prefix filter (the r9
+    # verdict's two flagged scale-killers — uncapped inverted-index
+    # self-joins). Output is bitwise unchanged (filter prunes candidates,
+    # the exact verify recomputes the same values; parity re-tested at
+    # sf0.001/0.01 and pinned in tests/test_round10.py), but the newest
+    # hash verdicts attest the unfiltered plan.
+    "dedup_ngram_jaccard": 10,
+    "sim_sparse_cosine": 10,
 }
 # Back-compat aliases (tests and scripts consume these shapes)
 REVERIFY_KEYS = frozenset(REVERIFY_MIN_ROUNDS)
