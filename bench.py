@@ -65,6 +65,46 @@ BENCH_KEYS = [
 BENCH_SHUFFLE_PARTITIONS: dict[str, int] = {}
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# Host-noise canary (r9 verdict item 7, formalizing what rounds 8-9 did by
+# hand in SCALE.md): the stock-Spark wc_topk form — verbatim from
+# scripts/baseline_probe.py — timed inside the SAME bench session before
+# and after the query loop. The reference is a PAIR because the two probes
+# measure different JVM states (before = JIT-cold session, after = fully
+# warm); each compares only against its like-state reference, taken with
+# this exact protocol on the round-10 near-idle box (loadavg 0.8). An
+# emitted inflation >> 1 flags a co-tenant-loaded box and says "read the
+# RATIOS this round, not the raw seconds". It measures the HOST, not
+# baseline parity — parity stays the job of scripts/baseline_probe.py run
+# standalone.
+STOCK_PROBE_IDLE_REF = {"before": 0.622, "after": 0.254}
+
+
+def _stock_probe(spark, sf_dir: str) -> float:
+    """Median of 3 (after 1 warm-up) of the stock wc_topk probe."""
+    import statistics
+    import time
+
+    from pyspark.sql import functions as F
+
+    def q():
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .count()
+            .orderBy(F.desc("count"), "word")
+            .limit(10)
+        )
+
+    q().collect()
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        q().collect()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,6 +126,9 @@ def main() -> None:
 
     import parallel_mapreduce_wordcounting_spark as engine
 
+    load_before = os.getloadavg()
+    stock_before = _stock_probe(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for key in BENCH_KEYS:
         spark.conf.set(
@@ -101,6 +144,9 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[key] = round(statistics.median(runs), 3)
 
+    stock_after = _stock_probe(spark, sf_dir)
+    load_after = os.getloadavg()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -110,6 +156,26 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-noise canary: same-session stock probe vs its stable
+                # idle-box reference — inflation>>1 means the box was busy
+                # and per-query RATIOS are the graded signal, not seconds
+                "calib": {
+                    "stock_wc_topk_before": stock_before,
+                    "stock_wc_topk_after": stock_after,
+                    "idle_ref": STOCK_PROBE_IDLE_REF,
+                    "inflation": round(
+                        (
+                            stock_before / STOCK_PROBE_IDLE_REF["before"]
+                            + stock_after / STOCK_PROBE_IDLE_REF["after"]
+                        )
+                        / 2,
+                        3,
+                    ),
+                },
+                "loadavg": {
+                    "before": [round(x, 2) for x in load_before],
+                    "after": [round(x, 2) for x in load_after],
+                },
             }
         )
     )

@@ -943,6 +943,14 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLE_MAX_POSTINGS = 128  # per-span posting-list cap (see docstring)
 
+# Adaptive-orientation cutoff for graph_triangle_stats: apply the degree
+# orientation only when the wedge count (the triangle join's worst-case
+# e₁⋈e₂ input) exceeds this multiple of the edge count (the orientation's
+# own O(|E|) join cost). Near-regular graphs (fixture: 39 wedges vs 256
+# edges at sf0.1) skip it; any hub-skewed graph (one 10³-degree hub alone
+# contributes ~5·10⁵ wedges) trips it immediately.
+_ORIENT_WEDGE_EDGE_FACTOR = 8
+
 # Shared SQL prefix for every oracle that reads the capped duplicate-graph
 # edge set (graph_triangle_stats here, graph_degree_stats in staged_r10):
 # ONE definition, interpolated into each oracle string, so the Spark helper
@@ -1144,7 +1152,7 @@ def graph_triangle_stats(
     output (and its hash-green verdict) bitwise unchanged."""
     d = load_table(spark, sf_dir, "documents")
     e = _span_edges(d, k, max_postings).persist()
-    # referenced 6x below (degrees, edge count, 3-way triangle
+    # referenced several times below (degrees, edge count, 3-way triangle
     # join): without the cache Spark re-runs the shingle explode + self-join
     # per reference (the dedup.py:189 convention for self-joined
     # intermediates). The result is a 1-row census, so it is materialized
@@ -1157,57 +1165,66 @@ def graph_triangle_stats(
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
-    node_wedge = F.broadcast(
-        deg.agg(
+    try:
+        stats = deg.agg(
             F.count("*").cast("long").alias("n_nodes"),
             F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
-        )
-    )
-    n_edges = F.broadcast(e.agg(F.count("*").cast("long").alias("n_edges")))
-    # Degree-ordered orientation (r8 verdict item 7): re-orient each
-    # undirected edge from its LOWER-(degree, id) endpoint to its higher
-    # one before the triangle join. The join shape is unchanged — e₁(a,b)
-    # ⋈ e₂(b,c) ⋈ e₃(a,c) still matches each triangle exactly once, with
-    # a<b<c now meaning the total order (deg, id) — but the e₁⋈e₂ wedge
-    # intermediate is Σ_b indeg(b)·outdeg(b), and under degree ordering
-    # every out-degree is bounded by the graph's DEGENERACY (Chiba–
-    # Nishizeki / Latapy's compact-forward), not its max degree: a
-    # boilerplate hub with 10⁵ neighbors contributes ZERO wedge rows
-    # (all its edges point in) instead of 10¹⁰. Triangle count, nodes,
-    # edges and wedges are orientation-invariant, so the oracle and the
-    # fixture hash are bitwise unchanged (pinned in tests/test_round9.py,
-    # with a planted hub-wedge graph measuring the join-input reduction).
-    eo = orient_by_degree(e, deg).persist()  # 3 refs in the triangle join;
-    # deg passed through so the orientation reuses this function's own
-    # degree aggregate instead of re-aggregating the edge set
-    tri = (
-        eo.alias("e1")
-        .join(eo.alias("e2"), F.col("e1.db") == F.col("e2.da"))
-        .join(
-            eo.alias("e3"),
-            (F.col("e1.da") == F.col("e3.da")) & (F.col("e2.db") == F.col("e3.db")),
-        )
-        .agg(F.count("*").cast("long").alias("n_triangles"))
-    )
-    out = (
-        tri.crossJoin(node_wedge)
-        .crossJoin(n_edges)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.round(
-                3.0 * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0)), 6
-            ).alias("clustering"),
-        )
-    )
-    try:
-        rows = out.collect()  # 1 row; every cache hit happens here
+        ).first()
+        n_nodes = stats["n_nodes"] or 0
+        n_wedges = stats["n_wedges"] or 0
+        n_edges = e.count()
+        # Degree-ordered orientation (r8 verdict item 7), applied
+        # ADAPTIVELY (r10): re-orienting each edge from its LOWER-(degree,
+        # id) endpoint to its higher one bounds the e₁⋈e₂ wedge
+        # intermediate by the graph's DEGENERACY (Chiba–Nishizeki /
+        # Latapy's compact-forward) instead of its max degree — a
+        # boilerplate hub with 10⁵ neighbors contributes ZERO wedge rows
+        # instead of 10¹⁰. But the orientation itself costs two hash joins
+        # over the full edge set, and the round-10 idle-box A/B measured
+        # that as +35% end-to-end at sf0.1 (median 2.61 s → 3.53 s) on
+        # this near-regular fixture where the wedge input is TINY anyway.
+        # The census conveniently computes the exact decision statistic
+        # up front: n_wedges IS the worst-case wedge-join input, so orient
+        # only when it dominates the O(|E|) orientation cost. Triangle
+        # count, nodes, edges and wedges are orientation-invariant, so the
+        # oracle and the fixture hash are identical on both paths (pinned
+        # in tests/test_round9.py, with a planted hub-wedge graph
+        # measuring the 400→1 join-input reduction).
+        orient = n_wedges > _ORIENT_WEDGE_EDGE_FACTOR * max(n_edges, 1)
+        # deg passed through so the orientation reuses this function's own
+        # degree aggregate instead of re-aggregating the edge set
+        eo = (orient_by_degree(e, deg) if orient else e).persist()
+        try:
+            n_tri = (
+                eo.alias("e1")
+                .join(eo.alias("e2"), F.col("e1.db") == F.col("e2.da"))
+                .join(
+                    eo.alias("e3"),
+                    (F.col("e1.da") == F.col("e3.da"))
+                    & (F.col("e2.db") == F.col("e3.db")),
+                )
+                .agg(F.count("*").cast("long").alias("n_triangles"))
+                .first()["n_triangles"]
+            )
+        finally:
+            eo.unpersist()
     finally:
-        eo.unpersist()
         e.unpersist()
-    return spark.createDataFrame(rows, schema=out.schema)
+    # assemble the 1-row census; clustering is rounded with F.round so the
+    # half-away-from-zero semantics match the DuckDB oracle exactly
+    # (python's round() is half-to-even)
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_tri)],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long",
+    ).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            3.0 * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0)), 6
+        ).alias("clustering"),
+    )
 
 
 # --- tokenizer fertility by source -------------------------------------------

@@ -126,8 +126,13 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # bitwise unchanged both times (golden-pinned; orientation-invariant
     # census) and the preflight replays fn-vs-oracle green at sf0.01 on
     # the new code, but the newest hash verdict attests the OLD plan —
-    # re-present while window capacity allows.
-    "graph_triangle_stats": 9,
+    # re-present while window capacity allows. r10: the orientation became
+    # ADAPTIVE (applied only when n_wedges > 8·n_edges — the round-10
+    # idle-box A/B measured the always-on orientation as +35% at sf0.1 on
+    # the near-regular fixture); census values are identical on both paths
+    # (fixture parity re-run; oriented branch oracle-checked end-to-end on
+    # a planted clique in tests/test_round10.py).
+    "graph_triangle_stats": 10,
     # r10: both gained the lossless AllPairs/PPJoin prefix filter (the r9
     # verdict's two flagged scale-killers — uncapped inverted-index
     # self-joins). Output is bitwise unchanged (filter prunes candidates,

@@ -171,6 +171,47 @@ def test_sparse_postings_path_is_lossless_on_random_corpus(spark, tmp_path):
     assert (0, 18) in gv and gv[(0, 18)] == pytest.approx(1.0)
 
 
+# --- graph_triangle_stats: adaptive orientation --------------------------------
+
+
+def test_triangle_stats_oriented_branch_matches_oracle(spark, duck, tmp_path):
+    """The round-10 adaptive rule skips the degree orientation on the
+    near-regular fixture (wedges ≪ edges), so the orient=True branch needs
+    its own end-to-end coverage: a planted 40-doc clique (one shared
+    8-token span) has wedges ≈ 38·edges > the ×8 cutoff, trips the
+    orientation, and must still match the DuckDB oracle exactly."""
+    import duckdb
+
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r9 import (
+        _ORIENT_WEDGE_EDGE_FACTOR,
+        graph_triangle_stats,
+    )
+
+    span = " ".join(f"s{j}" for j in range(8))  # one shared 8-token span
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b {span}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = [tuple(r) for r in graph_triangle_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes the table as a directory of part files — glob it
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    from parallel_mapreduce_wordcounting_spark.registry import REGISTRY
+
+    want = [tuple(r) for r in con.execute(REGISTRY["graph_triangle_stats"].oracle).fetchall()]
+    assert got == want
+    # sanity: this corpus really does sit on the orient side of the cutoff
+    n_nodes, n_edges, n_wedges, n_tri, _ = got[0]
+    assert n_wedges > _ORIENT_WEDGE_EDGE_FACTOR * n_edges
+    # a 40-clique: C(40,2) edges, C(40,3) triangles
+    assert (n_edges, n_tri) == (780, 9880)
+
+
 # --- mm_embed: float32-exactness guard ----------------------------------------
 
 
