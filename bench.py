@@ -129,13 +129,23 @@ def main() -> None:
     load_before = os.getloadavg()
     stock_before = _stock_probe(spark, sf_dir)
 
+    # sim_topk_blocked's REGISTERED form became a certification census in
+    # round 10 (it additionally runs the exact top-20 as its recall truth);
+    # the bench keeps timing the IVF PAIR KERNEL itself so the number stays
+    # comparable with BASELINE.md and with every prior round
+    from parallel_mapreduce_wordcounting_spark.operators.similarity import (
+        sim_topk_blocked_pairs,
+    )
+
+    fn_overrides = {"sim_topk_blocked": sim_topk_blocked_pairs}
+
     timings: dict[str, float] = {}
     for key in BENCH_KEYS:
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(BENCH_SHUFFLE_PARTITIONS.get(key, DEFAULT_SHUFFLE_PARTITIONS)),
         )
-        fn = engine.REGISTRY[key].fn
+        fn = fn_overrides.get(key, engine.REGISTRY[key].fn)
         fn(spark, sf_dir).collect()  # warm-up (JIT, code cache, file listing)
         runs = []
         for _ in range(5):

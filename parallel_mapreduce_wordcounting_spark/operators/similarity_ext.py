@@ -349,8 +349,7 @@ def _fit_pq_codebooks(sample, m: int, ksub: int, iters: int = 10):
     return np.stack(books)  # (m, ksub, dsub)
 
 
-@register("sim_pq", oracle=None, tier="B")
-def sim_pq(
+def sim_pq_search(
     spark: SparkSession,
     sf_dir: str,
     m: int = 8,
@@ -360,8 +359,9 @@ def sim_pq(
     sample_cap: int = 4096,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance shortlist + exact
-    re-rank — the memory-bound 100 TB serving path (rows-only: the
-    shortlist is approximate, no exact SQL oracle). 64-dim float32 vectors
+    re-rank — the memory-bound 100 TB serving path (LIBRARY form; the
+    registered ``sim_pq`` wraps it in the hash-certifiable census below —
+    the dedup_lsh_cosine_census pattern). 64-dim float32 vectors
     compress to ``m``=8 byte codes (8 B vs 256 B, 32×): each of the 8
     8-dim subspaces gets its own ``ksub``=32-centroid codebook
     (:func:`_fit_pq_codebooks` — driver-side fit over the smallest-md5
@@ -458,4 +458,81 @@ def sim_pq(
         )
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(k)
+    )
+
+
+#: recall@10 floor for the registered census — the tests/test_round7.py
+#: contract (measured 10/10 at the driver's sf0.01, 9/10 at sf0.001;
+#: 8/10 is the pinned regression floor)
+_PQ_RECALL_FLOOR = 0.8
+
+# ROUND-11 ORACLE (staged; flip with the r11/r12 window — the r10 window
+# is full): the shortlist is approximate and not SQL-expressible, but the
+# census facts are — result size, exact-cosine fidelity of the re-ranked
+# scores, and the recall@10 contract vs the exact scan (sim_knn_query's
+# oracle truth). A broken codebook fit, ADC table, shortlist heap, or
+# re-rank flips a hashed value.
+SIM_PQ_ORACLE = (
+    "WITH n AS (SELECT count(*) AS n FROM embeddings WHERE vec_id <> 0), "
+    "q AS (SELECT count(*) AS has_q FROM embeddings WHERE vec_id = 0) "
+    "SELECT CAST(CASE WHEN q.has_q = 0 THEN 0 "
+    "ELSE least(10, n.n) END AS BIGINT) AS n_returned, "
+    "CAST(0 AS BIGINT) AS n_bad_cosine, "
+    "TRUE AS recall10_ge_floor "
+    "FROM n CROSS JOIN q"
+)
+
+
+@register("sim_pq", oracle=None, tier="B")
+def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGISTERED form of :func:`sim_pq_search` — a one-row
+    certification census (the dedup_lsh_cosine_census /
+    sim_topk_blocked pattern; r9 verdict item 3):
+
+    - ``n_returned``: result size (= min(10, corpus sans query) whenever
+      the query vector exists);
+    - ``n_bad_cosine``: results whose cosine disagrees with the exact
+      6-dp dot product against the query vector, recomputed here from
+      the embeddings table (0 by construction — the re-rank scores with
+      true vectors);
+    - ``recall10_ge_floor``: recall@10 against the exact scan
+      (:func:`..similarity.sim_knn_query`) clears the pinned 0.8 floor.
+
+    The library ANN search stays available as :func:`sim_pq_search`."""
+    from .similarity import sim_knn_query
+
+    res = sim_pq_search(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qside = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    rechecked = res.crossJoin(qside).join(
+        e.select("vec_id", F.col("embedding").alias("r_emb")), "vec_id"
+    ).select(
+        "vec_id",
+        "cosine",
+        F.round(dot(F.col("r_emb"), F.col("q_emb")), 6).alias("true_cos"),
+    )
+    exact = sim_knn_query(spark, sf_dir).select("vec_id")
+    n_exact = exact.count()
+    hits = res.join(exact, "vec_id", "left_semi")
+    return (
+        rechecked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+            F.sum(F.when(F.col("cosine") != F.col("true_cos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad_cosine"),
+        )
+        .crossJoin(
+            F.broadcast(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        )
+        .select(
+            "n_returned",
+            F.coalesce("n_bad_cosine", F.lit(0).cast("long")).alias("n_bad_cosine"),
+            (
+                F.col("n_hits") >= F.lit(_PQ_RECALL_FLOOR) * F.lit(max(n_exact, 1))
+            ).alias("recall10_ge_floor")
+            if n_exact > 0
+            else F.lit(True).alias("recall10_ge_floor"),
+        )
     )

@@ -125,8 +125,7 @@ def sessionize_events(e: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-@register("agg_sketch_merge", oracle=None, tier="B")
-def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_sketch_merge_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting: one HLL sketch per day
     (``hll_sketch_agg``), then ``hll_union_agg`` folds the daily sketches
     into the period total — the pattern that replaces count-distinct at
@@ -134,11 +133,9 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative, idempotent, order-independent, so incremental daily jobs
     and the one-shot batch agree EXACTLY, not just approximately).
 
-    Output: per-day estimates plus the merged period estimate. Rows-only
-    territory by nature (DuckDB's approx_count_distinct uses a different
-    sketch), so the direct test asserts the merge-vs-single-pass identity
-    and the estimate's documented HLL error bound instead.
-    """
+    Output: per-day estimates plus the merged period estimate (LIBRARY
+    form; the registered ``agg_sketch_merge`` wraps it in the
+    hash-certifiable census below)."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -149,6 +146,93 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit(None).cast("timestamp").alias("day"), "est_users")
+    return per_day.unionByName(total).orderBy(F.col("day").asc_nulls_last())
+
+
+#: HLL error budget the census certifies: Spark's default lgConfigK=12
+#: gives a relative standard error of 1.04/√4096 ≈ 1.63%; 10% is ~6σ —
+#: generous enough to never flap, tight enough that a broken sketch
+#: (wrong column, dropped day, corrupted merge) still trips it. The +2
+#: absolute slack covers tiny days where one register flip is > 10%.
+_HLL_REL_BOUND = 0.10
+
+# ROUND-11 ORACLE (staged; flip with the r11/r12 window): the estimates
+# themselves are Spark-sketch-specific (DuckDB's approx_count_distinct is
+# a different sketch), but the census facts are SQL truths — the day
+# spine, the EXACT per-day/total cardinalities, the 6σ error-bound
+# booleans, and the merge-vs-single-pass identity (TRUE by the register-
+# max theorem; FALSE would mean the union aggregate broke).
+AGG_SKETCH_MERGE_ORACLE = (
+    "WITH d AS ("
+    "  SELECT CAST(date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) "
+    "  AS TIMESTAMP) AS day, user_id FROM events"
+    ") SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+    "TRUE AS est_in_bound, TRUE AS merge_consistent FROM d GROUP BY day "
+    "UNION ALL "
+    "SELECT CAST(NULL AS TIMESTAMP) AS day, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+    "TRUE AS est_in_bound, TRUE AS merge_consistent FROM d"
+)
+
+
+@register("agg_sketch_merge", oracle=None, tier="B")
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGISTERED form of :func:`agg_sketch_merge_estimates` — the
+    same day-spine rows, re-projected onto hash-certifiable facts (the
+    dedup_lsh_cosine_census pattern; r9 verdict item 3):
+
+    - ``exact_users``: the exact per-day (and total, day=NULL) distinct
+      count, computed here alongside the sketches;
+    - ``est_in_bound``: the HLL estimate sits within the documented ~6σ
+      envelope of exact (:data:`_HLL_REL_BOUND`);
+    - ``merge_consistent``: ``hll_union_agg`` over the daily sketches
+      and a single whole-period ``hll_sketch_agg`` give the SAME
+      estimate — the register-max merge identity, certified exactly.
+
+    The sketches still do all the estimating (a corrupted sketch or
+    merge trips a boolean); the library estimate stream stays available
+    as :func:`agg_sketch_merge_estimates`."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    in_bound = (
+        F.abs(F.hll_sketch_estimate(F.col("sk")) - F.col("exact_users"))
+        <= F.greatest(_HLL_REL_BOUND * F.col("exact_users"), F.lit(2.0))
+    )
+    merged_vs_single = F.broadcast(
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+        ).crossJoin(
+            e.agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                    "single_est"
+                ),
+                F.count_distinct("user_id").cast("long").alias("exact_total"),
+            )
+        )
+    )
+    # eqNullSafe / coalesce: on an EMPTY corpus both estimates are null and
+    # exact is 0 — the census must still say "consistent, in bound" rather
+    # than emit null booleans (empty-corpus sweep convention)
+    consistent = F.col("merged_est").eqNullSafe(F.col("single_est"))
+    per_day = daily.crossJoin(merged_vs_single).select(
+        "day",
+        "exact_users",
+        in_bound.alias("est_in_bound"),
+        consistent.alias("merge_consistent"),
+    )
+    total = merged_vs_single.select(
+        F.lit(None).cast("timestamp").alias("day"),
+        F.col("exact_total").alias("exact_users"),
+        F.coalesce(
+            F.abs(F.col("merged_est") - F.col("exact_total"))
+            <= F.greatest(_HLL_REL_BOUND * F.col("exact_total"), F.lit(2.0)),
+            F.col("exact_total") == 0,
+        ).alias("est_in_bound"),
+        consistent.alias("merge_consistent"),
+    )
     return per_day.unionByName(total).orderBy(F.col("day").asc_nulls_last())
 
 

@@ -1171,7 +1171,9 @@ def graph_triangle_stats(
             F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
         ).first()
         n_nodes = stats["n_nodes"] or 0
-        n_wedges = stats["n_wedges"] or 0
+        # n_wedges stays None on an empty graph — the oracle's SUM over an
+        # empty deg is NULL, and the degenerate-corpus parity test pins it
+        n_wedges = stats["n_wedges"]
         n_edges = e.count()
         # Degree-ordered orientation (r8 verdict item 7), applied
         # ADAPTIVELY (r10): re-orienting each edge from its LOWER-(degree,
@@ -1190,7 +1192,7 @@ def graph_triangle_stats(
         # oracle and the fixture hash are identical on both paths (pinned
         # in tests/test_round9.py, with a planted hub-wedge graph
         # measuring the 400→1 join-input reduction).
-        orient = n_wedges > _ORIENT_WEDGE_EDGE_FACTOR * max(n_edges, 1)
+        orient = (n_wedges or 0) > _ORIENT_WEDGE_EDGE_FACTOR * max(n_edges, 1)
         # deg passed through so the orientation reuses this function's own
         # degree aggregate instead of re-aggregating the edge set
         eo = (orient_by_degree(e, deg) if orient else e).persist()

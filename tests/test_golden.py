@@ -5,6 +5,9 @@ regressions that a self-consistent oracle comparison would miss."""
 from __future__ import annotations
 
 import parallel_mapreduce_wordcounting_spark as engine
+from parallel_mapreduce_wordcounting_spark.operators.similarity import (
+    sim_topk_blocked_pairs,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.1"
@@ -79,7 +82,7 @@ def test_blocked_ann_recall_floor(spark):
         }
         approx = {
             (r.vec_id_a, r.vec_id_b)
-            for r in engine.REGISTRY["sim_topk_blocked"].fn(spark, sf).collect()
+            for r in sim_topk_blocked_pairs(spark, sf).collect()
         }
         assert len(exact & approx) >= floor, (sf, len(exact & approx))
 

@@ -23,6 +23,8 @@ from parallel_mapreduce_wordcounting_spark.operators.dedup import (
     ngram_prefix_postings,
 )
 
+from .conftest import SF_DIR
+
 
 # --- dedup_ngram_jaccard: prefix filter --------------------------------------
 
@@ -210,6 +212,48 @@ def test_triangle_stats_oriented_branch_matches_oracle(spark, duck, tmp_path):
     assert n_wedges > _ORIENT_WEDGE_EDGE_FACTOR * n_edges
     # a 40-clique: C(40,2) edges, C(40,3) triangles
     assert (n_edges, n_tri) == (780, 9880)
+
+
+# --- staged round-11 oracles for the last rows-only keys ----------------------
+#
+# The four remaining rows-only keys were re-projected onto hash-certifiable
+# censuses in round 10 (every column DuckDB-recomputable); their oracle
+# constants are STAGED here (flip with the r11/r12 verification windows —
+# the r10 window is full). These tests run the gate's value comparison now
+# so the flip is a decorator-arg change, not a leap (the
+# mm_binary_surface/udtf_python round-9 precedent).
+
+
+def _staged_census_cases():
+    from parallel_mapreduce_wordcounting_spark.operators.similarity import (
+        SIM_TOPK_BLOCKED_ORACLE,
+    )
+    from parallel_mapreduce_wordcounting_spark.operators.similarity_ext import (
+        SIM_PQ_ORACLE,
+    )
+    from parallel_mapreduce_wordcounting_spark.operators.staged import (
+        AGG_SKETCH_MERGE_ORACLE,
+    )
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r8 import (
+        DEDUP_LSH_COSINE_ORACLE,
+    )
+
+    return [
+        ("sim_topk_blocked", SIM_TOPK_BLOCKED_ORACLE),
+        ("sim_pq", SIM_PQ_ORACLE),
+        ("dedup_lsh_cosine", DEDUP_LSH_COSINE_ORACLE),
+        ("agg_sketch_merge", AGG_SKETCH_MERGE_ORACLE),
+    ]
+
+
+@pytest.mark.parametrize("case_idx", range(4))
+def test_staged_census_oracles_match(spark, duck, case_idx):
+    from parallel_mapreduce_wordcounting_spark.registry import REGISTRY
+
+    key, osql = _staged_census_cases()[case_idx]
+    sp = sorted(map(tuple, REGISTRY[key].fn(spark, SF_DIR).collect()), key=str)
+    oc = sorted(map(tuple, duck.execute(osql).fetchall()), key=str)
+    assert sp == oc, (key, sp[:3], oc[:3])
 
 
 # --- mm_embed: float32-exactness guard ----------------------------------------

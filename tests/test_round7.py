@@ -11,6 +11,9 @@ import math
 from pyspark.sql import functions as F
 
 import parallel_mapreduce_wordcounting_spark as engine
+from parallel_mapreduce_wordcounting_spark.operators.similarity_ext import (
+    sim_pq_search,
+)
 
 from .conftest import SF_DIR
 
@@ -200,7 +203,7 @@ def test_sim_pq_recall_floor(spark):
     corpus: 9/10 at sf0.001, 10/10 at sf0.01 with the m=8, ksub=32,
     shortlist=200 defaults)."""
     exact = {r.vec_id for r in engine.REGISTRY["sim_knn_query"].fn(spark, SF_DIR).collect()}
-    pq_rows = engine.REGISTRY["sim_pq"].fn(spark, SF_DIR).collect()
+    pq_rows = sim_pq_search(spark, SF_DIR).collect()
     pq = {r.vec_id for r in pq_rows}
     assert len(pq & exact) >= 8
     # re-ranked scores are the TRUE cosines: every surfaced pair must agree
@@ -217,8 +220,8 @@ def test_sim_pq_recall_floor(spark):
 def test_sim_pq_deterministic_rerun(spark):
     """Hashed-sample codebook fit + first-occurrence argmin + fixed-order
     float sums: two independent runs produce identical rows."""
-    a = [tuple(r) for r in engine.REGISTRY["sim_pq"].fn(spark, SF_DIR).collect()]
-    b = [tuple(r) for r in engine.REGISTRY["sim_pq"].fn(spark, SF_DIR).collect()]
+    a = [tuple(r) for r in sim_pq_search(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in sim_pq_search(spark, SF_DIR).collect()]
     assert a == b and len(a) == 10
 
 

@@ -246,13 +246,13 @@ def test_lsh_census_attests_execution(spark):
     (row,) = staged_r8.dedup_lsh_cosine_census(spark, SF_DIR).collect()
     assert row["n_exact_pairs"] > 0  # fixture truth is non-empty at τ=0.45
     assert row["false_positives"] == 0  # every emitted pair exact-verified
-    assert row["n_true_hits"] == row["n_lsh_pairs"]
-    assert row["recall"] >= 0.8
+    assert row["recall_ge_floor"] is True  # realized recall clears 0.8
+    assert row["n_eval"] > 0
 
 
 def test_lsh_census_eval_slice_bounds_cost(spark, monkeypatch):
     """Above the eval budget the census must run on the deterministic
-    xxhash64 slice (the 100 TB cost bound: exact recall truth is quadratic,
+    md5-h60 slice (the 100 TB cost bound: exact recall truth is quadratic,
     so it is measured on a bounded eval set). Shrinking the budget below
     the fixture size forces the staging path; the census must still emit
     one attesting row with the exact-verify invariant intact, and a repeat
@@ -262,8 +262,8 @@ def test_lsh_census_eval_slice_bounds_cost(spark, monkeypatch):
     monkeypatch.setattr(mod, "_LSH_CENSUS_EVAL_N", 100)
     (row,) = mod.dedup_lsh_cosine_census(spark, SF_DIR).collect()
     assert row["false_positives"] == 0
-    assert row["n_true_hits"] == row["n_lsh_pairs"]
-    assert 0.0 <= (row["recall"] or 0.0) <= 1.0
+    assert 0 < row["n_eval"] <= 150  # the slice really bounded the eval set
+    assert row["recall_ge_floor"] in (True, False)
     # sliced truth is a subset of the full table's pair universe
     (full,) = mod.dedup_lsh_cosine_census(spark, SF_DIR).collect()  # reuse path
     assert tuple(full) == tuple(row)  # deterministic slice -> identical census
@@ -303,7 +303,11 @@ def test_register_staged_promotes_every_dev_case(tmp_path, monkeypatch):
     )
     work = tmp_path / "operators"
     work.mkdir()
-    shutil.copy(ops_src / "staged_r23.py", work / "staged_r23.py")
+    # staged_r23 was PROMOTED for real in round 10 — strip the appended
+    # block from the copy so the tool sees the pre-promotion module the
+    # test has always exercised
+    pre = (ops_src / "staged_r23.py").read_text().split(tool.MARKER)[0].rstrip() + "\n"
+    (work / "staged_r23.py").write_text(pre)
     # stub package root for the import-wiring half of promotion
     init = tmp_path / "__init__.py"
     init.write_text(
@@ -345,6 +349,9 @@ def test_register_staged_promotes_every_dev_case(tmp_path, monkeypatch):
     )
     ns["_REGISTRY"] = {}
     ns["_register"] = fake_register
+    from parallel_mapreduce_wordcounting_spark.registry import B_PREFIXES
+
+    ns["_B_PREFIXES"] = B_PREFIXES
     exec(block, ns)
     assert set(scratch) == {
         "sim_dbscan",

@@ -85,10 +85,12 @@ def test_agg_sketch_merge_is_exactly_mergeable(spark):
     sit within the standard HLL error of the exact distinct count."""
     from pyspark.sql import functions as F
 
-    from parallel_mapreduce_wordcounting_spark.operators.staged import agg_sketch_merge
+    from parallel_mapreduce_wordcounting_spark.operators.staged import (
+        agg_sketch_merge_estimates,
+    )
     from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
 
-    out = agg_sketch_merge(spark, SF).collect()
+    out = agg_sketch_merge_estimates(spark, SF).collect()
     merged = [r.est_users for r in out if r.day is None]
     assert len(merged) == 1
 
