@@ -13,7 +13,7 @@ Contents:
 - ``dq_key_uniqueness`` — candidate-key uniqueness census over a fixed
   key list (single and composite) — the profiler row that must be green
   before any merge_upsert/scd2 keys on a column.
-- ``win_first_last`` — first/last value per entity BY EVENT TIME with
+- ``win_first_last_event`` — first/last value per entity BY EVENT TIME with
   the full-frame correction — ``last_value`` over the DEFAULT window
   frame (unbounded-preceding → current row) silently returns the
   CURRENT row; the op carries both the wrong-by-default and corrected
@@ -223,7 +223,7 @@ WIN_FIRST_LAST_ORACLE = (
 )
 
 
-def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+def win_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First and last event type per user BY EVENT TIME — carrying BOTH
     forms of ``last_value``: the DEFAULT-frame form (whose frame ends at
     the CURRENT ROW, so it silently returns the current row's own value
@@ -459,7 +459,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEV_CASES = [
     ("stat_levene", stat_levene, STAT_LEVENE_ORACLE),
     ("dq_key_uniqueness", dq_key_uniqueness, DQ_KEY_UNIQUENESS_ORACLE),
-    ("win_first_last", win_first_last, WIN_FIRST_LAST_ORACLE),
+    # key renamed in round 10 (was win_first_last): windows.py already
+    # registers a DIFFERENT operator under that name (orders-table
+    # first/nth/last), and the idempotent registration block would have
+    # silently skipped this one at its round-11 promotion
+    ("win_first_last_event", win_first_last_event, WIN_FIRST_LAST_ORACLE),
     ("graph_coreness", graph_coreness, GRAPH_CORENESS_ORACLE),
     ("agg_weighted_median", agg_weighted_median, AGG_WEIGHTED_MEDIAN_ORACLE),
 ]

@@ -336,3 +336,59 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- r31–r41 backlog: pre-registration plan sweep (r9 verdict item 6) --------
+
+# Keys whose plan legitimately contains a BroadcastNestedLoopJoin: every one
+# is the 1-row-broadcast crossJoin convention (a scalar aggregate — grand
+# total, pooled variance, global horizon — broadcast against the stream;
+# Catalyst renders a crossJoin of a broadcast 1-row side as BNLJ). The
+# allowlist is PINNED so a new unbounded nested loop can't hide behind it.
+_BNLJ_ONE_ROW_BROADCAST = {
+    "stat_eb_shrinkage",
+    "stat_paired_ttest",
+    "event_conversion_lag_hist",
+    "event_drawdown",
+    "stat_levene",
+    "agg_weighted_median",
+    "stat_kruskal_wallis",
+    "stat_sign_test",
+    "dq_join_cardinality",
+    "agg_abc_analysis",
+    "text_source_shannon",
+    "sim_dim_truncation_eval",
+    "stat_regression_to_mean",
+    "split_time_holdout",
+}
+
+
+def _backlog_cases():
+    import importlib
+
+    out = []
+    for n in range(31, 42):
+        mod = importlib.import_module(
+            f"parallel_mapreduce_wordcounting_spark.operators.staged_r{n}"
+        )
+        out.extend((c[0], c[1]) for c in mod.DEV_CASES)
+    return out
+
+
+def test_r31_r41_backlog_no_cartesian_no_unbounded_nested_loop(spark):
+    """Every key of the round-11 registration backlog (staged_r31–r41),
+    swept BEFORE registration: no CartesianProduct node ever; a
+    BroadcastNestedLoopJoin only for the pinned 1-row-broadcast crossJoin
+    keys, and even there the nested-loop side must be a BroadcastExchange
+    (a bounded build side, not a shuffled quadratic one)."""
+    bad = []
+    for key, fn in _backlog_cases():
+        p = explain_str(fn(spark, SF_DIR))
+        if "CartesianProduct" in p:
+            bad.append((key, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in p:
+            if key not in _BNLJ_ONE_ROW_BROADCAST:
+                bad.append((key, "unpinned BroadcastNestedLoopJoin"))
+            elif "BroadcastExchange" not in p:
+                bad.append((key, "BNLJ without a broadcast build side"))
+    assert not bad, bad

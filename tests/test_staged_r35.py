@@ -99,7 +99,7 @@ def test_first_last_sequential_scan(spark, duck):
     per = defaultdict(list)
     for u, us, eid, et in evs:
         per[u].append((us, eid, et))
-    rows = {r.user_id: r for r in staged_r35.win_first_last(spark, SF_DIR).collect()}
+    rows = {r.user_id: r for r in staged_r35.win_first_last_event(spark, SF_DIR).collect()}
     assert set(rows) == set(per)
     for u, lst in per.items():
         lst.sort()
