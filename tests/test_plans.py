@@ -360,6 +360,7 @@ _BNLJ_ONE_ROW_BROADCAST = {
     "sim_dim_truncation_eval",
     "stat_regression_to_mean",
     "split_time_holdout",
+    "pipeline_anneal_mix",  # r42: broadcast 1-row token total
 }
 
 
@@ -367,7 +368,7 @@ def _backlog_cases():
     import importlib
 
     out = []
-    for n in range(31, 42):
+    for n in range(31, 43):
         mod = importlib.import_module(
             f"parallel_mapreduce_wordcounting_spark.operators.staged_r{n}"
         )
@@ -375,8 +376,9 @@ def _backlog_cases():
     return out
 
 
-def test_r31_r41_backlog_no_cartesian_no_unbounded_nested_loop(spark):
-    """Every key of the round-11 registration backlog (staged_r31–r41),
+def test_backlog_no_cartesian_no_unbounded_nested_loop(spark):
+    """Every key of the registration backlog (staged_r31+, swept through
+    the newest staged wave),
     swept BEFORE registration: no CartesianProduct node ever; a
     BroadcastNestedLoopJoin only for the pinned 1-row-broadcast crossJoin
     keys, and even there the nested-loop side must be a BroadcastExchange
