@@ -79,9 +79,11 @@ def main() -> None:
     from parallel_mapreduce_wordcounting_spark.sources.loader import load_table
 
     out_dir = os.path.join(REPO, "spark-warehouse", f"scale_sf{n}")
-    if not os.path.isdir(out_dir):
+    if True:  # build any MISSING table (an interrupted/older build may be partial)
         os.makedirs(out_dir, exist_ok=True)
         for table, key_cols in OFFSETS.items():
+            if os.path.isfile(f"{out_dir}/{table}.parquet/_SUCCESS"):
+                continue
             df = load_table(spark, BASE, table)
             if not key_cols:
                 df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
