@@ -365,14 +365,14 @@ _BNLJ_ONE_ROW_BROADCAST = {
 
 
 def _backlog_cases():
-    import importlib
+    # discovered, not hand-ranged (the r42 hand-range silently skipped a
+    # freshly-authored r43): every staged_r31+ module on disk is swept
+    from parallel_mapreduce_wordcounting_spark.operators import staged_modules
 
     out = []
-    for n in range(31, 43):
-        mod = importlib.import_module(
-            f"parallel_mapreduce_wordcounting_spark.operators.staged_r{n}"
-        )
-        out.extend((c[0], c[1]) for c in mod.DEV_CASES)
+    for mod in staged_modules():
+        if int(mod.__name__.rsplit("_r", 1)[1]) >= 31:
+            out.extend((c[0], c[1]) for c in mod.DEV_CASES)
     return out
 
 
