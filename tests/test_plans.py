@@ -361,6 +361,11 @@ _BNLJ_ONE_ROW_BROADCAST = {
     "stat_regression_to_mean",
     "split_time_holdout",
     "pipeline_anneal_mix",  # r42: broadcast 1-row token total
+    "stat_durbin_watson",  # r44: broadcast 1-row sufficient statistics
+    # r44: broadcast BOUNDED needle set (|corpus|/101 rows, not 1) — the
+    # multi-pattern substring scan has no equi-key by construction; the
+    # sweep still requires the build side to be a BroadcastExchange
+    "text_substring_contamination",
 }
 
 
