@@ -362,6 +362,7 @@ _BNLJ_ONE_ROW_BROADCAST = {
     "split_time_holdout",
     "pipeline_anneal_mix",  # r42: broadcast 1-row token total
     "stat_durbin_watson",  # r44: broadcast 1-row sufficient statistics
+    "stat_het_spearman",  # r45: same shared _trend_residuals 1-row broadcast
     # r44: broadcast BOUNDED needle set (|corpus|/101 rows, not 1) — the
     # multi-pattern substring scan has no equi-key by construction; the
     # sweep still requires the build side to be a BroadcastExchange

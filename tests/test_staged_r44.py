@@ -118,11 +118,12 @@ def test_ablation_python_flags(spark, duck):
 def test_substring_contamination_python_in(spark, duck):
     docs = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
     mod, k = staged_r44._DECONTAM_EVAL_MOD, staged_r44._DECONTAM_NEEDLE_CHARS
+    cap = staged_r44._DECONTAM_ID_CAP
     train = [t for d, t in docs.items() if d % mod != 0]
     want = {
         d: sum(1 for t in train if txt[:k] in t)
         for d, txt in docs.items()
-        if d % mod == 0 and len(txt) >= k
+        if d % mod == 0 and d < cap and len(txt) >= k
     }
     got = {
         r.eval_doc_id: r
