@@ -1,0 +1,526 @@
+"""Late-interaction-retrieval / audio-DSP / structural-break / HITS wave,
+STAGED behind ``staged_r31``–``r45`` in the verification-window queue
+(implemented + oracle-tested now, deliberately NOT ``@register``-ed;
+COVERAGE.md "verification budget"). tests/test_staged_r46.py runs the
+same fn-vs-DuckDB compare the registry harness would, at sf0.001 AND
+sf0.01.
+
+Contents:
+
+- ``sim_maxsim`` — ColBERT-style late-interaction reranking
+  (Khattab & Zaharia 2020): score(q, d) = Σ over distinct query
+  bigrams of the MAX similarity against any candidate bigram. Each
+  bigram embeds as a 16-bit ±1 sign vector derived from the shared
+  md5 60-bit token hash (dedup_simhash convention), so every dot
+  product collapses to ``16 − 2·bit_count(xor(hq, hd) & 0xFFFF)`` —
+  an exact integer the JVM computes with two bit ops, no arrays, no
+  Python. Top-5 candidates per query under (score DESC, doc_id).
+  Bigrams (not unigrams) because the fixture's tiny word vocabulary
+  makes many documents unigram-supersets of any query — bigram sets
+  discriminate (every query ranks itself first; partial-match scores
+  spread). ``maxsim = score16/16`` is exact in binary floating point.
+- ``mm_wav_energy`` — the DSP step AFTER :func:`staged_r10.mm_wav_meta`'s
+  header triage: parse real PCM16 sample payloads and census
+  n_samples / peak / DC sum / RMS / zero-crossings per file. 40
+  deterministic mono WAVs stage with samples from pure doc_id
+  arithmetic (s_k = (doc_id·7919 + k·104729 + 12345) mod 2¹⁶ − 2¹⁵),
+  so the ORACLE rederives every field from the generator formula and
+  any staging, byte-order, or kernel drift fails the hash. The decode
+  kernel is a REAL Arrow-batched ``mapInPandas`` numpy ``frombuffer``
+  — the exact shape a production audio feature-extractor has — while
+  header parsing stays JVM-side.
+- ``stat_chow`` — the Chow (1960) structural-break F-test on the daily
+  purchase-revenue series at the midpoint split: F = ((SSR_pooled −
+  SSR₁ − SSR₂)/k) / ((SSR₁+SSR₂)/(n−2k)), k = 2 params. Each segment
+  SSR has the closed form (A·D − N²)/(n·D) with A = nΣy²−(Σy)²,
+  D = nΣt²−(Σt)², N = nΣty−ΣtΣy — every sufficient statistic an
+  exact integer in decimal(38)/HUGEINT (the staged_r44 trend-family
+  doctrine), one double division per SSR, identical IEEE trees both
+  engines, 6 dp. Completes the post-fit triptych: stat_durbin_watson
+  (serial correlation), stat_het_spearman (heteroscedasticity),
+  stat_chow (parameter stability).
+- ``graph_hits`` — Kleinberg's HITS (1999) on the customer→part
+  bipartite purchase graph (distinct orders⋈lineitem pairs): two
+  unnormalized power-iteration sweeps a¹ = Aᵀ1, h¹ = Aa¹, a² = Aᵀh¹,
+  h² = Aa² keep every score an EXACT integer (no per-iteration L2
+  norm → no float drift; ranking is normalization-invariant), then
+  top-10 hubs and authorities with norm_score = score/max rounded
+  6 dp. The iterative-eigenvector sibling of graph_pagerank on a
+  graph pagerank never sees.
+
+Exactness doctrine: maxsim scores, WAV censuses bar RMS, Chow
+sufficient statistics and HITS scores are exact integers end-to-end;
+RMS/Chow-F/norm_score each spend one sqrt and/or division on exact
+integers and round to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table, ts_day
+from .exact import floor_day_us_sql, money_cents, money_cents_sql
+
+_D38 = "decimal(38,0)"
+
+# --- ColBERT-style MaxSim late-interaction reranking --------------------------------
+
+_MAXSIM_Q_DOCS = 8
+_MAXSIM_TOPK = 5
+
+# md5-derived 60-bit token hash (dedup.py convention — Spark parses
+# conv(hex, 16, 10), DuckDB shift-sums the hex digits exactly).
+_ORACLE_GRAM_H60 = (
+    "list_sum(list_transform(range(0, 15), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(w), 15 - CAST(i AS INT), 1)) - 1 "
+    "AS BIGINT) << CAST(4 * i AS INT)))"
+)
+
+SIM_MAXSIM_ORACLE = (
+    "WITH words AS ("
+    "  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents"
+    "), grams AS ("
+    "  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)),"
+    "         i -> ws[i] || ' ' || ws[i+1]))) AS w"
+    "  FROM words WHERE len(ws) >= 2"
+    "), tok AS ("
+    f"  SELECT doc_id, CAST({_ORACLE_GRAM_H60} AS BIGINT) & 65535 AS h16"
+    "  FROM grams GROUP BY 1, 2"
+    "), qt AS ("
+    f"  SELECT doc_id AS qid, h16 AS hq FROM tok WHERE doc_id < {_MAXSIM_Q_DOCS}"
+    "), best AS ("
+    "  SELECT qt.qid, tok.doc_id, qt.hq,"
+    "         min(bit_count(xor(qt.hq, tok.h16) & 65535)) AS mp"
+    "  FROM qt CROSS JOIN tok GROUP BY 1, 2, 3"
+    "), sc AS ("
+    "  SELECT qid, doc_id, CAST(sum(16 - 2 * mp) AS BIGINT) AS score16"
+    "  FROM best GROUP BY 1, 2"
+    "), rk AS ("
+    "  SELECT qid, doc_id, score16, row_number() OVER ("
+    "    PARTITION BY qid ORDER BY score16 DESC, doc_id) AS rnk FROM sc"
+    ") SELECT qid, CAST(rnk AS INT) AS rank, doc_id, score16, "
+    "round(score16 / 16.0, 6) AS maxsim "
+    f"FROM rk WHERE rnk <= {_MAXSIM_TOPK}"
+)
+
+
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring. The (query-token × corpus-token) product is
+    a BroadcastNestedLoopJoin BY DESIGN: the broadcast side is the
+    query token set — bounded by the benchmark, not the corpus (every
+    late-interaction reranker has this shape; ColBERT ships the query
+    matrix to the shards). Corpus-side cost is linear in corpus tokens
+    with a constant query factor; the per-(qid, doc, qtok) MIN and the
+    per-(qid, doc) SUM are both map-side-combined groupBys, and the
+    final top-5 window runs on |Q|×|docs| score rows, partitioned by
+    qid. Zero Python anywhere — the 16-d ±1 dot product is two JVM bit
+    ops via the XOR-popcount identity (1−2a)(1−2b) = 1 − 2(a⊕b)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                )
+            )
+        ).alias("w"),
+    )
+    h60 = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    tok = grams.select(
+        "doc_id", h60.bitwiseAND(F.lit(65535)).alias("h16")
+    ).distinct()
+    qt = (
+        tok.where(F.col("doc_id") < _MAXSIM_Q_DOCS)
+        .select(F.col("doc_id").alias("qid"), F.col("h16").alias("hq"))
+    )
+    mp = F.bit_count(
+        F.col("hq").bitwiseXOR(F.col("h16")).bitwiseAND(F.lit(65535))
+    )
+    best = (
+        tok.crossJoin(F.broadcast(qt))
+        .groupBy("qid", "doc_id", "hq")
+        .agg(F.min(mp).alias("mp"))
+    )
+    sc = best.groupBy("qid", "doc_id").agg(
+        F.sum(16 - 2 * F.col("mp")).cast("long").alias("score16")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score16"), "doc_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _MAXSIM_TOPK)
+        .select(
+            "qid",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "score16",
+            (F.col("score16") / F.lit(16.0)).alias("maxsim"),
+        )
+    )
+
+
+# --- PCM16 energy census (the DSP step after mm_wav_meta's header triage) -----------
+
+_WAVE_DOC_LO, _WAVE_DOC_HI = 120, 160
+_WAVE_RATE = 16_000
+
+MM_WAV_ENERGY_ORACLE = (
+    "WITH d AS ("
+    "  SELECT doc_id, 160 + (doc_id % 17) * 8 AS n FROM documents"
+    f"  WHERE doc_id >= {_WAVE_DOC_LO} AND doc_id < {_WAVE_DOC_HI}"
+    "), s AS ("
+    "  SELECT doc_id, CAST(k AS BIGINT) AS k,"
+    "  CAST((doc_id * 7919 + k * 104729 + 12345) % 65536 - 32768 AS BIGINT) AS v"
+    "  FROM d, unnest(range(n)) t(k)"
+    "), z AS ("
+    "  SELECT doc_id, v,"
+    "  CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY k) IS NULL THEN NULL"
+    "  WHEN (v < 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY k) < 0)"
+    "  THEN 1 ELSE 0 END AS zc FROM s"
+    ") SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples, "
+    "CAST(max(abs(v)) AS BIGINT) AS peak_abs, "
+    "CAST(sum(v) AS BIGINT) AS sum_s, "
+    "round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms, "
+    "CAST(sum(zc) AS BIGINT) AS zero_crossings "
+    "FROM z GROUP BY doc_id"
+)
+
+
+def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring. Header fields (data offset) are fixed by
+    the canonical 44-byte layout the stager writes; the sample kernel
+    is ``mapInPandas`` → ``np.frombuffer(content[44:], '<i2')`` — one
+    Arrow batch in, one tiny census frame out, so executor memory holds
+    the batch's blobs once, never a per-row Python object per sample.
+    At 100 TB this is the canonical audio feature-extraction shape:
+    binaryFile splits distribute blobs, the vectorized kernel reduces
+    each to O(1) features, and nothing but the census shuffles."""
+    import hashlib
+    import os
+    import struct
+    import tempfile
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") >= _WAVE_DOC_LO) & (F.col("doc_id") < _WAVE_DOC_HI)
+        )
+        .select("doc_id")
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pmrwc_wavpcm_{os.getuid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    for stale in os.listdir(stage):
+        os.unlink(os.path.join(stage, stale))
+    for r in d.collect():  # 40 bounded fixture rows — staging only
+        n = 160 + (r.doc_id % 17) * 8
+        samples = [
+            (r.doc_id * 7919 + k * 104729 + 12345) % 65536 - 32768
+            for k in range(n)
+        ]
+        data = struct.pack(f"<{n}h", *samples)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack(
+                "<IHHIIHH", 16, 1, 1, _WAVE_RATE, _WAVE_RATE * 2, 2, 16
+            )
+            + b"data" + struct.pack("<I", len(data))
+        )
+        with open(f"{stage}/{r.doc_id}.wav", "wb") as f:
+            f.write(hdr + data)
+    if not os.listdir(stage):
+        # empty corpus staged zero blobs (mm_png_meta convention)
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_samples long, peak_abs long, sum_s long, "
+            "rms double, zero_crossings long",
+        )
+    blobs = spark.read.format("binaryFile").load(f"{stage}/*.wav").select(
+        "path", "content"
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import os as _os
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                doc_id = int(_os.path.basename(path).split(".")[0])
+                v = np.frombuffer(bytes(content)[44:], dtype="<i2").astype(
+                    np.int64
+                )
+                out.append(
+                    (
+                        doc_id,
+                        len(v),
+                        int(np.max(np.abs(v))),
+                        int(v.sum()),
+                        round(float(np.sqrt(float((v * v).sum()) / len(v))), 6),
+                        int(((v[1:] < 0) != (v[:-1] < 0)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "peak_abs",
+                    "sum_s",
+                    "rms",
+                    "zero_crossings",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        kernel,
+        "doc_id long, n_samples long, peak_abs long, sum_s long, "
+        "rms double, zero_crossings long",
+    )
+
+
+# --- Chow structural-break F-test ----------------------------------------------------
+
+_CHOW_F_CUTOFF = 3.0
+
+# Shared (t, y) daily purchase-revenue series + per-bucket exact
+# sufficient statistics; seg 0 = pooled, 1 = first half, 2 = second half.
+_CHOW_CTES = (
+    "g AS ("
+    f"  SELECT {floor_day_us_sql()} AS day, "
+    f"  CAST(sum({money_cents_sql('value')}) AS BIGINT) AS y"
+    "  FROM events WHERE event_type = 'purchase' GROUP BY 1"
+    "), r AS ("
+    "  SELECT CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS t, "
+    "  CAST(y AS HUGEINT) AS y FROM g"
+    "), nn AS (SELECT CAST(count(*) AS HUGEINT) AS nall FROM r), "
+    "seg AS ("
+    "  SELECT CASE WHEN t * 2 <= (SELECT nall FROM nn) THEN 1 ELSE 2 END AS s, "
+    "  t, y FROM r"
+    "), buck AS ("
+    "  SELECT s, t, y FROM seg UNION ALL SELECT 0 AS s, t, y FROM seg"
+    "), st AS ("
+    "  SELECT s, CAST(count(*) AS HUGEINT) AS n, sum(t) AS st, "
+    "  sum(t * t) AS st2, sum(y) AS sy, sum(y * y) AS syy, sum(t * y) AS sty"
+    "  FROM buck GROUP BY s"
+    "), ssr AS ("
+    "  SELECT s, n, CAST((n * syy - sy * sy) * (n * st2 - st * st)"
+    "   - (n * sty - st * sy) * (n * sty - st * sy) AS DOUBLE)"
+    "   / CAST(n * (n * st2 - st * st) AS DOUBLE) AS ssr FROM st"
+    ")"
+)
+
+STAT_CHOW_ORACLE = (
+    f"WITH {_CHOW_CTES} "
+    "SELECT CAST((SELECT n FROM ssr WHERE s = 0) AS INT) AS n_days, "
+    "CAST((SELECT n FROM ssr WHERE s = 1) AS INT) AS n_pre, "
+    "CAST((SELECT n FROM ssr WHERE s = 2) AS INT) AS n_post, "
+    "round((SELECT ssr FROM ssr WHERE s = 0) / 10000, 6) AS ssr_pooled_usd2, "
+    "round(((SELECT ssr FROM ssr WHERE s = 1) + (SELECT ssr FROM ssr WHERE s = 2))"
+    " / 10000, 6) AS ssr_within_usd2, "
+    "round((((SELECT ssr FROM ssr WHERE s = 0) - (SELECT ssr FROM ssr WHERE s = 1)"
+    "  - (SELECT ssr FROM ssr WHERE s = 2)) / 2)"
+    " / (((SELECT ssr FROM ssr WHERE s = 1) + (SELECT ssr FROM ssr WHERE s = 2))"
+    "  / ((SELECT n FROM ssr WHERE s = 0) - 4)), 6) AS f_stat, "
+    "round((((SELECT ssr FROM ssr WHERE s = 0) - (SELECT ssr FROM ssr WHERE s = 1)"
+    "  - (SELECT ssr FROM ssr WHERE s = 2)) / 2)"
+    " / (((SELECT ssr FROM ssr WHERE s = 1) + (SELECT ssr FROM ssr WHERE s = 2))"
+    "  / ((SELECT n FROM ssr WHERE s = 0) - 4)), 6) "
+    f"> {_CHOW_F_CUTOFF} AS break_detected"
+)
+
+
+def stat_chow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring. One day-grain aggregate absorbs the event
+    volume (the staged_r44 trend-family shape); the pooled/segment
+    sufficient statistics are a 3-row groupBy over a 2× duplicated
+    ≤|days| series, and the F assembly is a 1-row crossJoin of
+    broadcast aggregates. Latency is the day count, not data volume —
+    scale-safe by construction. break_detected compares the ROUNDED F
+    on both engines so the boundary can't diverge."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(ts_day("ts").alias("day"))
+        .agg(F.sum(money_cents(F.col("value"))).alias("y"))
+    )
+    r = g.select(
+        F.row_number().over(Window.orderBy("day")).cast(_D38).alias("t"),
+        F.col("y").cast(_D38).alias("y"),
+    )
+    nall = r.agg(F.count(F.lit(1)).cast(_D38).alias("nall"))
+    seg = r.crossJoin(F.broadcast(nall)).select(
+        F.when(F.col("t") * 2 <= F.col("nall"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("s"),
+        "t",
+        "y",
+    )
+    buck = seg.unionAll(seg.select(F.lit(0).alias("s"), "t", "y"))
+    st = buck.groupBy("s").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("st2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    d_ = F.col("n") * F.col("st2") - F.col("st") * F.col("st")
+    a_ = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    n_ = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    ssr = st.select(
+        "s",
+        F.col("n"),
+        (
+            (a_ * d_ - n_ * n_).cast("double")
+            / (F.col("n") * d_).cast("double")
+        ).alias("ssr"),
+    )
+    p = ssr.where(F.col("s") == 0).select(
+        F.col("n").alias("n0"), F.col("ssr").alias("ssr0")
+    )
+    s1 = ssr.where(F.col("s") == 1).select(
+        F.col("n").alias("n1"), F.col("ssr").alias("ssr1")
+    )
+    s2 = ssr.where(F.col("s") == 2).select(
+        F.col("n").alias("n2"), F.col("ssr").alias("ssr2")
+    )
+    row = p.crossJoin(F.broadcast(s1)).crossJoin(F.broadcast(s2))
+    within = F.col("ssr1") + F.col("ssr2")
+    f_stat = F.round(
+        ((F.col("ssr0") - F.col("ssr1") - F.col("ssr2")) / 2)
+        / (within / (F.col("n0").cast("double") - 4)),
+        6,
+    )
+    return row.select(
+        F.col("n0").cast("int").alias("n_days"),
+        F.col("n1").cast("int").alias("n_pre"),
+        F.col("n2").cast("int").alias("n_post"),
+        F.round(F.col("ssr0") / 10000, 6).alias("ssr_pooled_usd2"),
+        F.round(within / 10000, 6).alias("ssr_within_usd2"),
+        f_stat.alias("f_stat"),
+        (f_stat > _CHOW_F_CUTOFF).alias("break_detected"),
+    )
+
+
+# --- HITS hubs & authorities on the customer→part purchase bipartite graph ----------
+
+_HITS_TOPK = 10
+
+GRAPH_HITS_ORACLE = (
+    "WITH pairs AS ("
+    "  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p"
+    "  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+    "), a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a FROM pairs GROUP BY p), "
+    "h1 AS (SELECT c, CAST(sum(a) AS BIGINT) AS h FROM pairs JOIN a1 USING (p)"
+    "  GROUP BY c), "
+    "a2 AS (SELECT p, CAST(sum(h) AS BIGINT) AS a FROM pairs JOIN h1 USING (c)"
+    "  GROUP BY p), "
+    "h2 AS (SELECT c, CAST(sum(a) AS BIGINT) AS h FROM pairs JOIN a2 USING (p)"
+    "  GROUP BY c), "
+    "am AS (SELECT max(a) AS m FROM a2), hm AS (SELECT max(h) AS m FROM h2), "
+    "top_a AS ("
+    "  SELECT 'authority' AS role, p AS id, a AS score, "
+    "  round(CAST(a AS DOUBLE) / (SELECT m FROM am), 6) AS norm_score, "
+    "  row_number() OVER (ORDER BY a DESC, p) AS rnk FROM a2"
+    "), top_h AS ("
+    "  SELECT 'hub' AS role, c AS id, h AS score, "
+    "  round(CAST(h AS DOUBLE) / (SELECT m FROM hm), 6) AS norm_score, "
+    "  row_number() OVER (ORDER BY h DESC, c) AS rnk FROM h2"
+    ") SELECT role, CAST(rnk AS INT) AS rank, id, score, norm_score FROM ("
+    f"  SELECT * FROM top_a WHERE rnk <= {_HITS_TOPK} "
+    f"  UNION ALL SELECT * FROM top_h WHERE rnk <= {_HITS_TOPK})"
+)
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring. The edge list is derived once (one
+    orders⋈lineitem equi-join + distinct), persisted for the two
+    sweeps, and every sweep is one hash equi-join + map-side-combined
+    groupBy on the edge key — the standard BSP message-passing round,
+    O(|E|) per sweep with no driver state. Unnormalized integer scores
+    make the two-engine comparison exact; per-iteration normalization
+    (a constant factor) cannot change any ranking, so the census is
+    the same one a float HITS would produce. The 1-row max aggregates
+    ride broadcasts; the top-k windows sort only each role's score
+    table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    pairs = o.join(li, "ok").select("c", "p").distinct()
+    pairs.persist()
+    try:
+        a1 = pairs.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
+        h1 = (
+            pairs.join(a1, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        a2 = (
+            pairs.join(h1, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        h2 = (
+            pairs.join(a2, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        am = a2.agg(F.max("a").alias("m"))
+        hm = h2.agg(F.max("h").alias("m"))
+        wa = Window.orderBy(F.desc("a"), "p")
+        wh = Window.orderBy(F.desc("h"), "c")
+        top_a = (
+            a2.withColumn("rnk", F.row_number().over(wa))
+            .where(F.col("rnk") <= _HITS_TOPK)
+            .crossJoin(F.broadcast(am))
+            .select(
+                F.lit("authority").alias("role"),
+                F.col("rnk").cast("int").alias("rank"),
+                F.col("p").alias("id"),
+                F.col("a").alias("score"),
+                F.round(F.col("a").cast("double") / F.col("m"), 6).alias(
+                    "norm_score"
+                ),
+            )
+        )
+        top_h = (
+            h2.withColumn("rnk", F.row_number().over(wh))
+            .where(F.col("rnk") <= _HITS_TOPK)
+            .crossJoin(F.broadcast(hm))
+            .select(
+                F.lit("hub").alias("role"),
+                F.col("rnk").cast("int").alias("rank"),
+                F.col("c").alias("id"),
+                F.col("h").alias("score"),
+                F.round(F.col("h").cast("double") / F.col("m"), 6).alias(
+                    "norm_score"
+                ),
+            )
+        )
+        out = top_a.unionAll(top_h)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        pairs.unpersist()
+    return out
+
+
+DEV_CASES = [
+    ("sim_maxsim", sim_maxsim, SIM_MAXSIM_ORACLE),
+    ("mm_wav_energy", mm_wav_energy, MM_WAV_ENERGY_ORACLE),
+    ("stat_chow", stat_chow, STAT_CHOW_ORACLE),
+    ("graph_hits", graph_hits, GRAPH_HITS_ORACLE),
+]

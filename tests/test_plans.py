@@ -367,6 +367,11 @@ _BNLJ_ONE_ROW_BROADCAST = {
     # multi-pattern substring scan has no equi-key by construction; the
     # sweep still requires the build side to be a BroadcastExchange
     "text_substring_contamination",
+    # r46: broadcast BOUNDED query-token set (8 benchmark queries' bigrams,
+    # fixed by the eval set, not the corpus) — the late-interaction
+    # (query-token × corpus-token) product has no equi-key by construction
+    "sim_maxsim",
+    "stat_chow",  # r46: broadcast 1-row day count + 1-row segment SSRs
 }
 
 
