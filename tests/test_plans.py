@@ -372,6 +372,9 @@ _BNLJ_ONE_ROW_BROADCAST = {
     # (query-token × corpus-token) product has no equi-key by construction
     "sim_maxsim",
     "stat_chow",  # r46: broadcast 1-row day count + 1-row segment SSRs
+    # r47: broadcast 1-row global bounds / BOUNDED |event-type| grid side
+    "layout_prune_sim",
+    "stat_friedman",
 }
 
 
