@@ -13,7 +13,12 @@ Contents:
   order metrics melted to (priority, metric, value) rows via the real
   ``DataFrame.unpivot`` API — together they close the reshaping surface
   every BI layer expects from an engine.
-- ``win_range_frame`` — a RANGE (value-based) window frame: per order,
+- ``win_range_frame_days`` — a RANGE (value-based) window frame (renamed
+  from ``win_range_frame`` at the round-10 collision audit: windows_ext.py
+  registered that key in r03 with part-size-frame semantics, so the
+  idempotence guard silently SKIPPED this op at promotion — the
+  win_first_last_event lesson, caught by the REGISTRY-vs-DEV_CASES fn
+  identity sweep): per order,
   the same-customer revenue within ±30 DAYS of its order date —
   semantics ROWS frames cannot express when the series has gaps
   (a ROWS frame counts neighbors; a RANGE frame measures distance).
@@ -140,7 +145,7 @@ def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANGE_DAYS = 30
 
-WIN_RANGE_FRAME_ORACLE = (
+WIN_RANGE_FRAME_DAYS_ORACLE = (
     "WITH o AS ("
     "  SELECT o_orderkey, o_custkey, "
     "  date_diff('day', DATE '1970-01-01', o_orderdate) AS day, "
@@ -153,7 +158,7 @@ WIN_RANGE_FRAME_ORACLE = (
 )
 
 
-def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def win_range_frame_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A RANGE (value-based) window frame: for every order, the count and
     revenue of the SAME customer's orders within ±30 calendar days of
     its order date — semantics a ROWS frame cannot express when order
@@ -360,7 +365,7 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEV_CASES = [
     ("sql_pivot", sql_pivot, SQL_PIVOT_ORACLE),
     ("sql_unpivot", sql_unpivot, SQL_UNPIVOT_ORACLE),
-    ("win_range_frame", win_range_frame, WIN_RANGE_FRAME_ORACLE),
+    ("win_range_frame_days", win_range_frame_days, WIN_RANGE_FRAME_DAYS_ORACLE),
     (
         "event_attribution_shapley",
         event_attribution_shapley,
@@ -375,12 +380,16 @@ from ..registry import B_PREFIXES as _B_PREFIXES
 from ..registry import REGISTRY as _REGISTRY
 from ..registry import register as _register
 
+# round-10 rename holdback: the collision-renamed key stays UNREGISTERED
+# until a verification-window slot frees (round 12 batch) — this round's
+# 50-slot window is exactly full (COVERAGE.md)
+_HOLD_FOR_R12 = {"win_range_frame_days"}
 for _case in DEV_CASES:
     # defensive unpack: preflight_staged tolerates len(case) > 3 variance,
     # so the promoted block must too — a strict 3-tuple unpack would raise
     # ValueError at package import for any future 4-element entry
     _key, _fn, _oracle = _case[0], _case[1], (_case[2] if len(_case) > 2 else None)
-    if _key not in _REGISTRY:  # idempotent under re-import / re-promotion
+    if _key not in _REGISTRY and _key not in _HOLD_FOR_R12:  # idempotent
         _register(
             _key,
             oracle=_oracle,

@@ -16,7 +16,11 @@ Contents:
   of the registered ``stat_mann_whitney`` (unpaired), with the same
   NO-GLOBAL-SORT midrank construction (bucketed distributed prefix-sum,
   doubled ranks kept integral, tie-corrected normal z).
-- ``agg_mode`` — the exact MODE ordered-set aggregate per group (most
+- ``agg_mode_share`` — the exact MODE ordered-set aggregate per group,
+  with its share of the group (renamed from ``agg_mode`` at the round-10
+  collision audit: aggregates_ext.py registered that key in r03 with
+  price-bucket-mode semantics, so the idempotence guard silently SKIPPED
+  this op at promotion) — (most
   frequent order priority per order status, ties → smallest value),
   with its count and share — the categorical central tendency the
   avg/percentile family can't express.
@@ -317,7 +321,7 @@ def stat_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact MODE ordered-set aggregate ---------------------------------------------------
 
-AGG_MODE_ORACLE = (
+AGG_MODE_SHARE_ORACLE = (
     "WITH c AS ("
     "  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS k "
     "  FROM orders GROUP BY 1, 2"
@@ -333,7 +337,7 @@ AGG_MODE_ORACLE = (
 )
 
 
-def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_mode_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact MODE ordered-set aggregate: the most frequent order
     priority per order status (ties → smallest value — a DETERMINISTIC
     mode, unlike SQL engines' arbitrary-tie ``mode()``), with its count
@@ -506,7 +510,7 @@ def event_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEV_CASES = [
     ("graph_modularity", graph_modularity, GRAPH_MODULARITY_ORACLE),
     ("stat_wilcoxon", stat_wilcoxon, STAT_WILCOXON_ORACLE),
-    ("agg_mode", agg_mode, AGG_MODE_ORACLE),
+    ("agg_mode_share", agg_mode_share, AGG_MODE_SHARE_ORACLE),
     ("graph_copurchase", graph_copurchase, GRAPH_COPURCHASE_ORACLE),
     ("event_user_lifecycle", event_user_lifecycle, EVENT_USER_LIFECYCLE_ORACLE),
 ]
@@ -517,12 +521,15 @@ from ..registry import B_PREFIXES as _B_PREFIXES
 from ..registry import REGISTRY as _REGISTRY
 from ..registry import register as _register
 
+# round-10 rename holdback (see staged_r27): stays unregistered until a
+# window slot frees in the round-12 batch
+_HOLD_FOR_R12 = {"agg_mode_share"}
 for _case in DEV_CASES:
     # defensive unpack: preflight_staged tolerates len(case) > 3 variance,
     # so the promoted block must too — a strict 3-tuple unpack would raise
     # ValueError at package import for any future 4-element entry
     _key, _fn, _oracle = _case[0], _case[1], (_case[2] if len(_case) > 2 else None)
-    if _key not in _REGISTRY:  # idempotent under re-import / re-promotion
+    if _key not in _REGISTRY and _key not in _HOLD_FOR_R12:  # idempotent
         _register(
             _key,
             oracle=_oracle,

@@ -286,3 +286,33 @@ def test_mm_embed_guard_passes_in_bound_payloads(spark, tmp_path):
     docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
     rows = {r.vec_id: r for r in mm_embed(spark, sf).collect()}
     assert rows[1].n_bytes == 11 and rows[2].n_bytes == 1000
+
+
+def test_no_staged_key_is_shadowed_by_a_registered_twin():
+    """Round-10 collision audit, made permanent: every staged DEV_CASES key
+    must either be absent from the registry (pure staged inventory) or map
+    to the module's OWN fn (a promoted wave). A registered key owned by a
+    DIFFERENT function means the promotion block's idempotence guard
+    silently skipped the staged op — the win_range_frame/agg_mode class of
+    bug (both renamed + held back this round; win_first_last_event was the
+    r35 precedent). Also pins that the two renamed keys stay HELD BACK
+    until a verification-window slot frees."""
+    import parallel_mapreduce_wordcounting_spark as engine
+    from parallel_mapreduce_wordcounting_spark.operators import staged_modules
+
+    shadowed = []
+    for mod in staged_modules():
+        for case in getattr(mod, "DEV_CASES", []):
+            key, fn = case[0], case[1]
+            spec = engine.REGISTRY.get(key)
+            if spec is not None and spec.fn is not fn:
+                shadowed.append((mod.__name__, key))
+    assert shadowed == []
+    # the renames exist as staged cases under their new names
+    from parallel_mapreduce_wordcounting_spark.operators import (
+        staged_r27,
+        staged_r28,
+    )
+
+    assert any(c[0] == "win_range_frame_days" for c in staged_r27.DEV_CASES)
+    assert any(c[0] == "agg_mode_share" for c in staged_r28.DEV_CASES)

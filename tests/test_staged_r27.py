@@ -97,7 +97,7 @@ def test_range_frame_python_sweep(spark, duck):
             expect[ok] = (len(near), sum(c for _, c in near))
     got = {
         r.o_orderkey: (r.n_near, r.near_cents)
-        for r in staged_r27.win_range_frame(spark, SF_DIR).collect()
+        for r in staged_r27.win_range_frame_days(spark, SF_DIR).collect()
     }
     assert got == expect
     # the RANGE semantics bite: some order's frame must EXCLUDE a

@@ -133,7 +133,7 @@ def test_wilcoxon_sorted_midranks(spark, duck):
 
 
 def test_mode_dict_counting(spark, duck):
-    rows = {r.o_orderstatus: r for r in staged_r28.agg_mode(spark, SF_DIR).collect()}
+    rows = {r.o_orderstatus: r for r in staged_r28.agg_mode_share(spark, SF_DIR).collect()}
     data = duck.execute(
         "SELECT o_orderstatus, o_orderpriority FROM orders"
     ).fetchall()
