@@ -375,6 +375,7 @@ _BNLJ_ONE_ROW_BROADCAST = {
     # r47: broadcast 1-row global bounds / BOUNDED |event-type| grid side
     "layout_prune_sim",
     "stat_friedman",
+    "agg_theil_index",  # r49: broadcast 1-row (n, Σx) totals
 }
 
 
