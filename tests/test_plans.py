@@ -376,6 +376,10 @@ _BNLJ_ONE_ROW_BROADCAST = {
     "layout_prune_sim",
     "stat_friedman",
     "agg_theil_index",  # r49: broadcast 1-row (n, Σx) totals
+    # r50: broadcast 1-row arm total / max-day / grid count + 1-row median
+    "sample_ab_assignment",
+    "warehouse_retention_vacuum",
+    "stat_mood_median",
 }
 
 
