@@ -380,6 +380,9 @@ _BNLJ_ONE_ROW_BROADCAST = {
     "sample_ab_assignment",
     "warehouse_retention_vacuum",
     "stat_mood_median",
+    # r51: broadcast 1-row epoch minimum / variance totals
+    "fn_snowflake_decode",
+    "stat_mann_kendall_seasonal",
 }
 
 
