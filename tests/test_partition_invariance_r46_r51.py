@@ -1,0 +1,66 @@
+"""Partition-count invariance for the round-10 staged waves (r46–r51):
+every DEV_CASES operator must produce the IDENTICAL result multiset at
+``spark.sql.shuffle.partitions`` 3 and the suite default — the
+certification that no output depends on accumulation order, partition
+boundaries, or ``first()``-style nondeterminism (SCALE.md "Float
+determinism": money sums are verified bit-identical across partition
+counts 3 vs 200; this extends the check to the whole new-wave surface).
+
+Ops that stage fixture blobs re-stage idempotently, so running twice in
+one session is safe by construction (each staging wipes its own dir)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_mapreduce_wordcounting_spark.operators import staged_modules
+
+from .conftest import SF_DIR, _norm
+
+_WAVES = tuple(range(46, 52))
+
+
+def _new_wave_cases():
+    out = []
+    for mod in staged_modules():
+        n = int(mod.__name__.rsplit("_r", 1)[1])
+        if n in _WAVES:
+            out.extend((c[0], c[1]) for c in mod.DEV_CASES)
+    return out
+
+
+CASES = _new_wave_cases()
+
+
+def _collect_sorted(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(_norm(getattr(r, c)) for c in cols) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("name,fn", CASES, ids=[c[0] for c in CASES])
+def test_result_is_partition_count_invariant(spark, name, fn):
+    base = _collect_sorted(fn(spark, SF_DIR))
+    assert base, name  # nonvacuous under the default layout
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        skewed = _collect_sorted(fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert skewed == base, name
+
+
+def test_sweep_covers_all_six_waves():
+    names = {n for n, _ in CASES}
+    assert len(CASES) == 24  # 6 waves × 4 ops
+    for probe in (
+        "sim_maxsim",
+        "pipeline_dp_histogram",
+        "mm_zip_index",
+        "agg_theil_index",
+        "stat_mood_median",
+        "mm_color_quantize",
+    ):
+        assert probe in names
