@@ -1,4 +1,4 @@
-"""Partition-count invariance for the round-10 staged waves (r46–r51):
+"""Partition-count invariance for the round-10-authored staged waves (r46+):
 every DEV_CASES operator must produce the IDENTICAL result multiset at
 ``spark.sql.shuffle.partitions`` 3 and the suite default — the
 certification that no output depends on accumulation order, partition
@@ -17,7 +17,7 @@ from parallel_mapreduce_wordcounting_spark.operators import staged_modules
 
 from .conftest import SF_DIR, _norm
 
-_WAVES = tuple(range(46, 52))
+_WAVES = tuple(range(46, 53))
 
 
 def _new_wave_cases():
@@ -52,9 +52,9 @@ def test_result_is_partition_count_invariant(spark, name, fn):
     assert skewed == base, name
 
 
-def test_sweep_covers_all_six_waves():
+def test_sweep_covers_all_waves():
     names = {n for n, _ in CASES}
-    assert len(CASES) == 24  # 6 waves × 4 ops
+    assert len(CASES) == 28  # 7 waves × 4 ops
     for probe in (
         "sim_maxsim",
         "pipeline_dp_histogram",
@@ -62,5 +62,6 @@ def test_sweep_covers_all_six_waves():
         "agg_theil_index",
         "stat_mood_median",
         "mm_color_quantize",
+        "pipeline_epoch_scheduler",
     ):
         assert probe in names

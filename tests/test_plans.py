@@ -383,6 +383,9 @@ _BNLJ_ONE_ROW_BROADCAST = {
     # r51: broadcast 1-row epoch minimum / variance totals
     "fn_snowflake_decode",
     "stat_mann_kendall_seasonal",
+    # r52: broadcast 1-row budget/level/stat frames (|sources|-row plan)
+    "pipeline_epoch_scheduler",
+    "join_cardinality_estimate",
 }
 
 
