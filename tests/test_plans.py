@@ -386,6 +386,10 @@ _BNLJ_ONE_ROW_BROADCAST = {
     # r52: broadcast 1-row budget/level/stat frames (|sources|-row plan)
     "pipeline_epoch_scheduler",
     "join_cardinality_estimate",
+    # r53: broadcast 1-row corpus max / day count / O-E-V totals
+    "stat_logrank",
+    "stat_block_bootstrap",
+    "stat_icc",
 }
 
 
