@@ -390,6 +390,10 @@ _BNLJ_ONE_ROW_BROADCAST = {
     "stat_logrank",
     "stat_block_bootstrap",
     "stat_icc",
+    # r54: broadcast CALENDAR-bounded half-series (days²/4 pair terms) /
+    # 1-row median & count frames
+    "stat_energy_distance",
+    "dq_cardinality_drift",
 }
 
 
