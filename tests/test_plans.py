@@ -394,6 +394,9 @@ _BNLJ_ONE_ROW_BROADCAST = {
     # 1-row median & count frames
     "stat_energy_distance",
     "dq_cardinality_drift",
+    # r55: broadcast 1-row totals / containment counts
+    "text_prefix_cache_value",
+    "join_fk_discovery",
 }
 
 
