@@ -397,6 +397,8 @@ _BNLJ_ONE_ROW_BROADCAST = {
     # r55: broadcast 1-row totals / containment counts
     "text_prefix_cache_value",
     "join_fk_discovery",
+    # r56: broadcast 1-row counts / q-hat order statistic
+    "stat_conformal_interval",
 }
 
 
