@@ -532,7 +532,11 @@ def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).alias("rk"),
     )
     return (
-        r.groupBy(((F.col("rk") - 1) % _KFOLDS).alias("fold"), "lang")
+        # cast matches the oracle's BIGINT fold (row_number is int32 in
+        # Spark, bigint in DuckDB — the r10 output-type parity fix)
+        r.groupBy(
+            ((F.col("rk") - 1) % _KFOLDS).cast("long").alias("fold"), "lang"
+        )
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("tot_chars"),

@@ -238,7 +238,7 @@ def _assortativity_oracle() -> str:
         "  CAST(sum(CAST(j AS HUGEINT) + k) AS HUGEINT) AS sjk1, "
         "  CAST(sum(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k) "
         "  AS HUGEINT) AS sjk2 FROM ed"
-        ") SELECT m2 / 2 AS m, "
+        ") SELECT m2 // 2 AS m, "  # integer: m2 is the even half-edge count
         "round((CAST(4 * m2 * sjk - sjk1 * sjk1 AS DOUBLE)) / nullif("
         "CAST(2 * m2 * sjk2 - sjk1 * sjk1 AS DOUBLE), 0.0), 6) "
         "AS r_assortativity "
