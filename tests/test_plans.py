@@ -399,6 +399,12 @@ _BNLJ_ONE_ROW_BROADCAST = {
     "join_fk_discovery",
     # r56: broadcast 1-row counts / q-hat order statistic
     "stat_conformal_interval",
+    # r57: broadcast 1-row corpus end / totals / replicate spine /
+    # trend sufficient statistics
+    "stat_km_greenwood_ci",
+    "dq_hash_uniformity",
+    "sample_poisson_bootstrap",
+    "stat_press",
 }
 
 
