@@ -17,7 +17,7 @@ from parallel_mapreduce_wordcounting_spark.operators import staged_modules
 
 from .conftest import SF_DIR, _norm
 
-_WAVES = tuple(range(46, 58))
+_WAVES = tuple(range(46, 59))
 
 
 def _new_wave_cases():
@@ -54,7 +54,7 @@ def test_result_is_partition_count_invariant(spark, name, fn):
 
 def test_sweep_covers_all_waves():
     names = {n for n, _ in CASES}
-    assert len(CASES) == 48  # 12 waves × 4 ops
+    assert len(CASES) == 52  # 13 waves × 4 ops
     for probe in (
         "sim_maxsim",
         "pipeline_dp_histogram",
@@ -68,5 +68,6 @@ def test_sweep_covers_all_waves():
         "join_fk_discovery",
         "pipeline_dataset_hash",
         "stat_km_greenwood_ci",
+        "stat_pacf",
     ):
         assert probe in names

@@ -405,6 +405,10 @@ _BNLJ_ONE_ROW_BROADCAST = {
     "dq_hash_uniformity",
     "sample_poisson_bootstrap",
     "stat_press",
+    # r58: broadcast BOUNDED size spine / tiny type grid / 1-row ACF stats
+    "stat_hurst_rs",
+    "stat_cronbach_alpha",
+    "stat_pacf",
 }
 
 
