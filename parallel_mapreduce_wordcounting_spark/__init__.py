@@ -77,6 +77,15 @@ from .operators import (  # noqa: F401,E402
     staged_r28,
     staged_r29,
     staged_r30,
+    staged_r31,
+    staged_r32,
+    staged_r33,
+    staged_r34,
+    staged_r35,
+    staged_r36,
+    staged_r37,
+    staged_r38,
+    staged_r39,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

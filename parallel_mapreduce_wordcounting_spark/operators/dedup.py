@@ -810,37 +810,75 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     farms and scraped aggregators are exactly this shape). Pairs where
     either direction clears 0.8 are emitted with both directional scores.
 
-    Scale: same inverted-index join as dedup_ngram_jaccard — explode to
-    (doc, shingle) postings, self-join on the shingle, count shared
-    shingles per pair (Σ freq², never all-pairs), divide by each side's
-    set size. The Jaccard form prunes candidates by symmetric overlap;
-    containment keeps any pair the SMALLER side is covered by."""
-    sh = shingle_sets(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    posts = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = posts.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = posts.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    shared = (
-        a.join(b, ["shingle"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("c"))
+    Scale — ONE-SIDED prefix filter (the r10 verdict's flagged hub
+    quadratic: the old postings self-join fanned a boilerplate shingle
+    shared by n docs into O(n²) candidates before any division). The
+    emission condition ``C(A,B) ≥ τ OR C(B,A) ≥ τ`` is exactly
+    ``|A∩B| ≥ ⌈τ·min(|A|,|B|)⌉`` (the larger containment is
+    overlap/min), so for the SMALLER side s of any qualifying pair, with
+    t = ⌈τ·|s|⌉, the shared set (size ≥ t) cannot fit inside s's last
+    t−1 shingles under s's own (df ASC, shingle) order — at least one
+    shared shingle sits in s's ``|s| − t + 1``-prefix
+    (:func:`ngram_prefix_postings`, the AllPairs bound, which at τ=0.8
+    keeps only ~20% of each document). Candidates are therefore
+    prefix(smaller) ⋈ full(larger) on the shingle — LOSSLESS, and unlike
+    the two-sided Jaccard filter it needs no global order agreement
+    between the sides, only the smaller side's own suffix bound. The hub
+    shingle is the most frequent token, sorts last in every document's
+    order, falls outside every prefix, and generates ZERO candidates
+    (pinned on a planted-hub corpus in tests/test_round11.py); the
+    larger side's full postings only meet PREFIX entries, so fan-out per
+    shingle is df_prefix(s)·df(s), not df(s)². Candidates are then
+    verified with the exact JVM-side ``array_intersect`` over the full
+    shingle arrays — output is bitwise identical to the unfiltered
+    all-pairs oracle."""
+    return containment_pairs_of(shingle_sets(spark, sf_dir), CONTAINMENT_THRESHOLD)
+
+
+def containment_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
+    """Exact containment pairs (either direction ≥ ``tau``) over a
+    (doc_id, shingles) frame — the one-sided-prefix engine behind
+    :func:`dedup_containment` (docstring there), factored out so the hub
+    pruning and losslessness are directly testable on planted corpora
+    (tests/test_round11.py, the ngram_jaccard_pairs_of pattern)."""
+    pref = ngram_prefix_postings(sh, tau)
+    posts = sh.select(
+        F.col("doc_id").alias("doc_id_big"),
+        F.explode("shingles").alias("shingle"),
+        F.size("shingles").alias("n_big"),
+    )
+    cand = (
+        pref.select(
+            F.col("doc_id").alias("doc_id_small"), "shingle", F.col("n_sh").alias("n_small")
+        )
+        .join(posts, "shingle")
+        # the prefix side must be the smaller-or-equal side of the pair
+        # (ties: either doc's prefix is a valid witness, so <= with the
+        # self-pair excluded keeps both orientations and distinct() below
+        # collapses them)
+        .where(
+            (F.col("n_small") <= F.col("n_big"))
+            & (F.col("doc_id_small") != F.col("doc_id_big"))
+        )
+        .select(
+            F.least("doc_id_small", "doc_id_big").alias("doc_id_a"),
+            F.greatest("doc_id_small", "doc_id_big").alias("doc_id_b"),
+        )
+        .distinct()
     )
     out = (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sa")),
             "doc_id_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sb")),
             "doc_id_b",
         )
-        .withColumn("ca", F.col("c") / F.col("na"))
-        .withColumn("cb", F.col("c") / F.col("nb"))
-        .where(
-            (F.col("ca") >= CONTAINMENT_THRESHOLD)
-            | (F.col("cb") >= CONTAINMENT_THRESHOLD)
-        )
+        .withColumn("c", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("ca", F.col("c") / F.size("sa"))
+        .withColumn("cb", F.col("c") / F.size("sb"))
+        .where((F.col("ca") >= tau) | (F.col("cb") >= tau))
     )
     return out.select(
         "doc_id_a",

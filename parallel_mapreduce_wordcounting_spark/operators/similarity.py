@@ -454,7 +454,7 @@ SIM_TOPK_BLOCKED_ORACLE = (
 )
 
 
-@register("sim_topk_blocked", oracle=None, tier="B")
+@register("sim_topk_blocked", oracle=SIM_TOPK_BLOCKED_ORACLE, tier="B")
 def sim_topk_blocked(
     spark: SparkSession, sf_dir: str, n_centroids: int = 64, nprobe: int = 6
 ) -> DataFrame:

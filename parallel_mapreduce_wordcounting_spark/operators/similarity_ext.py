@@ -483,7 +483,7 @@ SIM_PQ_ORACLE = (
 )
 
 
-@register("sim_pq", oracle=None, tier="B")
+@register("sim_pq", oracle=SIM_PQ_ORACLE, tier="B")
 def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REGISTERED form of :func:`sim_pq_search` — a one-row
     certification census (the dedup_lsh_cosine_census /

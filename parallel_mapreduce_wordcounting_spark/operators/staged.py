@@ -175,7 +175,7 @@ AGG_SKETCH_MERGE_ORACLE = (
 )
 
 
-@register("agg_sketch_merge", oracle=None, tier="B")
+@register("agg_sketch_merge", oracle=AGG_SKETCH_MERGE_ORACLE, tier="B")
 def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REGISTERED form of :func:`agg_sketch_merge_estimates` — the
     same day-spine rows, re-projected onto hash-certifiable facts (the

@@ -912,7 +912,7 @@ DEDUP_LSH_COSINE_ORACLE = (
 )
 
 
-@register("dedup_lsh_cosine", oracle=None, tier="B")
+@register("dedup_lsh_cosine", oracle=DEDUP_LSH_COSINE_ORACLE, tier="B")
 def dedup_lsh_cosine_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REGISTERED form of :func:`dedup_lsh_cosine` — a one-row
     recall census instead of the raw pair stream, because the raw

@@ -141,6 +141,14 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # hash verdicts attest the unfiltered plan.
     "dedup_ngram_jaccard": 10,
     "sim_sparse_cosine": 10,
+    # r11: gained the ONE-SIDED AllPairs prefix filter (the r10 verdict's
+    # flagged hub quadratic — prefix(smaller) ⋈ full(larger) replaces the
+    # unfiltered postings self-join; output bitwise unchanged, parity
+    # re-tested at sf0.001/0.01 and hub pruning pinned in
+    # tests/test_round11.py), but the newest hash verdict attests the
+    # unfiltered plan. Alphabetical tier-1 order puts this ahead of
+    # sim_sparse_cosine, whose reverify slides to a round-12 spare slot.
+    "dedup_containment": 11,
 }
 # Back-compat aliases (tests and scripts consume these shapes)
 REVERIFY_KEYS = frozenset(REVERIFY_MIN_ROUNDS)
