@@ -178,17 +178,24 @@ LAYOUT_PRUNE_SIM_ORACLE = (
     "  SELECT rn // (SELECT m FROM rpf) AS f, min(d) AS mn, max(d) AS mx, "
     "  CAST(count(*) AS BIGINT) AS nr FROM srt GROUP BY 1"
     "), srtstats AS ("
+    # any-match short-circuit mirrors the Spark closed form: when the band
+    # is empty (n_match = 0) a sorted layout scans NOTHING — the
+    # materialized zone map alone would still charge the one file whose
+    # [mn, mx] straddles the band across a value gap (r10 ADVICE)
     "  SELECT 'shipdate_sorted' AS layout, CAST(count(*) AS BIGINT) AS n_files, "
-    "  CAST(sum(CASE WHEN mx >= (SELECT lo FROM pred) "
-    "    AND mn <= (SELECT hi FROM pred) THEN 1 ELSE 0 END) AS BIGINT)"
+    "  CAST(CASE WHEN (SELECT n_match FROM tot) = 0 THEN 0 ELSE "
+    "  sum(CASE WHEN mx >= (SELECT lo FROM pred) "
+    "    AND mn <= (SELECT hi FROM pred) THEN 1 ELSE 0 END) END AS BIGINT)"
     "    AS files_scanned, "
-    "  CAST(sum(CASE WHEN mx >= (SELECT lo FROM pred) "
-    "    AND mn <= (SELECT hi FROM pred) THEN nr ELSE 0 END) AS BIGINT)"
+    "  CAST(CASE WHEN (SELECT n_match FROM tot) = 0 THEN 0 ELSE "
+    "  sum(CASE WHEN mx >= (SELECT lo FROM pred) "
+    "    AND mn <= (SELECT hi FROM pred) THEN nr ELSE 0 END) END AS BIGINT)"
     "    AS rows_scanned FROM srtf"
     ") SELECT layout, n_files, files_scanned, rows_scanned, "
     "(SELECT n_match FROM tot) AS rows_matched, "
     "round(1.0 - CAST(files_scanned AS DOUBLE) / n_files, 6) AS skip_frac, "
-    "round(CAST(rows_scanned AS DOUBLE) / (SELECT n_match FROM tot), 6)"
+    "round(CAST(rows_scanned AS DOUBLE) "
+    "  / NULLIF((SELECT n_match FROM tot), 0), 6)"
     "  AS read_amplification "
     "FROM (SELECT * FROM natstats UNION ALL SELECT * FROM srtstats)"
 )
@@ -312,8 +319,12 @@ def layout_prune_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("s.n_files"),
                     6,
                 ).alias("skip_frac"),
+                # try_divide: NULL (not an ANSI abort) when the band is
+                # empty, matching the oracle's NULLIF(n_match, 0)
                 F.round(
-                    F.col("s.rows_scanned").cast("double") / F.col("n_match"),
+                    F.try_divide(
+                        F.col("s.rows_scanned").cast("double"), F.col("n_match")
+                    ),
                     6,
                 ).alias("read_amplification"),
             )

@@ -247,6 +247,10 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < _ENT_DOCS)
+        # length >= 2: sequence(1, length-1) DESCENDS ([1, 0], never
+        # empty) on shorter docs — spurious bigram rows the oracle's
+        # range(1, length(text)) never generates (r10 ADVICE)
+        .where(F.length("text") >= 2)
         .select("doc_id", "text")
     )
     ch = (

@@ -172,15 +172,22 @@ DQ_HASH_UNIFORMITY_ORACLE = (
     f"  SELECT CAST({_ORACLE_KEY_H60} AS BIGINT) % {_HU_BUCKETS} AS b"
     "  FROM (SELECT CAST(doc_id AS VARCHAR) AS w FROM documents)"
     "), c AS (SELECT b, CAST(count(*) AS HUGEINT) AS k FROM h GROUP BY b), "
+    # zero-fill the 0..63 spine: an EMPTY bucket contributes its full
+    # n/64 expected-count term ((64·0 − n)²/(64n)), so chi2 is the
+    # textbook statistic precisely in the degenerate-hash regime the
+    # certification exists to catch (r10 ADVICE — the occupied-buckets
+    # sum understated it whenever buckets_used < 64)
+    "cz AS (SELECT s.b, coalesce(c.k, CAST(0 AS HUGEINT)) AS k "
+    f"  FROM range(0, {_HU_BUCKETS}) s(b) LEFT JOIN c ON c.b = s.b), "
     "tot AS (SELECT CAST(sum(k) AS HUGEINT) AS n, "
-    "  CAST(count(*) AS BIGINT) AS used FROM c) "
+    "  CAST(count(*) FILTER (WHERE k > 0) AS BIGINT) AS used FROM cz) "
     "SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_keys, "
     f"{_HU_BUCKETS} AS n_buckets, (SELECT used FROM tot) AS buckets_used, "
     "CAST(max(k) AS BIGINT) AS max_bucket, "
     f"round(sum(CAST(({_HU_BUCKETS} * k - (SELECT n FROM tot))"
     f" * ({_HU_BUCKETS} * k - (SELECT n FROM tot)) AS DOUBLE))"
     f" / CAST({_HU_BUCKETS} * (SELECT n FROM tot) AS DOUBLE), 6) AS chi2 "
-    "FROM c"
+    "FROM cz"
 )
 
 
@@ -188,7 +195,11 @@ def dq_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring. One hash-bucket aggregate + a 1-row census
     — the cheapest possible certification of the hash the whole engine
     leans on. χ² numerators are the exact integers (Bk − n)², so both
-    engines divide the same values once."""
+    engines divide the same values once. Empty buckets are zero-filled
+    from a broadcast 0..63 spine before the χ² reduce (each contributes
+    its n/64 expected-count term), so the statistic is the textbook
+    value even when buckets_used < 64 — the degenerate-hash regime the
+    certification exists to catch (r10 ADVICE)."""
     d = load_table(spark, sf_dir, "documents")
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
@@ -198,10 +209,15 @@ def dq_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = d.select((h % _HU_BUCKETS).alias("b")).groupBy("b").agg(
         F.count(F.lit(1)).cast(_D38).alias("k")
     )
-    tot = c.agg(
-        F.sum("k").alias("n"), F.count(F.lit(1)).cast("long").alias("used")
+    spine = spark.range(_HU_BUCKETS).select(F.col("id").cast("long").alias("b"))
+    cz = spine.join(c, "b", "left").select(
+        "b", F.coalesce("k", F.lit(0).cast(_D38)).alias("k")
     )
-    j = c.crossJoin(F.broadcast(tot))
+    tot = cz.agg(
+        F.sum("k").alias("n"),
+        F.sum(F.when(F.col("k") > 0, 1).otherwise(0)).cast("long").alias("used"),
+    )
+    j = cz.crossJoin(F.broadcast(tot))
     dev = F.lit(_HU_BUCKETS).cast(_D38) * F.col("k") - F.col("n")
     return j.agg(
         F.first("n").cast("long").alias("n_keys"),

@@ -93,3 +93,29 @@ def test_containment_keeps_subdocument_pair(spark):
     assert got == _brute_containment(sets, CONTAINMENT_THRESHOLD)
     assert (0, 1, 1.0, 0.25) in got  # sub-document containment
     assert (0, 2, 1.0, 1.0) in got  # equal-size twins
+
+
+# --- mm_binary_surface: real P6 decode branch --------------------------------
+
+
+def test_mm_binary_surface_decodes_planted_ppm(spark, tmp_path):
+    """A payload that IS a raster (P6 PPM, raw RGB — valid utf-8 when the
+    pixel bytes stay < 0x80) must get its width/height from the REAL
+    header parse, not the byte-arithmetic fallback (r10 verdict item 6):
+    6×6 here, where the fallback would report (len % 640 + 1, 'P'+1)."""
+    from parallel_mapreduce_wordcounting_spark.operators.multimodal import (
+        mm_binary_surface,
+    )
+
+    w, h = 6, 6
+    px = bytes((i * 7) % 128 for i in range(w * h * 3))
+    ppm_text = (f"P6\n{w} {h}\n255\n".encode() + px).decode("utf-8")
+    assert len(ppm_text.encode("utf-8")) >= 100  # clears the size filter
+    plain = "x" * 120  # control doc: fallback path
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, ppm_text), (2, plain)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {r.doc_id: r for r in mm_binary_surface(spark, sf).collect()}
+    assert (rows[1].width, rows[1].height) == (w, h)  # real decode
+    assert (rows[2].width, rows[2].height) == (121, ord("x") + 1)  # fallback
