@@ -53,6 +53,9 @@ BENCH_KEYS = [
     "stat_ks_test",
     "graph_triangle_stats",
     "pipeline_split_leakage",
+    # round-11 headliner: containment dedup, re-benched on the new
+    # one-sided AllPairs prefix filter (hub-quadratic removed)
+    "dedup_containment",
 ]
 
 # Pinned per-query shuffle parallelism (VERDICT r7 item 6): r6→r7 showed

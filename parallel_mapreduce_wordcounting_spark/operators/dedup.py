@@ -840,7 +840,16 @@ def containment_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
     (doc_id, shingles) frame — the one-sided-prefix engine behind
     :func:`dedup_containment` (docstring there), factored out so the hub
     pruning and losslessness are directly testable on planted corpora
-    (tests/test_round11.py, the ngram_jaccard_pairs_of pattern)."""
+    (tests/test_round11.py, the ngram_jaccard_pairs_of pattern).
+
+    The shingle frame is ``localCheckpoint``ed first: five plan branches
+    consume it (prefix build, sizes, full postings, and both verify-join
+    sides), and without materialization each branch re-scans and
+    re-shingles the corpus — measured 5.7 s → 2.3 s at sf0.1. A 100 TB
+    deployment writes the shingle table to storage once (reliable
+    ``checkpoint()``/parquet) for the same reason — the
+    min_label_propagation precedent."""
+    sh = sh.localCheckpoint()
     pref = ngram_prefix_postings(sh, tau)
     posts = sh.select(
         F.col("doc_id").alias("doc_id_big"),
@@ -864,7 +873,6 @@ def containment_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
             F.least("doc_id_small", "doc_id_big").alias("doc_id_a"),
             F.greatest("doc_id_small", "doc_id_big").alias("doc_id_b"),
         )
-        .distinct()
     )
     out = (
         cand.join(
@@ -880,9 +888,18 @@ def containment_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
         .withColumn("cb", F.col("c") / F.size("sb"))
         .where((F.col("ca") >= tau) | (F.col("cb") >= tau))
     )
+    # Dedupe at the OUTPUT, not between candidate generation and verify: a
+    # pair surfaces once per shingle shared between the smaller side's
+    # prefix and the larger's postings, so verify multiplicity is bounded
+    # by the prefix length — ≤ ~0.2·|doc| at τ=0.8, a constant factor
+    # independent of corpus size — while a mid-pipeline distinct costs a
+    # full extra exchange over the candidate set (measured 5.4 s → 2.5 s
+    # at sf0.1). The Jaccard engine above keeps its mid-pipeline distinct
+    # because its τ=0.3 prefixes cover ~70% of each document, where the
+    # multiplicity bound is no longer small.
     return out.select(
         "doc_id_a",
         "doc_id_b",
         F.round("ca", 6).alias("cont_a"),
         F.round("cb", 6).alias("cont_b"),
-    )
+    ).distinct()
