@@ -179,6 +179,55 @@ ALLOW = {
     # day-grain series (event_seasonal_decompose precedent)
     "staged:event_seasonality_strength": {"GlobalWindow"},
     "event_seasonality_strength": {"GlobalWindow"},
+    # staged_r44 (audited round 11): the DW lag rides the day-grain
+    # residual series (stat_autocorr precedent); the decontamination
+    # needle set broadcast is capped at _DECONTAM_MAX_NEEDLES rows by the
+    # doc_id < _DECONTAM_ID_CAP slice (bounded broadcast × one big-side
+    # scan IS the documented 100 TB shape)
+    "staged:stat_durbin_watson": {"GlobalWindow"},
+    "stat_durbin_watson": {"GlobalWindow"},
+    "staged:text_substring_contamination": {"BroadcastNestedLoopJoin"},
+    "text_substring_contamination": {"BroadcastNestedLoopJoin"},
+    # staged_r45: Spearman-on-|residual| ranks ride the day-grain series
+    # (stat_spearman precedent)
+    "staged:stat_het_spearman": {"GlobalWindow"},
+    "stat_het_spearman": {"GlobalWindow"},
+    # staged_r46: the Chow split regressions ride the day-grain series
+    # (stat_spearman precedent)
+    "staged:stat_chow": {"GlobalWindow"},
+    "stat_chow": {"GlobalWindow"},
+    # staged_r57: Greenwood windows ride event_survival's per-duration
+    # aggregate (≤ corpus span in hours — the event_survival entry above);
+    # PRESS rides the day-grain trend series
+    "staged:stat_km_greenwood_ci": {"GlobalWindow"},
+    "stat_km_greenwood_ci": {"GlobalWindow"},
+    "staged:stat_press": {"GlobalWindow"},
+    "stat_press": {"GlobalWindow"},
+    # staged_r58: Durbin–Levinson recursion over the 7 ACF lag rows +
+    # day-grain indexing (stat_autocorr precedent)
+    "staged:stat_pacf": {"GlobalWindow"},
+    "stat_pacf": {"GlobalWindow"},
+    # staged_r46: the query-token set broadcast is bounded by the
+    # benchmark, not the corpus — the late-interaction reranker shape
+    # (ColBERT ships the query matrix); corpus cost stays linear
+    "staged:sim_maxsim": {"BroadcastNestedLoopJoin"},
+    "sim_maxsim": {"BroadcastNestedLoopJoin"},
+    # staged_r53/staged_r55: moving-block spine and rank/lag windows ride
+    # the day-grain series (stat_spearman precedent)
+    "staged:stat_block_bootstrap": {"GlobalWindow"},
+    "stat_block_bootstrap": {"GlobalWindow"},
+    "staged:stat_bartels_rank": {"GlobalWindow"},
+    "stat_bartels_rank": {"GlobalWindow"},
+    # staged_r42: greedy whole-source fill — the cumulative-budget window
+    # runs over the |sources|-row aggregate (pipeline_filter_funnel
+    # precedent), never the corpus
+    "staged:pipeline_anneal_mix": {"GlobalWindow"},
+    "pipeline_anneal_mix": {"GlobalWindow"},
+    # staged_r57: the replicate-spine row_number rides the day-grain
+    # series (stat_spearman precedent); the B×rows grid is a bounded
+    # generated frame
+    "staged:sample_poisson_bootstrap": {"GlobalWindow"},
+    "sample_poisson_bootstrap": {"GlobalWindow"},
 }
 
 

@@ -1,10 +1,12 @@
-"""Partition-count invariance for the round-10-authored staged waves (r46+):
-every DEV_CASES operator must produce the IDENTICAL result multiset at
+"""Partition-count invariance for ALL staged waves (r31–r58): every
+DEV_CASES operator must produce the IDENTICAL result multiset at
 ``spark.sql.shuffle.partitions`` 3 and the suite default — the
 certification that no output depends on accumulation order, partition
 boundaries, or ``first()``-style nondeterminism (SCALE.md "Float
 determinism": money sums are verified bit-identical across partition
-counts 3 vs 200; this extends the check to the whole new-wave surface).
+counts 3 vs 200; this extends the check to the whole wave surface).
+Originally r46+ only; extended to r31–r45 in round 11 when those waves
+entered (r31–r39) or queued for (r40–r45) the registered surface.
 
 Ops that stage fixture blobs re-stage idempotently, so running twice in
 one session is safe by construction (each staging wipes its own dir)."""
@@ -17,7 +19,7 @@ from parallel_mapreduce_wordcounting_spark.operators import staged_modules
 
 from .conftest import SF_DIR, _norm
 
-_WAVES = tuple(range(46, 59))
+_WAVES = tuple(range(31, 59))
 
 
 def _new_wave_cases():
@@ -54,8 +56,10 @@ def test_result_is_partition_count_invariant(spark, name, fn):
 
 def test_sweep_covers_all_waves():
     names = {n for n, _ in CASES}
-    assert len(CASES) == 52  # 13 waves × 4 ops
+    assert len(CASES) == 117  # r31–r45: 65 ops; r46–r58: 13 waves × 4
     for probe in (
+        "win_first_last_event",
+        "mm_magic_sniff",
         "sim_maxsim",
         "pipeline_dp_histogram",
         "mm_zip_index",
