@@ -67,6 +67,14 @@ SHOWCASE = {
     "hub shingle sorts last, leaves every prefix, and fans out ZERO "
     "pairs (measured: flat 15 s at 60k hub docs where the unfiltered "
     "core extrapolates to 1.8e9 candidates).",
+    "dedup_containment": "Containment pairs (round-11 form): ONE-SIDED "
+    "AllPairs prefix filter - the emission condition equals overlap >= "
+    "ceil(tau*min(|A|,|B|)), so prefix(smaller) joins FULL postings of "
+    "the larger side (no global-order agreement needed, lossless); the "
+    "shingle frame is localCheckpoint-materialized once for its five "
+    "consumer branches, and candidate dedup rides the (tiny) output "
+    "instead of a mid-pipeline exchange (multiplicity bounded by the "
+    "tau=0.8 prefix length, ~0.2*|doc|). 5.7 s -> 2.0 s at sf0.1.",
 }
 
 
