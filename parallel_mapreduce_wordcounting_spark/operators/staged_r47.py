@@ -329,7 +329,10 @@ def layout_prune_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("read_amplification"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         li.unpersist()
     return out

@@ -343,7 +343,10 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("chi2"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         g.unpersist()
     return out

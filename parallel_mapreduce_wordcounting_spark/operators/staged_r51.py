@@ -298,7 +298,10 @@ def stat_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z"),
             (F.abs(z) > _MK_Z_CUTOFF).alias("trend_detected"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         s.unpersist()
     return out
@@ -338,34 +341,33 @@ def mm_color_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one vectorized ``>> 5`` and packs the palette key with shifts —
     per-blob O(pixels), Arrow-batched. The census output is
     per-image-bounded (≤512 colors), so nothing row-linear leaves the
-    executor."""
-    import hashlib
-    import os
-    import tempfile
+    executor.
+
+    The fixture is PRE-MATERIALIZED once per sf_dir (r11 verdict item 6:
+    registered mm keys must eat real files, not re-synthesize on the
+    driver every run) — steady state is a manifest check + pure
+    binaryFile scan; only the bounded doc_id list is collected."""
+    from ..sources.binfix import ensure_blob_fixture, ppm_p6_payload
 
     d = (
         load_table(spark, sf_dir, "documents")
         .where((F.col("doc_id") >= _CQ_DOC_LO) & (F.col("doc_id") < _CQ_DOC_HI))
         .select("doc_id")
     )
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"pmrwc_cq_{os.getuid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    for stale in os.listdir(stage):
-        os.unlink(os.path.join(stage, stale))
-    for r in d.collect():  # 40 bounded fixture rows — staging only
-        w, h = 8 + r.doc_id % 8, 6 + r.doc_id % 6
-        px = bytes((r.doc_id * 31 + k * 7) % 256 for k in range(w * h * 3))
-        with open(f"{stage}/{r.doc_id}.ppm", "wb") as f:
-            f.write(f"P6\n{w} {h}\n255\n".encode() + px)
-    if not os.listdir(stage):
+    ids = sorted(r.doc_id for r in d.collect())  # ≤40 rows — fixture key only
+    if not ids:
         return spark.createDataFrame(
             [],
             "doc_id long, n_colors long, n_pixels long, top_color long, "
             "top_count long",
         )
+    stage = ensure_blob_fixture(
+        "cq",
+        sf_dir,
+        version=1,
+        names=[f"{i}.ppm" for i in ids],
+        payload_of=lambda name: ppm_p6_payload(int(name.split(".")[0])),
+    )
     blobs = spark.read.format("binaryFile").load(f"{stage}/*.ppm").select(
         "path", "content"
     )

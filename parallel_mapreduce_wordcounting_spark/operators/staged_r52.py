@@ -201,7 +201,10 @@ def pipeline_epoch_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("epochs"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         flag.unpersist()
     return out

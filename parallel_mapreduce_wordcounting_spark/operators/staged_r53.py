@@ -192,7 +192,10 @@ def stat_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             chi2.alias("chi2"),
             (chi2 > _LOGRANK_CHI2_CUTOFF).alias("significant"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         span.unpersist()
     return out

@@ -147,7 +147,10 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("energy_usd"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         halves.unpersist()
     return out
@@ -273,7 +276,10 @@ def dq_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         out = rows[0].unionAll(rows[1])
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         halves.unpersist()
     return out
@@ -314,44 +320,33 @@ def mm_stride_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean — floor division pinned to the oracle's guarded-modulo form.
     Boxcar-then-decimate halves the bandwidth before subsampling, which
     is why rms_ratio sits below 1 on white-noise-like input (averaging
-    uncorrelated samples halves the power)."""
-    import hashlib
-    import os
-    import struct
-    import tempfile
+    uncorrelated samples halves the power).
+
+    The fixture is PRE-MATERIALIZED once per sf_dir (r11 verdict item 6:
+    registered mm/audio keys must eat real files, not re-synthesize on
+    the driver every run) — steady state is a manifest check + pure
+    binaryFile scan; only the bounded doc_id list is collected."""
+    from ..sources.binfix import ensure_blob_fixture, pcm16_wav_payload
 
     d = (
         load_table(spark, sf_dir, "documents")
         .where((F.col("doc_id") >= _RS_DOC_LO) & (F.col("doc_id") < _RS_DOC_HI))
         .select("doc_id")
     )
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"pmrwc_rs_{os.getuid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    for stale in os.listdir(stage):
-        os.unlink(os.path.join(stage, stale))
-    for r in d.collect():  # 40 bounded fixture rows — staging only
-        n = 160 + (r.doc_id % 17) * 8
-        samples = [
-            (r.doc_id * 7919 + k * 104729 + 12345) % 65536 - 32768
-            for k in range(n)
-        ]
-        data = struct.pack(f"<{n}h", *samples)
-        hdr = (
-            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
-            + b"data" + struct.pack("<I", len(data))
-        )
-        with open(f"{stage}/{r.doc_id}.wav", "wb") as f:
-            f.write(hdr + data)
-    if not os.listdir(stage):
+    ids = sorted(r.doc_id for r in d.collect())  # ≤40 rows — fixture key only
+    if not ids:
         return spark.createDataFrame(
             [],
             "doc_id long, n_out long, peak_out long, sum_out long, "
             "rms_ratio double",
         )
+    stage = ensure_blob_fixture(
+        "rs",
+        sf_dir,
+        version=1,
+        names=[f"{i}.wav" for i in ids],
+        payload_of=lambda name: pcm16_wav_payload(int(name.split(".")[0])),
+    )
     blobs = spark.read.format("binaryFile").load(f"{stage}/*.wav").select(
         "path", "content"
     )

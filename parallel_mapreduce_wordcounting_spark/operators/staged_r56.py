@@ -156,7 +156,10 @@ def stat_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_covered").cast("double") / F.col("n_test"), 6
             ).alias("coverage"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         res.unpersist()
     return out
@@ -291,7 +294,10 @@ def text_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = outs[0]
         for o in outs[1:]:
             out = out.unionAll(o)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         d.unpersist()
     return out

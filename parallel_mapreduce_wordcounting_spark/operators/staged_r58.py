@@ -165,7 +165,10 @@ def stat_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.avg("ratio"), 6).alias("mean_rs"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         ch.unpersist()
     return out
@@ -268,7 +271,10 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cronbach_alpha"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # pin the bounded census result before the finally-unpersist without
+        # a driver round-trip (r11 verdict: the collect/createDataFrame idiom
+        # is lineage-destroying and invites cargo-culting into unbounded ops)
+        out = out.localCheckpoint()
     finally:
         grid.unpersist()
     return out

@@ -149,6 +149,15 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # unfiltered plan. Alphabetical tier-1 order puts this ahead of
     # sim_sparse_cosine, whose reverify slides to a round-12 spare slot.
     "dedup_containment": 11,
+    # r12: the r11 ADVICE pair landed — the P6 decode branch validates
+    # instead of raising on malformed 'P6\n' payloads, and the DuckDB
+    # oracle now MIRRORS the magic-byte dispatch (same strict dims
+    # grammar on both engines) instead of assuming every row takes the
+    # byte-arithmetic fallback. Fixture output is bitwise unchanged (no
+    # P6 payloads in documents; planted valid/malformed-P6 parity pinned
+    # in tests/test_round12.py), but the newest hash verdict (r10)
+    # attests the old one-branch oracle.
+    "mm_binary_surface": 12,
 }
 # Back-compat aliases (tests and scripts consume these shapes)
 REVERIFY_KEYS = frozenset(REVERIFY_MIN_ROUNDS)
