@@ -86,6 +86,18 @@ from .operators import (  # noqa: F401,E402
     staged_r37,
     staged_r38,
     staged_r39,
+    staged_r40,
+    staged_r41,
+    staged_r42,
+    staged_r43,
+    staged_r44,
+    staged_r45,
+    staged_r46,
+    staged_r47,
+    staged_r48,
+    staged_r49,
+    staged_r50,
+    staged_r51,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

@@ -380,10 +380,9 @@ from ..registry import B_PREFIXES as _B_PREFIXES
 from ..registry import REGISTRY as _REGISTRY
 from ..registry import register as _register
 
-# round-10 rename holdback: the collision-renamed key stays UNREGISTERED
-# until a verification-window slot frees (round 12 batch) — this round's
-# 50-slot window is exactly full (COVERAGE.md)
-_HOLD_FOR_R12 = {"win_range_frame_days"}
+# round-10 rename holdback LIFTED in round 12 (COVERAGE.md r12 batch):
+# the collision-renamed key registers with its wave
+_HOLD_FOR_R12: set = set()
 for _case in DEV_CASES:
     # defensive unpack: preflight_staged tolerates len(case) > 3 variance,
     # so the promoted block must too — a strict 3-tuple unpack would raise
