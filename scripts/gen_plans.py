@@ -77,6 +77,17 @@ SHOWCASE = {
     "tau=0.8 prefix length, ~0.2*|doc|). Round-12 single-change A/Bs at "
     "sf0.1 (same session, output-identical): no checkpoint 10.6 s and "
     "mid-pipeline distinct 5.0 s vs the shipped 3.3 s.",
+    "mm_ppm_decode": "Registered multimodal decode eats REAL files "
+    "(round-12 form, r11 verdict item 6): a binaryFile scan over the "
+    "pre-materialized deterministic fixture dir (sources/binfix.py "
+    "manifest check - no per-run driver synthesis loop) feeds one "
+    "Arrow-batched mapInPandas raster kernel; at 100 TB the same plan "
+    "reads a blob store and only the O(1)-per-image census shuffles.",
+    "mm_wav_energy": "Audio feature extraction over real PCM16 WAV "
+    "blobs: binaryFile scan of the pre-materialized fixture (manifest "
+    "check, no driver synthesis) -> one mapInPandas numpy kernel; "
+    "header parse stays JVM-side, nothing but the per-file census "
+    "leaves the executor.",
 }
 
 

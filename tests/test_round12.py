@@ -148,3 +148,30 @@ def test_ensure_blob_fixture_recovers_from_missing_manifest(tmp_path):
 def test_payload_builders_are_pure(builder, magic):
     a, b = builder(123), builder(123)
     assert a == b and a.startswith(magic) and builder(124) != a
+
+
+def test_mm_fixture_ops_plan_is_binaryfile_scan_no_driver_loop(spark):
+    """r11 verdict item 6 'Done' criterion: the mm/audio fixture ops show a
+    binaryFile scan feeding the Arrow-batched kernel — the registered data
+    path reads REAL files; synthesis is the one-time manifest-guarded
+    materialization, not part of any run's plan."""
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r46 import (
+        mm_wav_energy,
+    )
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r49 import (
+        mm_ppm_decode,
+    )
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r51 import (
+        mm_color_quantize,
+    )
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r54 import (
+        mm_stride_resample,
+    )
+    from parallel_mapreduce_wordcounting_spark.plans import explain_str
+
+    from .conftest import SF_DIR
+
+    for fn in (mm_wav_energy, mm_ppm_decode, mm_color_quantize, mm_stride_resample):
+        p = explain_str(fn(spark, SF_DIR))
+        assert "binaryFile" in p, f"{fn.__name__}: no binaryFile scan\n{p}"
+        assert "MapInPandas" in p, f"{fn.__name__}: no Arrow kernel\n{p}"
