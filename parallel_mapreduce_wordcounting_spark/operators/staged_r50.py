@@ -333,12 +333,20 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("tn").cast("long").alias("n_obs"),
             F.first("ta").cast("long").alias("n_above"),
             F.first("m").cast("long").alias("grand_median"),
+            # try_divide: ta = 0 or ta = tn (every group at-or-below / above
+            # the grand median — degenerate tiny corpora) zeroes the global
+            # denominator; DuckDB's x/0 yields NULL where a bare ANSI `/`
+            # aborts the whole job (round-12 degenerate-corpus sweep find)
             F.round(
                 F.sum(
-                    (num * num).cast("double")
-                    / (
-                        F.col("n") * F.col("ta") * (F.col("tn") - F.col("ta"))
-                    ).cast("double")
+                    F.try_divide(
+                        (num * num).cast("double"),
+                        (
+                            F.col("n")
+                            * F.col("ta")
+                            * (F.col("tn") - F.col("ta"))
+                        ).cast("double"),
+                    )
                 ),
                 6,
             ).alias("chi2"),

@@ -150,6 +150,29 @@ def test_payload_builders_are_pure(builder, magic):
     assert a == b and a.startswith(magic) and builder(124) != a
 
 
+def test_mood_median_degenerate_corpus_yields_null_chi2(spark, tmp_path):
+    """Round-12 degenerate-corpus sweep find: with every (day, type) count
+    at-or-below the grand median, ta = 0 zeroes the global chi² denominator
+    — a bare ANSI `/` aborted the whole job where DuckDB's x/0 yields NULL.
+    try_divide must make the engines agree (chi2 NULL, query survives)."""
+    from datetime import datetime
+
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r50 import (
+        stat_mood_median,
+    )
+
+    rows = [  # one (day, type) cell -> the cell IS the median, nothing above
+        (i, 1, "click", datetime(2024, 1, 1, 10, 0, i), 1.0) for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = stat_mood_median(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k_groups == 1 and r.n_above == 0 and r.chi2 is None
+
+
 def test_mm_fixture_ops_plan_is_binaryfile_scan_no_driver_loop(spark):
     """r11 verdict item 6 'Done' criterion: the mm/audio fixture ops show a
     binaryFile scan feeding the Arrow-batched kernel — the registered data
