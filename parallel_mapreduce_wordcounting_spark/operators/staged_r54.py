@@ -268,9 +268,14 @@ def dq_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "ndv_first",
                     "ndv_second",
                     "ndv_shared",
+                    # try_divide: an empty (or single-half) table zeroes
+                    # ndv_union; DuckDB's x/0 yields NULL where a bare ANSI
+                    # `/` aborts (round-12 degenerate-corpus sweep find)
                     F.round(
-                        F.col("ndv_shared").cast("double")
-                        / F.col("ndv_union"),
+                        F.try_divide(
+                            F.col("ndv_shared").cast("double"),
+                            F.col("ndv_union"),
+                        ),
                         6,
                     ).alias("value_jaccard"),
                 )

@@ -258,15 +258,23 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row.select(
             F.col("k").cast("int").alias("k_items"),
             F.col("tn").cast("int").alias("n_days"),
+            # try_divide on BOTH ratios: a single event type makes k-1 = 0
+            # and a constant/single-day series zeroes the total variance;
+            # DuckDB's x/0 yields NULL where a bare ANSI `/` aborts
+            # (round-12 degenerate-corpus sweep find)
             F.round(
-                F.col("k").cast("double")
-                / (F.col("k").cast("double") - 1)
+                F.try_divide(
+                    F.col("k").cast("double"), F.col("k").cast("double") - 1
+                )
                 * (
                     1
-                    - F.col("sum_item_var")
-                    / (
-                        F.col("tn") * F.col("ts2") - F.col("ts") * F.col("ts")
-                    ).cast("double")
+                    - F.try_divide(
+                        F.col("sum_item_var"),
+                        (
+                            F.col("tn") * F.col("ts2")
+                            - F.col("ts") * F.col("ts")
+                        ).cast("double"),
+                    )
                 ),
                 6,
             ).alias("cronbach_alpha"),

@@ -173,6 +173,42 @@ def test_mood_median_degenerate_corpus_yields_null_chi2(spark, tmp_path):
     assert r.k_groups == 1 and r.n_above == 0 and r.chi2 is None
 
 
+def test_cardinality_drift_empty_orders_yields_null_jaccard(spark, tmp_path):
+    """Round-12 degenerate sweep find #2: an empty orders table zeroes
+    ndv_union — try_divide must yield NULL, not an ANSI abort."""
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r54 import (
+        dq_cardinality_drift,
+    )
+
+    spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate timestamp_ntz",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    rows = dq_cardinality_drift(spark, str(tmp_path)).collect()
+    assert rows, "census row(s) expected even on an empty table"
+    assert all(r.value_jaccard is None for r in rows)
+
+
+def test_cronbach_alpha_single_item_yields_null(spark, tmp_path):
+    """Round-12 degenerate sweep find #3: one event type makes k-1 = 0
+    (and a single day zeroes the total variance) — alpha must be NULL."""
+    from datetime import datetime
+
+    from parallel_mapreduce_wordcounting_spark.operators.staged_r58 import (
+        stat_cronbach_alpha,
+    )
+
+    rows = [
+        (i, 1, "click", datetime(2024, 1, 1 + i % 2, 10), 1.0) for i in range(4)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = stat_cronbach_alpha(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].k_items == 1 and out[0].cronbach_alpha is None
+
+
 def test_mm_fixture_ops_plan_is_binaryfile_scan_no_driver_loop(spark):
     """r11 verdict item 6 'Done' criterion: the mm/audio fixture ops show a
     binaryFile scan feeding the Arrow-batched kernel — the registered data
