@@ -56,6 +56,10 @@ BENCH_KEYS = [
     # round-11 headliner: containment dedup, re-benched on the new
     # one-sided AllPairs prefix filter (hub-quadratic removed)
     "dedup_containment",
+    # round-12 headliner: exact ColBERT-style MaxSim reranking, re-benched
+    # on the array-HOF projection form (pair-stream exchange removed,
+    # 15.6 s -> 2.25 s at sf0.1)
+    "sim_maxsim",
 ]
 
 # Pinned per-query shuffle parallelism (VERDICT r7 item 6): r6→r7 showed

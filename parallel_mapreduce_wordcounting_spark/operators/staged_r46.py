@@ -158,8 +158,17 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would coalesce a plain post-aggregate shuffle to ~1 partition here:
     # the docs frame is tiny in BYTES while every row carries
     # |q-tokens|·|doc-tokens| bit ops of HOF compute — the classic
-    # heavy-row/small-bytes parallelism trap; ×10 A/B below)
-    par = max(spark.sparkContext.defaultParallelism, 8)
+    # heavy-row/small-bytes parallelism trap; ×10 A/B below). In a
+    # single-JVM local master, concurrent interpreted-HOF tasks contend
+    # hard past ~16 (measured on the 32-core box, no SMT: par=32 → 8.6 s,
+    # par=16 → 2.2 s, par=8 → 2.7 s at sf0.1) — cap at the knee. On a
+    # multi-executor cluster the cap must NOT apply: per-JVM concurrency
+    # is executor cores (≈4–8, far below the cliff) and capping total
+    # partitions would serialize the cluster.
+    par = spark.sparkContext.defaultParallelism
+    if spark.sparkContext.master.startswith("local"):
+        par = min(par, 16)
+    par = max(par, 8)
     sc = docs.repartition(par, "doc_id").crossJoin(F.broadcast(qs)).select(
         "qid", "doc_id", score16.alias("score16")
     )
