@@ -73,14 +73,24 @@ AGG_APPROX_PERCENTILE_ORACLE = " UNION ALL ".join(
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring. One aggregation pass computes the exact
     interpolating percentiles at p−ε/p/p+ε AND the sketch values; the
-    output row per p carries the exact value and the envelope boolean."""
+    output row per p carries the exact value and the envelope boolean.
+
+    The nine exact percentiles (3 ps × {lo, p, hi}) ride ONE
+    ``F.percentile`` call: each ``percentile()`` aggregate keeps its own
+    full value-count buffer, so three separate calls triple the partial
+    buffers and the final-merge work for byte-identical results (every p
+    interpolates over the same sorted counts). Measured at sf0.1
+    (alternating new/old in ONE session so host-contention waves hit
+    both sides — the containment-A/B protocol): 2.60 vs 5.48 s and
+    2.74 vs 5.70 s (~2.1×), output tuple-for-tuple equal."""
     li = load_table(spark, sf_dir, "lineitem")
     lo = [max(p - _PCTL_RANK_EPS, 0.0) for p in _PCTL_PS]
     hi = [min(p + _PCTL_RANK_EPS, 1.0) for p in _PCTL_PS]
+    k = len(_PCTL_PS)
     agg = li.agg(
-        F.percentile("l_extendedprice", F.lit(list(_PCTL_PS))).alias("ex"),
-        F.percentile("l_extendedprice", F.lit(lo)).alias("ex_lo"),
-        F.percentile("l_extendedprice", F.lit(hi)).alias("ex_hi"),
+        F.percentile(
+            "l_extendedprice", F.lit(list(_PCTL_PS) + lo + hi)
+        ).alias("exall"),
         F.percentile_approx(
             "l_extendedprice", F.lit(list(_PCTL_PS)), _PCTL_ACCURACY
         ).alias("ap"),
@@ -89,10 +99,10 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(p).alias("p"),
-                F.round(F.col("ex")[i], 6).alias("exact_pctl"),
+                F.round(F.col("exall")[i], 6).alias("exact_pctl"),
                 (
-                    (F.col("ap")[i] >= F.col("ex_lo")[i])
-                    & (F.col("ap")[i] <= F.col("ex_hi")[i])
+                    (F.col("ap")[i] >= F.col("exall")[k + i])
+                    & (F.col("ap")[i] <= F.col("exall")[2 * k + i])
                 ).alias("approx_in_envelope"),
             )
             for i, p in enumerate(_PCTL_PS)
