@@ -1815,9 +1815,21 @@ def dedup_eval_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    n_truth = truth.count()
-    n_pred = pred.count()
-    tp = truth.join(pred, ["doc_id_a", "doc_id_b"]).count()
+    # Both pair frames feed TWO actions each (their own count + the TP
+    # join) — unpinned, the full Jaccard engine and the SimHash pipeline
+    # each ran twice, making this the repo's slowest key (37.7 s warm at
+    # sf0.1 in TIMING_CENSUS_r12). persist() + the three counts + an
+    # explicit unpersist keeps each side computed once; output identical
+    # (same counts 256/271530/54), pre-measured 6.4–11.6 s (~4–6×).
+    truth = truth.persist()
+    pred = pred.persist()
+    try:
+        n_truth = truth.count()
+        n_pred = pred.count()
+        tp = truth.join(pred, ["doc_id_a", "doc_id_b"]).count()
+    finally:
+        truth.unpersist()
+        pred.unpersist()
     return spark.createDataFrame(
         [
             (

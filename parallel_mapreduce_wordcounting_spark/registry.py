@@ -139,7 +139,8 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # the exact verify recomputes the same values; parity re-tested at
     # sf0.001/0.01 and pinned in tests/test_round10.py), but the newest
     # hash verdicts attest the unfiltered plan.
-    "dedup_ngram_jaccard": 10,
+    # (dedup_ngram_jaccard's stamp advanced to 13 below — its fresh r10
+    # verdict landed, then the r13 engine checkpoint re-floated it.)
     "sim_sparse_cosine": 10,
     # r11: gained the ONE-SIDED AllPairs prefix filter (the r10 verdict's
     # flagged hub quadratic — prefix(smaller) ⋈ full(larger) replaces the
@@ -158,6 +159,20 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # in tests/test_round12.py), but the newest hash verdict (r10)
     # attests the old one-branch oracle.
     "mm_binary_surface": 12,
+    # r13: the pre-measured Jaccard-engine physical fixes landed (the r12
+    # verdict's two `weak` marks). ngram_jaccard_pairs_of now
+    # localCheckpoints its shingle frame (the containment_pairs_of r11
+    # lesson — four consuming branches re-ran the scan+shingle build;
+    # 16.2→7.6 s at sf0.1), and dedup_eval_simhash persists its truth and
+    # pred pair frames around the three count actions (each side fed two
+    # actions and recomputed in full — 37.7 s warm → 6.4–11.6 s
+    # pre-measured). Output identical on all three keys (plan-only
+    # changes; same pair counts 256/271530/54), but the newest hash
+    # verdicts attest the unpinned plans. pipeline_dedup_report embeds
+    # both detectors and rides the same stamp.
+    "dedup_ngram_jaccard": 13,
+    "dedup_eval_simhash": 13,
+    "pipeline_dedup_report": 13,
 }
 # Back-compat aliases (tests and scripts consume these shapes)
 REVERIFY_KEYS = frozenset(REVERIFY_MIN_ROUNDS)
