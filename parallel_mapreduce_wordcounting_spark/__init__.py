@@ -98,6 +98,13 @@ from .operators import (  # noqa: F401,E402
     staged_r49,
     staged_r50,
     staged_r51,
+    staged_r52,
+    staged_r53,
+    staged_r54,
+    staged_r55,
+    staged_r56,
+    staged_r57,
+    staged_r58,
 )
 
 from . import pipelines  # noqa: F401,E402  (corpus-curation composition API)

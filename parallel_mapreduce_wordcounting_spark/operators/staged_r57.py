@@ -436,3 +436,22 @@ DEV_CASES = [
     ),
     ("stat_press", stat_press, STAT_PRESS_ORACLE),
 ]
+
+
+# -- wave registration (appended by scripts/register_staged.py) --
+from ..registry import B_PREFIXES as _B_PREFIXES
+from ..registry import REGISTRY as _REGISTRY
+from ..registry import register as _register
+
+for _case in DEV_CASES:
+    # defensive unpack: preflight_staged tolerates len(case) > 3 variance,
+    # so the promoted block must too — a strict 3-tuple unpack would raise
+    # ValueError at package import for any future 4-element entry
+    _key, _fn, _oracle = _case[0], _case[1], (_case[2] if len(_case) > 2 else None)
+    if _key not in _REGISTRY:  # idempotent under re-import / re-promotion
+        _register(
+            _key,
+            oracle=_oracle,
+            tier="B" if _key.startswith(_B_PREFIXES) else "C",
+        )(_fn)
+del _B_PREFIXES, _REGISTRY, _register
