@@ -549,7 +549,18 @@ def text_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     population, never the corpus."""
     from .dedup import dedup_fuzzy_minhash
 
-    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    # Both pinned frames are BOUNDED by the near-dup pair population (256
+    # pairs / ≤512 member docs at sf0.1), yet feed 5 and 3 plan branches
+    # respectively — unpinned, every branch re-ran the whole MinHash
+    # pipeline and the pruned document scan (the dedup_eval_simhash
+    # r13 disease). Interleaved same-session A/B at sf0.1 (3 rounds,
+    # alternating, output row-for-row equal 256 pairs): pinned 1.7–1.9 s
+    # vs unpinned 3.3–4.6 s (~2×).
+    pairs = (
+        dedup_fuzzy_minhash(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint()
+    )
     ids = (
         pairs.select(F.col("doc_id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))
@@ -560,6 +571,7 @@ def text_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .join(F.broadcast(ids), "doc_id")
         .select("doc_id", t.alias("t"))
+        .localCheckpoint()
     )
     du = tt.select("doc_id", F.explode("t").alias("w")).groupBy(
         "doc_id", "w"

@@ -173,6 +173,13 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     "dedup_ngram_jaccard": 13,
     "dedup_eval_simhash": 13,
     "pipeline_dedup_report": 13,
+    # r13 (in-round census triage): text_bleu's pair frame (256 rows) and
+    # pruned token frame (≤512 docs) fed 5/3 plan branches each — every
+    # branch re-ran the MinHash pipeline and the pruned document scan.
+    # Both now localCheckpoint; interleaved same-session A/B (3 rounds,
+    # alternating): 1.7–1.9 s vs 3.3–4.6 s (~2×), output row-for-row
+    # equal. The newest hash verdict attests the unpinned plan.
+    "text_bleu": 13,
 }
 # Back-compat aliases (tests and scripts consume these shapes)
 REVERIFY_KEYS = frozenset(REVERIFY_MIN_ROUNDS)
