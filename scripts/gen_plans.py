@@ -58,7 +58,7 @@ SHOWCASE = {
     "anyway), so hub-skewed graphs get the degeneracy-bounded wedge "
     "fan-out while near-regular graphs skip two joins (idle-box A/B: "
     "-31% at sf0.1). The plan below is the fixture's (unoriented) path.",
-    "dedup_ngram_jaccard": "Exact n-gram Jaccard pairs (round-10 form): "
+    "dedup_ngram_jaccard": "Exact n-gram Jaccard pairs (round-13 form): "
     "the full AllPairs/PPJoin prefix filter - postings rank by global "
     "(df ASC, shingle) order per doc, only the |a|-ceil(tau*|a|)+1 "
     "prefix enters the pairing self-join (lossless superset theorem), "
@@ -66,7 +66,10 @@ SHOWCASE = {
     "candidates from the full shingle arrays JVM-side. A boilerplate "
     "hub shingle sorts last, leaves every prefix, and fans out ZERO "
     "pairs (measured: flat 15 s at 60k hub docs where the unfiltered "
-    "core extrapolates to 1.8e9 candidates).",
+    "core extrapolates to 1.8e9 candidates). Since round 13 the shingle "
+    "frame localCheckpoints before fan-out (its four consumer branches "
+    "re-ran the scan+shingle build; A/B 16.2 -> 7.6 s at sf0.1), so the "
+    "plan roots in a checkpointed scan, not four parquet scans.",
     "dedup_containment": "Containment pairs (round-11 form): ONE-SIDED "
     "AllPairs prefix filter - the emission condition equals overlap >= "
     "ceil(tau*min(|A|,|B|)), so prefix(smaller) joins FULL postings of "
