@@ -550,7 +550,7 @@ def agg_percentile_iterative(
     spark: SparkSession,
     sf_dir: str,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
-    buckets: int = 1024,
+    buckets: int = 8192,
     max_iters: int = 8,
 ) -> DataFrame:
     """EXACT discontinuous percentiles (quantile_disc) by iterative range
@@ -568,8 +568,12 @@ def agg_percentile_iterative(
     (DuckDB's quantile_disc convention, probed empirically) is found by
     repeatedly histogramming the surviving [lo, hi] cent range into
     ``buckets`` integer-bounded buckets and descending into the bucket
-    containing the residual rank. Range ~1e7 cents ÷ 1024 buckets → 2–3
-    iterations. All active quantiles advance in ONE fused scan per
+    containing the residual rank. Range ~1e7 cents ÷ 8192 buckets → 2
+    iterations (8192² > 1e7 pins any such range in two scans; the round-7
+    default of 1024 took three — the found element is bucket-width
+    invariant, only the scan count changes, and the collected histogram
+    stays bounded metadata at ≤ buckets·|intervals| rows).
+    All active quantiles advance in ONE fused scan per
     iteration: surviving intervals are identical-or-disjoint by
     construction, so a coalesce of per-interval bucket expressions (pure
     whole-stage-codegen arithmetic, no higher-order functions) gives each

@@ -509,6 +509,48 @@ def ngram_prefix_postings(sh: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def _shingle_id_sets(sh: DataFrame) -> DataFrame:
+    """Dictionary-encode a (pinned) shingle-set frame into ``(doc_id,
+    ids: array<bigint>)`` — the cheap VERIFY medium of both prefix
+    engines (round 13).
+
+    The exact-verification step intersects each candidate pair's full
+    shingle sets; doing that on ``array<string>`` hashes ~|A|+|B| UTF8
+    strings per pair and dominated the engine (measured at sf0.1:
+    5.67 s of a 7.7 s query for the 596k-candidate verify alone).
+    Re-keying each distinct shingle to a dense bigint via a
+    DICTIONARY — not a hash — keeps the step provably exact: the
+    shingle→sid map is a bijection by construction (ids are unique per
+    dictionary row), so |A∩B| and |A|/|B| are preserved EXACTLY, with
+    no collision caveat at any scale. Same-candidates A/B at sf0.1
+    (output-identical 256 pairs): string verify 5.67 s → long verify
+    2.12 s, dictionary + re-keyed sets build +0.72 s.
+
+    The id VALUES carry no meaning (any bijection yields the same
+    output), so they are assigned distributed-deterministically with no
+    global sort and no driver data: hash-repartition the distinct
+    shingles, sort within each partition, then
+    ``monotonically_increasing_id`` (partition ordinal ≪ 33 + row
+    offset) — scale-safe at any vocabulary size."""
+    posts = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dct = (
+        posts.select("shingle")
+        .distinct()
+        .repartition("shingle")
+        .sortWithinPartitions("shingle")
+        .withColumn("sid", F.monotonically_increasing_id())
+    )
+    # pinned: both verify-join sides broadcast this frame, and an unpinned
+    # broadcast build would re-run the explode+dictionary join per side
+    # (the "broadcast-rebuilt branches" pin rule, COVERAGE.md r13)
+    return (
+        posts.join(dct, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sid").alias("ids"))
+        .localCheckpoint()
+    )
+
+
 def ngram_jaccard_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
     """Exact Jaccard pairs ≥ ``tau`` over a shingle-set frame — the
     prefix-filtered engine behind :func:`dedup_ngram_jaccard` (docstring
@@ -522,9 +564,22 @@ def ngram_jaccard_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
     shingle build. Output identical (plan-only); A/B at sf0.1 (min of 3,
     same session, output-identical 256 pairs): 16.2 s unpinned vs 7.6 s
     pinned (~2.1×). On a real cluster the same pin is ``persist()`` +
-    a reliable checkpoint for lineage truncation."""
+    a reliable checkpoint for lineage truncation.
+
+    Round-13 physical changes, output bitwise identical (256 pairs at
+    sf0.1, full interleaved A/B in OPTIMIZATION_r13.md): (a) the ranked
+    prefix postings pin — the candidate self-join's two sides otherwise
+    each rebuild the df aggregation + rank window (plan nodes 1–24 vs
+    27–50 in plans/r13/dedup_ngram_jaccard_before.txt; ReusedExchange
+    does not fire across the sides' differing projections); (b) exact
+    verification runs on dictionary-encoded bigint sets
+    (:func:`_shingle_id_sets`) instead of string arrays — the engine's
+    measured wall. Candidate generation (order, prefix bound, size
+    filter) is untouched and stays on shingle strings; a round-13 A/B of
+    md5-hash join keys measured SLOWER (8.3–9.2 s vs 7.7 s) and was
+    rejected."""
     sh = sh.localCheckpoint()
-    ranked = ngram_prefix_postings(sh, tau)
+    ranked = ngram_prefix_postings(sh, tau).localCheckpoint()
     cand = (
         ranked.select(
             F.col("doc_id").alias("doc_id_a"), "shingle", F.col("n_sh").alias("na")
@@ -544,13 +599,14 @@ def ngram_jaccard_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
+    sh_ids = _shingle_id_sets(sh)
     return (
         cand.join(
-            sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sa")),
+            sh_ids.select(F.col("doc_id").alias("doc_id_a"), F.col("ids").alias("sa")),
             "doc_id_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sb")),
+            sh_ids.select(F.col("doc_id").alias("doc_id_b"), F.col("ids").alias("sb")),
             "doc_id_b",
         )
         .withColumn("c", F.size(F.array_intersect("sa", "sb")))
@@ -888,6 +944,12 @@ def containment_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
             F.greatest("doc_id_small", "doc_id_big").alias("doc_id_b"),
         )
     )
+    # (r13 note: the Jaccard engine's dictionary-encoded verify was A/B'd
+    # here too and measured a WASH — 2.57/2.64 s vs 2.58/2.63 s at sf0.1 —
+    # because the τ=0.8 one-sided prefix keeps the candidate stream small
+    # enough that the string intersect never dominates, while the
+    # dictionary + re-keyed set build costs ~0.7 s; the string verify
+    # stays.)
     out = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sa")),

@@ -113,17 +113,15 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets are packed into ONE array row per document, so the product is
     |docs| × |Q| rows (not |corpus tokens| × |query tokens| — the
     original form shuffled a ~25M-row pair stream through two groupBys;
-    this form runs the whole MaxSim inside one whole-stage-codegen
-    projection via nested array HOFs. SCALE.md-harness A/B (local[16],
-    median of 3, output bit-identical): old 15.6 s at sf0.1 / 71.2 s at
-    ×10 → new 2.25 s / 8.15 s — ~7× at sf0.1 and ~8.7× at ×10; the
-    bit-op count is unchanged, what the rewrite removes is the
-    pair-stream exchange plus the small-input parallelism trap fixed by
-    the explicit repartition below). Per row, `aggregate(qh, …)` folds the query tokens
-    and `array_min(transform(hs, …))` scans the document tokens — the
-    same ±1 dot products via the XOR-popcount identity
-    (1−2a)(1−2b) = 1 − 2(a⊕b), zero Python, zero extra exchange; the
-    only shuffles left are the per-doc token collect and the |Q|×|docs|
+    the r12 rewrite ran the whole MaxSim inside one projection via nested
+    array HOFs — SCALE.md-harness A/B, local[16], median of 3, output
+    bit-identical: old 15.6 s at sf0.1 / 71.2 s at ×10 → 2.25 s /
+    8.15 s). Round-13 form: the row layout is unchanged, but the fold
+    itself moved from interpreted array HOFs into one Arrow-batched numpy
+    kernel (see the inline comment and its interleaved A/Bs: a wash at
+    sf0.1, ~4–6× at ×10) — the same ±1 dot products via the XOR-popcount
+    identity (1−2a)(1−2b) = 1 − 2(a⊕b), every score an exact int64; the
+    only shuffles are the per-doc token collect_set and the |Q|×|docs|
     top-5 window."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws")).where(
@@ -143,34 +141,94 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     h60 = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast(
         "long"
     )
-    tok = grams.select(
-        "doc_id", h60.bitwiseAND(F.lit(65535)).alias("h16")
-    ).distinct()
-    docs = tok.groupBy("doc_id").agg(F.collect_list("h16").alias("hs"))
+    tok = grams.select("doc_id", h60.bitwiseAND(F.lit(65535)).alias("h16"))
+    # r13: per-doc distinct folds into the same exchange as the set build —
+    # collect_set ≡ distinct-then-collect_list up to element order, and
+    # every downstream consumer (the min/sum scoring fold) is
+    # order-invariant integer arithmetic, so one shuffle replaces two
+    # (guide §2.4; component A/B at sf0.1: 1.04 s → 0.80 s for this frame)
+    docs = tok.groupBy("doc_id").agg(F.collect_set("h16").alias("hs"))
     qs = docs.where(F.col("doc_id") < _MAXSIM_Q_DOCS).select(
         F.col("doc_id").alias("qid"), F.col("hs").alias("qh")
     )
-    score16 = F.expr(
-        "aggregate(qh, 0L, (acc, hq) -> acc + 16 - 2 * "
-        "array_min(transform(hs, h -> bit_count((hq ^ h) & 65535))))"
-    ).cast("long")
+    # Round-13 physical form: the per-pair MaxSim fold moves from nested
+    # array HOFs (which Spark evaluates INTERPRETED, element by element —
+    # ~|Q|·|docs|·|qh|·|hs| ≈ 100M boxed lambda calls at sf0.1) into one
+    # Arrow-batched numpy kernel (optimization guide §4.2: hand whole
+    # batches to vectorized native code). Per (query × doc-batch) group the
+    # kernel XORs the query-token vector against the batch's concatenated
+    # doc tokens, popcounts through a 65536-entry uint8 table, and takes
+    # per-document minima with one segmented `minimum.reduceat` — the same
+    # ±1 dot products via the XOR-popcount identity, every score an exact
+    # int64. The broadcast crossJoin shape (query matrix shipped to the
+    # doc partitions — ColBERT's layout) is unchanged; only the fold's
+    # execution engine moved. Interleaved same-session A/Bs (alternating
+    # new/old, output bit-identical 40 rows both scales): at sf0.1 a WASH
+    # (new 1.99/2.50/1.84 s vs old 2.42/1.98/1.87 — the shared token
+    # build dominates there), but at ×10 replication the interpreted fold
+    # is the wall and the kernel removes it: new 2.59/2.69/1.91 s vs old
+    # 16.25/8.57/10.57 s (~4–6×, local[16]) — the change is a
+    # design-for-scale move, not an sf0.1 micro-win.
     # explicit-count repartition (AQE respects user-specified counts, but
     # would coalesce a plain post-aggregate shuffle to ~1 partition here:
-    # the docs frame is tiny in BYTES while every row carries
-    # |q-tokens|·|doc-tokens| bit ops of HOF compute — the classic
-    # heavy-row/small-bytes parallelism trap; ×10 A/B below). In a
-    # single-JVM local master, concurrent interpreted-HOF tasks contend
-    # hard past ~16 (measured on the 32-core box, no SMT: par=32 → 8.6 s,
-    # par=16 → 2.2 s, par=8 → 2.7 s at sf0.1) — cap at the knee. On a
-    # multi-executor cluster the cap must NOT apply: per-JVM concurrency
-    # is executor cores (≈4–8, far below the cliff) and capping total
-    # partitions would serialize the cluster.
-    par = spark.sparkContext.defaultParallelism
-    if spark.sparkContext.master.startswith("local"):
-        par = min(par, 16)
-    par = max(par, 8)
-    sc = docs.repartition(par, "doc_id").crossJoin(F.broadcast(qs)).select(
-        "qid", "doc_id", score16.alias("score16")
+    # the docs frame is tiny in BYTES while every row carries the batch
+    # kernel's |q-tokens|·|doc-tokens| popcount block — the classic
+    # heavy-row/small-bytes parallelism trap). The former local[] cap at
+    # 16 existed because concurrent INTERPRETED-HOF tasks contend in a
+    # single JVM past ~16; the numpy kernel runs in per-task Python
+    # workers, so the knee is gone and plain defaultParallelism is right
+    # on local and cluster masters alike.
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    paired = docs.repartition(par, "doc_id").crossJoin(F.broadcast(qs))
+
+    def _maxsim_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        # 16-bit popcount table, built once per task (~130 KB, ~1 ms)
+        pop = (
+            np.unpackbits(
+                np.arange(65536, dtype=">u2").view(np.uint8).reshape(-1, 2),
+                axis=1,
+            )
+            .sum(axis=1)
+            .astype(np.uint8)
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_qid: list = []
+            out_doc: list = []
+            out_sc: list = []
+            for qid, grp in pdf.groupby("qid", sort=False):
+                qh = np.asarray(grp["qh"].iloc[0], dtype=np.int64).astype(
+                    np.uint16
+                )
+                lens = np.fromiter(
+                    (len(a) for a in grp["hs"]), dtype=np.int64, count=len(grp)
+                )
+                starts = np.zeros(len(grp), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                toks = (
+                    np.concatenate([np.asarray(a, dtype=np.int64) for a in grp["hs"]])
+                    .astype(np.uint16)
+                )
+                pc = pop[qh[:, None] ^ toks[None, :]]  # (|qh|, Σ|hs|) uint8
+                mins = np.minimum.reduceat(pc, starts, axis=1)  # (|qh|, docs)
+                score16 = (16 - 2 * mins.astype(np.int64)).sum(axis=0)
+                out_qid.append(np.full(len(grp), qid, dtype=np.int64))
+                out_doc.append(grp["doc_id"].to_numpy(dtype=np.int64))
+                out_sc.append(score16)
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_qid),
+                    "doc_id": np.concatenate(out_doc),
+                    "score16": np.concatenate(out_sc),
+                }
+            )
+
+    sc = paired.mapInPandas(
+        _maxsim_kernel, "qid long, doc_id long, score16 long"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score16"), "doc_id")
     return (

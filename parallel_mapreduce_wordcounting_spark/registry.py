@@ -173,6 +173,16 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     "dedup_ngram_jaccard": 13,
     "dedup_eval_simhash": 13,
     "pipeline_dedup_report": 13,
+    # r13 optimization round: sim_maxsim's MaxSim fold moved from
+    # interpreted array HOFs to an Arrow-batched numpy kernel and its
+    # per-doc token build fused distinct+collect_list into collect_set
+    # (output bit-identical, interleaved A/Bs in OPTIMIZATION_r13.md:
+    # wash at sf0.1, ~4–6× at ×10); agg_percentile_iterative widened its
+    # histogram (1024→8192 buckets), converging in 2 scans instead of 3
+    # (found elements bucket-width-invariant). Newest verdicts (r12-era)
+    # attest the old plans.
+    "sim_maxsim": 13,
+    "agg_percentile_iterative": 13,
     # r13 (in-round census triage): text_bleu's pair frame (256 rows) and
     # pruned token frame (≤512 docs) fed 5/3 plan branches each — every
     # branch re-ran the MinHash pipeline and the pruned document scan.
