@@ -511,44 +511,182 @@ def ngram_prefix_postings(sh: DataFrame, tau: float) -> DataFrame:
 
 def _shingle_id_sets(sh: DataFrame) -> DataFrame:
     """Dictionary-encode a (pinned) shingle-set frame into ``(doc_id,
-    ids: array<bigint>)`` — the cheap VERIFY medium of both prefix
-    engines (round 13).
+    ids: sorted array<int|bigint>)`` — the cheap VERIFY medium of the
+    prefix engine (round 13; densified + sorted round 14).
 
     The exact-verification step intersects each candidate pair's full
     shingle sets; doing that on ``array<string>`` hashes ~|A|+|B| UTF8
     strings per pair and dominated the engine (measured at sf0.1:
     5.67 s of a 7.7 s query for the 596k-candidate verify alone).
-    Re-keying each distinct shingle to a dense bigint via a
-    DICTIONARY — not a hash — keeps the step provably exact: the
-    shingle→sid map is a bijection by construction (ids are unique per
-    dictionary row), so |A∩B| and |A|/|B| are preserved EXACTLY, with
-    no collision caveat at any scale. Same-candidates A/B at sf0.1
-    (output-identical 256 pairs): string verify 5.67 s → long verify
-    2.12 s, dictionary + re-keyed sets build +0.72 s.
+    Re-keying each distinct shingle to a dense id via a DICTIONARY —
+    not a hash — keeps the step provably exact: the shingle→sid map is
+    a bijection by construction (ids are unique per dictionary row), so
+    |A∩B| and |A|/|B| are preserved EXACTLY, with no collision caveat
+    at any scale.
 
-    The id VALUES carry no meaning (any bijection yields the same
-    output), so they are assigned distributed-deterministically with no
-    global sort and no driver data: hash-repartition the distinct
-    shingles, sort within each partition, then
-    ``monotonically_increasing_id`` (partition ordinal ≪ 33 + row
-    offset) — scale-safe at any vocabulary size."""
+    Round-14 id layout (two-level DENSE packing, the r13 verdict's
+    follow-up): ``monotonically_increasing_id`` over the
+    partition-sorted dictionary gives (partition ordinal ≪ 33 + row
+    offset); a one-row-per-partition count aggregate (bounded driver
+    metadata, ≤ #shuffle-partitions rows) turns that into
+    ``sid = base[partition] + offset`` — ids are exactly
+    0..|vocab|−1, cast to int32 while |vocab| < 2³¹ (halving verify
+    bytes; past that the same code keeps bigint, decided from the
+    collected total, so the dtype is scale-adaptive, not a local[]
+    assumption). The id arrays are emitted SORTED so the Arrow verify
+    kernel (:func:`_pair_intersect_counts`) can merge-intersect
+    without re-sorting.
+
+    CONSISTENCY GUARANTEE: the trailing ``localCheckpoint()`` — not the
+    sort — is what guarantees every verify-join side reads ONE
+    materialization of the dictionary ids. (With the dense packing the
+    ids are additionally a deterministic function of the vocabulary —
+    rank within hash partition plus cumulative partition sizes — but a
+    future pin change must still keep the checkpoint: recompute-on-use
+    of `monotonically_increasing_id` output is documented
+    non-deterministic.) tests/test_round14.py pins output identity
+    against a string-array verify on a planted corpus."""
     posts = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # distinct() already ends in a hash exchange on `shingle`; the r13
+    # form's extra repartition("shingle") was a redundant second exchange
     dct = (
         posts.select("shingle")
         .distinct()
-        .repartition("shingle")
         .sortWithinPartitions("shingle")
-        .withColumn("sid", F.monotonically_increasing_id())
+        .withColumn("mid", F.monotonically_increasing_id())
+        .persist()  # counts action + re-key join read ONE materialization
     )
+    pid = F.shiftright("mid", 33)
+    off = F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = sorted(
+        (int(r["pid"]), int(r["n"]))
+        for r in dct.select(pid.alias("pid"))
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    bases: dict[int, int] = {}
+    acc = 0
+    for p, n in counts:
+        bases[p] = acc
+        acc += n
+    use_int = acc < (1 << 31)
+    if bases:
+        base_map = F.create_map(
+            *[x for p, b in bases.items() for x in (F.lit(p), F.lit(b))]
+        )
+        sid = F.element_at(base_map, pid) + off
+    else:  # empty vocabulary: joins below are empty either way
+        sid = off
+    dct2 = dct.select("shingle", (sid.cast("int") if use_int else sid).alias("sid"))
     # pinned: both verify-join sides broadcast this frame, and an unpinned
     # broadcast build would re-run the explode+dictionary join per side
     # (the "broadcast-rebuilt branches" pin rule, COVERAGE.md r13)
-    return (
-        posts.join(dct, "shingle")
+    out = (
+        posts.join(dct2, "shingle")
         .groupBy("doc_id")
-        .agg(F.collect_list("sid").alias("ids"))
+        .agg(F.sort_array(F.collect_list("sid")).alias("ids"))
         .localCheckpoint()
     )
+    dct.unpersist()
+    return out
+
+
+def _prefix_postings_ids(sh_ids: DataFrame, tau: float) -> DataFrame:
+    """AllPairs prefix postings over the dictionary-encoded id sets —
+    ``(doc_id, sid, n_sh)`` restricted to each document's first
+    ``|a| − ⌈τ·|a|⌉ + 1`` ids under the global (df ASC, sid) order.
+
+    Round 14: candidate generation moved from shingle strings onto the
+    dictionary ids (the dictionary already exists for the verify). The
+    prefix filter's losslessness needs only SOME consistent total order
+    over tokens (:func:`dedup_ngram_jaccard` step 2's proof never uses
+    what the order IS); ids are bijective with shingles, so
+    (df ASC, sid) is such an order. The CANDIDATE SUPERSET may differ
+    from the string-order engine's, but the exact verify decides
+    membership, so the verified output is identical — pinned against
+    the string-order engine on planted corpora (tests/test_round14.py)
+    and by the oracle. Cost: the postings explode, the df aggregate,
+    the rank window and the candidate self-join all run on int32/64
+    keys instead of ~24-byte strings (guide §2.3, narrower types), and
+    `n_sh` rides the explode projection instead of a separate sizes
+    join."""
+    posts = sh_ids.select(
+        "doc_id", F.size("ids").alias("n_sh"), F.explode("ids").alias("sid")
+    )
+    df_s = posts.groupBy("sid").agg(F.count("*").alias("df_s"))
+    return (
+        posts.join(df_s, "sid")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df_s", "sid")),
+        )
+        # same 1e-9 fp back-off as ngram_prefix_postings (lossy-ceil guard)
+        .where(F.col("pos") <= F.col("n_sh") - F.ceil(tau * F.col("n_sh") - 1e-9) + 1)
+        .select("doc_id", "sid", "n_sh")
+    )
+
+
+def _pair_intersect_counts(batches):
+    """Arrow verify kernel: exact |A∩B| per candidate pair over SORTED
+    dictionary-id arrays (columns ``doc_id_a, doc_id_b, sa, sb`` →
+    ``doc_id_a, doc_id_b, na, nb, c``).
+
+    One `np.searchsorted` membership probe replaces the JVM
+    `array_intersect`, which the r13 plan evaluated per pair 2–3 times
+    (once inside the pushed join condition's numerator, once in its
+    denominator, once in the `c` projection — plans/r13/
+    dedup_ngram_jaccard_after.txt nodes 24–25). Packing
+    (pair_idx, id) into one int64 key keeps the probe a single
+    vectorized call per batch; the pack is collision-free while
+    batch_rows · |vocab| < 2⁶² (asserted — at the default 10k-row Arrow
+    batch this allows vocabularies past 10¹⁷). Counts are EXACT set
+    intersections (ids unique per doc, arrays sorted ascending by
+    construction in :func:`_shingle_id_sets`); the Jaccard arithmetic
+    itself stays in Spark SQL so the rounding/threshold expressions are
+    byte-identical to the r13 form. Peak memory is bounded by the Arrow
+    batch size (~10k pairs · ~2·|set| ids · 8 B ≈ tens of MB), not by
+    the partition."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        n = b.num_rows
+        if n == 0:
+            continue
+        sa, sb = b.column("sa"), b.column("sb")
+        la = pc.list_value_length(sa).to_numpy().astype(np.int64)
+        lb = pc.list_value_length(sb).to_numpy().astype(np.int64)
+        va = sa.flatten().to_numpy().astype(np.int64, copy=False)
+        vb = sb.flatten().to_numpy().astype(np.int64, copy=False)
+        # loud guard (ADVICE r13): candidates always carry non-empty sets
+        # (every doc has ≥1 shingle); fail fast if an upstream change
+        # ever emits an empty one rather than mis-counting silently
+        assert (la > 0).all() and (lb > 0).all(), "empty shingle set in verify"
+        pair_a = np.repeat(np.arange(n, dtype=np.int64), la)
+        pair_b = np.repeat(np.arange(n, dtype=np.int64), lb)
+        v_bound = np.int64(max(va.max(initial=0), vb.max(initial=0))) + 1
+        assert int(n) * int(v_bound) < (1 << 62), "pair-key packing overflow"
+        ka = pair_a * v_bound + va  # sorted: rows in order, ids sorted in-row
+        kb = pair_b * v_bound + vb
+        idx = np.searchsorted(kb, ka)
+        idx_c = np.minimum(idx, len(kb) - 1)
+        mask = (idx < len(kb)) & (kb[idx_c] == ka)
+        c = np.bincount(pair_a[mask], minlength=n)
+        yield pa.record_batch(
+            [
+                b.column("doc_id_a"),
+                b.column("doc_id_b"),
+                pa.array(la.astype(np.int32)),
+                pa.array(lb.astype(np.int32)),
+                pa.array(c.astype(np.int32)),
+            ],
+            names=["doc_id_a", "doc_id_b", "na", "nb", "c"],
+        )
+
+
+_INTERSECT_SCHEMA = "doc_id_a long, doc_id_b long, na int, nb int, c int"
 
 
 def ngram_jaccard_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
@@ -557,14 +695,13 @@ def ngram_jaccard_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
     there), reusable over any (doc_id, shingles) input.
 
     The shingle frame is ``localCheckpoint``ed first (the r11
-    ``containment_pairs_of`` lesson, dedup.py:855): four plan branches
-    consume it — the postings explode plus the size frame inside
-    :func:`ngram_prefix_postings`, then both sides of the verification
-    join — and without pinning, each re-runs the full document scan +
-    shingle build. Output identical (plan-only); A/B at sf0.1 (min of 3,
-    same session, output-identical 256 pairs): 16.2 s unpinned vs 7.6 s
-    pinned (~2.1×). On a real cluster the same pin is ``persist()`` +
-    a reliable checkpoint for lineage truncation.
+    ``containment_pairs_of`` lesson, dedup.py:855): the dictionary build
+    and the id re-key join inside :func:`_shingle_id_sets` are separate
+    plan branches over it, and without pinning each re-runs the full
+    document scan + shingle build. Output identical (plan-only); r13 A/B
+    at sf0.1 (min of 3, same session, output-identical 256 pairs):
+    16.2 s unpinned vs 7.6 s pinned (~2.1×). On a real cluster the same
+    pin is ``persist()`` + a reliable checkpoint for lineage truncation.
 
     Round-13 physical changes, output bitwise identical (256 pairs at
     sf0.1, full interleaved A/B in OPTIMIZATION_r13.md): (a) the ranked
@@ -572,23 +709,37 @@ def ngram_jaccard_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
     each rebuild the df aggregation + rank window (plan nodes 1–24 vs
     27–50 in plans/r13/dedup_ngram_jaccard_before.txt; ReusedExchange
     does not fire across the sides' differing projections); (b) exact
-    verification runs on dictionary-encoded bigint sets
+    verification runs on dictionary-encoded sets
     (:func:`_shingle_id_sets`) instead of string arrays — the engine's
-    measured wall. Candidate generation (order, prefix bound, size
-    filter) is untouched and stays on shingle strings; a round-13 A/B of
-    md5-hash join keys measured SLOWER (8.3–9.2 s vs 7.7 s) and was
-    rejected."""
+    measured wall. A round-13 A/B of md5-hash join keys measured SLOWER
+    (8.3–9.2 s vs 7.7 s) and was rejected (hashing 260k strings twice
+    costs more than the long join saves — the dictionary avoids that by
+    re-keying ONCE and reusing the ids everywhere).
+
+    Round-14 physical changes, verified output identical (256 pairs at
+    sf0.1, interleaved A/Bs in OPTIMIZATION_r14.md): (a) dictionary ids
+    densified to int32 while the vocabulary fits (two-level packing,
+    :func:`_shingle_id_sets`); (b) candidate generation moved onto the
+    ids too (:func:`_prefix_postings_ids` — global order (df ASC, sid),
+    still a total order, so the prefix filter stays lossless and the
+    exact verify returns the identical pair set); (c) the exact verify
+    runs in ONE Arrow kernel pass per pair
+    (:func:`_pair_intersect_counts`) instead of the JVM
+    `array_intersect`, which the r13 plan evaluated 2–3× per pair
+    across the pushed join condition and the `c` projection. The
+    Jaccard division/threshold/rounding expressions are unchanged."""
     sh = sh.localCheckpoint()
-    ranked = ngram_prefix_postings(sh, tau).localCheckpoint()
+    sh_ids = _shingle_id_sets(sh)
+    ranked = _prefix_postings_ids(sh_ids, tau).localCheckpoint()
     cand = (
         ranked.select(
-            F.col("doc_id").alias("doc_id_a"), "shingle", F.col("n_sh").alias("na")
+            F.col("doc_id").alias("doc_id_a"), "sid", F.col("n_sh").alias("na")
         )
         .join(
             ranked.select(
-                F.col("doc_id").alias("doc_id_b"), "shingle", F.col("n_sh").alias("nb")
+                F.col("doc_id").alias("doc_id_b"), "sid", F.col("n_sh").alias("nb")
             ),
-            "shingle",
+            "sid",
         )
         .where(
             (F.col("doc_id_a") < F.col("doc_id_b"))
@@ -599,7 +750,6 @@ def ngram_jaccard_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
-    sh_ids = _shingle_id_sets(sh)
     return (
         cand.join(
             sh_ids.select(F.col("doc_id").alias("doc_id_a"), F.col("ids").alias("sa")),
@@ -609,11 +759,11 @@ def ngram_jaccard_pairs_of(sh: DataFrame, tau: float) -> DataFrame:
             sh_ids.select(F.col("doc_id").alias("doc_id_b"), F.col("ids").alias("sb")),
             "doc_id_b",
         )
-        .withColumn("c", F.size(F.array_intersect("sa", "sb")))
+        .select("doc_id_a", "doc_id_b", "sa", "sb")
+        .mapInArrow(_pair_intersect_counts, _INTERSECT_SCHEMA)
         .withColumn(
             "jaccard_raw",
-            F.col("c").cast("double")
-            / (F.size("sa") + F.size("sb") - F.col("c")),
+            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
         )
         .where(F.col("jaccard_raw") >= tau)
         .select("doc_id_a", "doc_id_b", F.round("jaccard_raw", 6).alias("jaccard"))

@@ -104,6 +104,82 @@ SIM_MAXSIM_ORACLE = (
     f"FROM rk WHERE rnk <= {_MAXSIM_TOPK}"
 )
 
+# Peak-memory bound for one popcount block inside _maxsim_kernel: the
+# (|qh| × tokens) uint8 matrix is chunked along the token axis to at most
+# this many BYTES (r13 ADVICE: the unchunked kernel was O(|qh| · batch_rows
+# · avg|hs|) per Arrow batch — GBs on token-heavy corpora). Chunk cuts land
+# on document boundaries, so each `minimum.reduceat` sees whole segments and
+# the scores are bit-identical to the unchunked fold (pinned in
+# tests/test_round14.py with a tiny block size). Module-level so tests can
+# shrink it; 4 MiB keeps the block hot in L2/L3 while amortizing the loop.
+_MAXSIM_BLOCK_BYTES = 4 << 20
+
+
+def _maxsim_kernel(batches):
+    """MaxSim fold: per (qid, doc-batch) group, XOR-popcount scores via a
+    65536-entry table and per-document ``minimum.reduceat`` — exact int64
+    scores, memory bounded by ``_MAXSIM_BLOCK_BYTES`` per block (plus the
+    batch itself). Module-level (not a closure) so the chunking is unit-
+    testable and the pickled closure carries no driver state."""
+    import numpy as np
+    import pandas as pd
+
+    # 16-bit popcount table, built once per task (~130 KB, ~1 ms)
+    pop = (
+        np.unpackbits(
+            np.arange(65536, dtype=">u2").view(np.uint8).reshape(-1, 2),
+            axis=1,
+        )
+        .sum(axis=1)
+        .astype(np.uint8)
+    )
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        out_qid: list = []
+        out_doc: list = []
+        out_sc: list = []
+        for qid, grp in pdf.groupby("qid", sort=False):
+            qh = np.asarray(grp["qh"].iloc[0], dtype=np.int64).astype(np.uint16)
+            lens = np.fromiter(
+                (len(a) for a in grp["hs"]), dtype=np.int64, count=len(grp)
+            )
+            # loud guard (r13 ADVICE): reduceat silently returns the NEXT
+            # segment's element for an empty segment; collect_set groups
+            # always carry ≥1 token today — fail fast if that ever changes
+            assert (lens > 0).all(), "empty token set in MaxSim fold"
+            bounds = np.zeros(len(grp) + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            toks = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in grp["hs"]]
+            ).astype(np.uint16)
+            # chunk the token axis to ≤ _MAXSIM_BLOCK_BYTES per popcount
+            # block, cutting only on document boundaries
+            cap = max(int(_MAXSIM_BLOCK_BYTES) // max(len(qh), 1), int(lens.max()))
+            mins_parts = []
+            d0 = 0
+            while d0 < len(grp):
+                d1 = int(np.searchsorted(bounds, bounds[d0] + cap, side="right")) - 1
+                d1 = max(d1, d0 + 1)  # always advance ≥1 doc
+                seg = slice(bounds[d0], bounds[d1])
+                blk = pop[qh[:, None] ^ toks[None, seg]]  # (|qh|, ≤cap) uint8
+                mins_parts.append(
+                    np.minimum.reduceat(blk, bounds[d0:d1] - bounds[d0], axis=1)
+                )
+                d0 = d1
+            mins = np.concatenate(mins_parts, axis=1)  # (|qh|, docs)
+            score16 = (16 - 2 * mins.astype(np.int64)).sum(axis=0)
+            out_qid.append(np.full(len(grp), qid, dtype=np.int64))
+            out_doc.append(grp["doc_id"].to_numpy(dtype=np.int64))
+            out_sc.append(score16)
+        yield pd.DataFrame(
+            {
+                "qid": np.concatenate(out_qid),
+                "doc_id": np.concatenate(out_doc),
+                "score16": np.concatenate(out_sc),
+            }
+        )
+
 
 def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring. The (query × document) product is a
@@ -180,52 +256,6 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on local and cluster masters alike.
     par = max(spark.sparkContext.defaultParallelism, 8)
     paired = docs.repartition(par, "doc_id").crossJoin(F.broadcast(qs))
-
-    def _maxsim_kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        # 16-bit popcount table, built once per task (~130 KB, ~1 ms)
-        pop = (
-            np.unpackbits(
-                np.arange(65536, dtype=">u2").view(np.uint8).reshape(-1, 2),
-                axis=1,
-            )
-            .sum(axis=1)
-            .astype(np.uint8)
-        )
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out_qid: list = []
-            out_doc: list = []
-            out_sc: list = []
-            for qid, grp in pdf.groupby("qid", sort=False):
-                qh = np.asarray(grp["qh"].iloc[0], dtype=np.int64).astype(
-                    np.uint16
-                )
-                lens = np.fromiter(
-                    (len(a) for a in grp["hs"]), dtype=np.int64, count=len(grp)
-                )
-                starts = np.zeros(len(grp), dtype=np.int64)
-                np.cumsum(lens[:-1], out=starts[1:])
-                toks = (
-                    np.concatenate([np.asarray(a, dtype=np.int64) for a in grp["hs"]])
-                    .astype(np.uint16)
-                )
-                pc = pop[qh[:, None] ^ toks[None, :]]  # (|qh|, Σ|hs|) uint8
-                mins = np.minimum.reduceat(pc, starts, axis=1)  # (|qh|, docs)
-                score16 = (16 - 2 * mins.astype(np.int64)).sum(axis=0)
-                out_qid.append(np.full(len(grp), qid, dtype=np.int64))
-                out_doc.append(grp["doc_id"].to_numpy(dtype=np.int64))
-                out_sc.append(score16)
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_qid),
-                    "doc_id": np.concatenate(out_doc),
-                    "score16": np.concatenate(out_sc),
-                }
-            )
 
     sc = paired.mapInPandas(
         _maxsim_kernel, "qid long, doc_id long, score16 long"

@@ -1095,7 +1095,19 @@ def dedup_simhash_pairs(
     block_bits = SIMHASH_BITS // 4  # 4 blocks of 15 bits over the 60-bit fp
     block_mask = (1 << block_bits) - 1
     raw = dedup_simhash(spark, sf_dir)  # doc_id, simhash (long)
-    fp = raw.groupBy("simhash").agg(F.count("*").alias("n_members"))
+    # r14 pin: THREE plan branches consume this frame (both candidate-join
+    # sides + the diagonal), and the executed plan showed AQE exchange
+    # reuse does NOT fire across them (three separate exchanges of the
+    # same canonical subtree — plans/r14/dedup_simhash_pairs_before.txt),
+    # so each branch re-evaluated the interpreted 60-bit SimHash fold over
+    # the whole corpus. Interleaved A/B at sf0.1 (output-identical 13,780
+    # rows): 1.55× geomean. Cluster substitute: persist() + reliable
+    # checkpoint (the engine-wide pin rule).
+    fp = (
+        raw.groupBy("simhash")
+        .agg(F.count("*").alias("n_members"))
+        .localCheckpoint()
+    )
     keyed = fp.select(
         "simhash",
         "n_members",

@@ -170,9 +170,27 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # changes; same pair counts 256/271530/54), but the newest hash
     # verdicts attest the unpinned plans. pipeline_dedup_report embeds
     # both detectors and rides the same stamp.
-    "dedup_ngram_jaccard": 13,
-    "dedup_eval_simhash": 13,
-    "pipeline_dedup_report": 13,
+    # r14 optimization round: the Jaccard engine's dictionary ids became
+    # DENSE int32 (two-level packing over the partition-sorted dictionary;
+    # bigint automatically past 2³¹ vocab), candidate generation moved onto
+    # the ids (global order (df ASC, sid) — still a total order, so the
+    # prefix filter stays lossless and the exact verify returns the same
+    # pair set), and the exact verify runs in one Arrow kernel pass
+    # (np.searchsorted merge over sorted id arrays) instead of the JVM
+    # array_intersect the r13 plan evaluated 2–3× per pair. Output verified
+    # identical (256 pairs at sf0.1, planted corpora, oracle at sf0.01),
+    # but the newest hash verdicts attest the r13 plan. eval_simhash and
+    # dedup_report embed the engine and ride the same stamp.
+    "dedup_ngram_jaccard": 14,
+    "dedup_eval_simhash": 14,
+    "pipeline_dedup_report": 14,
+    # r14: dedup_simhash_pairs pins its fingerprint-group frame — the
+    # executed plan showed its three consuming branches each re-ran the
+    # interpreted SimHash fold (AQE exchange reuse does not fire across
+    # them); interleaved A/B 1.55× geomean, output identical (13,780
+    # rows at sf0.1). dedup_eval_simhash's prediction side embeds this op
+    # (its stamp above already covers the round).
+    "dedup_simhash_pairs": 14,
     # r13 optimization round: sim_maxsim's MaxSim fold moved from
     # interpreted array HOFs to an Arrow-batched numpy kernel and its
     # per-doc token build fused distinct+collect_list into collect_set
@@ -181,7 +199,13 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # histogram (1024→8192 buckets), converging in 2 scans instead of 3
     # (found elements bucket-width-invariant). Newest verdicts (r12-era)
     # attest the old plans.
-    "sim_maxsim": 13,
+    # r14: the MaxSim kernel's popcount block is now chunked along the
+    # token axis to a bounded block size (_MAXSIM_BLOCK_BYTES — the r13
+    # ADVICE memory-regression item), cutting only on document boundaries;
+    # scores bit-identical (pinned vs the unchunked fold in
+    # tests/test_round14.py), but the newest verdict attests the unchunked
+    # kernel.
+    "sim_maxsim": 14,
     "agg_percentile_iterative": 13,
     # r13 (in-round census triage): text_bleu's pair frame (256 rows) and
     # pruned token frame (≤512 docs) fed 5/3 plan branches each — every
