@@ -73,7 +73,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
     )
-    edges = edges.cache()
+    # r14: localCheckpoint instead of cache — the cached form kept the full
+    # MinHash-engine subtree inside EVERY consumer's logical plan (deg, the
+    # node count, the rank init, and each unrolled iteration), growing the
+    # audited plan string to 220 KB and charging each action real planning
+    # time; the checkpoint truncates lineage so consumers plan against an
+    # ExistingRDD scan (plans/r14/graph_pagerank_{before,after}.txt: 220 KB
+    # → ~8 KB). Same materialize-once semantics; cluster substitute is
+    # persist() + reliable checkpoint (the engine-wide pin rule).
+    edges = edges.localCheckpoint()
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     nc = F.broadcast(edges.agg(F.countDistinct("u").alias("n")))
     rank = (

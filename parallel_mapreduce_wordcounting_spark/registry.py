@@ -191,6 +191,19 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # rows at sf0.1). dedup_eval_simhash's prediction side embeds this op
     # (its stamp above already covers the round).
     "dedup_simhash_pairs": 14,
+    # r14: graph_pagerank's edge list is localCheckpointed instead of
+    # cached — the cached form re-embedded the MinHash subtree in every
+    # consumer's plan (220 KB plan string, real per-action planning time);
+    # interleaved A/B 1.9× warm (2.25 → 1.19 s), output identical 477
+    # rows, plan 10× smaller.
+    "graph_pagerank": 14,
+    # r14: min_label_propagation pins its edge list + label init with
+    # localCheckpoint instead of cache (same finding as graph_pagerank:
+    # the cache reused computation but every round re-planned the full
+    # edge-generation subtree); interleaved A/B on dedup_cluster 1.32×
+    # geomean, output identical. dedup_semantic embeds the same routine.
+    "dedup_cluster": 14,
+    "dedup_semantic": 14,
     # r13 optimization round: sim_maxsim's MaxSim fold moved from
     # interpreted array HOFs to an Arrow-batched numpy kernel and its
     # per-doc token build fused distinct+collect_list into collect_set
