@@ -49,6 +49,56 @@ _ORACLE_PAIR_JACCARD = (
 )
 
 
+def oracle_jaccard_pairs_select(tau: float, a: str = "da", b: str = "db") -> str:
+    """SELECT body of the exact all-pairs-Jaccard ≥ ``tau`` CTE over the
+    ``sh(doc_id, s)`` shingle CTE — the INVERTED-INDEX form of the same
+    spec (round 14; the oracles are part of the optimization surface).
+
+    Value-identical to the ``sh a JOIN sh b ON a.doc_id < b.doc_id WHERE
+    {_ORACLE_PAIR_JACCARD} >= tau`` form it replaces: ``s`` lists are
+    distinct per doc, so the equi-join group count c = |A∩B| =
+    ``len(list_intersect(a.s, b.s))`` exactly, the union is
+    |A|+|B|−c = ``len(list_distinct(list_concat(a.s, b.s)))`` exactly
+    (integer arithmetic, so the double division and every comparison are
+    bit-identical), and pairs with c = 0 — absent from the equi-join —
+    have J = 0 < tau and were never emitted by the old form either.
+    The old form compared every doc pair (O(n²) ``list_intersect``
+    calls — measured 48–55 s per oracle at sf0.001, and every graph-
+    family oracle embeds one); this form enumerates only co-occurring
+    pairs (O(Σ df²)) — measured 0.6 s for the same result. Cross-checked
+    against the old form for every affected key at sf0.001 and sf0.01
+    (OPTIMIZATION_r14.md), and independently against the in-test
+    brute-force truths (tests/test_staged_r{25,29,33,35,36}.py still
+    derive their references from ``_ORACLE_PAIR_JACCARD``).
+    Self-contained subqueries — introduces no CTE names."""
+    return (
+        f"SELECT x.doc_id AS {a}, y.doc_id AS {b} "
+        "FROM (SELECT doc_id, unnest(s) AS w, len(s) AS n FROM sh) x "
+        "JOIN (SELECT doc_id, unnest(s) AS w, len(s) AS n FROM sh) y "
+        "ON x.w = y.w AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2, x.n, y.n "
+        f"HAVING CAST(count(*) AS DOUBLE) / (x.n + y.n - count(*)) >= {tau}"
+    )
+
+
+def oracle_jaccard_pairs_valued_select(
+    tau: float, a: str = "doc_id_a", b: str = "doc_id_b", j: str = "jaccard"
+) -> str:
+    """:func:`oracle_jaccard_pairs_select` additionally emitting
+    ``round(J, 6)`` — for the pair-valued oracles. Same exactness
+    argument; the rounded value divides the same integers as the old
+    expression, so it is bit-identical."""
+    return (
+        f"SELECT x.doc_id AS {a}, y.doc_id AS {b}, "
+        f"round(CAST(count(*) AS DOUBLE) / (x.n + y.n - count(*)), 6) AS {j} "
+        "FROM (SELECT doc_id, unnest(s) AS w, len(s) AS n FROM sh) x "
+        "JOIN (SELECT doc_id, unnest(s) AS w, len(s) AS n FROM sh) y "
+        "ON x.w = y.w AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2, x.n, y.n "
+        f"HAVING CAST(count(*) AS DOUBLE) / (x.n + y.n - count(*)) >= {tau}"
+    )
+
+
 def _make_minhash_sig():
     """Build the Arrow-batched MinHash signature UDF (lazy import shield)."""
     import numpy as np
@@ -135,10 +185,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_fuzzy_minhash",
     oracle=(
         f"{SHINGLES_CTE} "
-        f"SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-        f"round({_ORACLE_PAIR_JACCARD}, 6) AS jaccard "
-        f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-        f"WHERE {_ORACLE_PAIR_JACCARD} >= {JACCARD_THRESHOLD}"
+        f"{oracle_jaccard_pairs_valued_select(JACCARD_THRESHOLD)}"
     ),
     tier="B",
 )
@@ -226,8 +273,7 @@ def near_dup_pairs(sh: DataFrame) -> DataFrame:
         f"WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), "
         "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), "
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), "
-        f"pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sh a JOIN sh b "
-        f"ON a.doc_id < b.doc_id WHERE {_ORACLE_PAIR_JACCARD} >= {JACCARD_THRESHOLD}), "
+        f"pairs AS ({oracle_jaccard_pairs_select(JACCARD_THRESHOLD)}), "
         "edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs), "
         "reach AS ("
         "  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) "
@@ -439,13 +485,7 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=(
-        f"{SHINGLES_CTE} "
-        f"SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-        f"round({_ORACLE_PAIR_JACCARD}, 6) AS jaccard "
-        f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-        f"WHERE {_ORACLE_PAIR_JACCARD} >= 0.3"
-    ),
+    oracle=(f"{SHINGLES_CTE} {oracle_jaccard_pairs_valued_select(0.3)}"),
     tier="B",
 )
 def dedup_ngram_jaccard(
@@ -967,13 +1007,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EDIT_DISTANCE_ORACLE = (
-    f"{SHINGLES_CTE} "
-    "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+    f"{SHINGLES_CTE}, "
+    f"p AS ({oracle_jaccard_pairs_select(JACCARD_THRESHOLD)}) "
+    "SELECT p.da AS doc_id_a, p.db AS doc_id_b, "
     "levenshtein(da.text, db.text) AS edit_dist "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "JOIN documents da ON da.doc_id = a.doc_id "
-    "JOIN documents db ON db.doc_id = b.doc_id "
-    f"WHERE {_ORACLE_PAIR_JACCARD} >= {JACCARD_THRESHOLD}"
+    "FROM p JOIN documents da ON da.doc_id = p.da "
+    "JOIN documents db ON db.doc_id = p.db"
 )
 
 
@@ -1010,16 +1049,21 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAINMENT_THRESHOLD = 0.8
 
+# inverted-index form (r14, same rewrite as oracle_jaccard_pairs_select):
+# c = |A∩B| from the equi-join group, containments c/|A| and c/|B| divide
+# the same integers as the old list_intersect expressions; zero-common
+# pairs (absent here) had C = 0 < τ and were never emitted before either
 DEDUP_CONTAINMENT_ORACLE = (
     f"{SHINGLES_CTE} "
-    "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS cont_a, "
-    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS cont_b "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= "
-    f"{CONTAINMENT_THRESHOLD} "
-    "OR CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) >= "
-    f"{CONTAINMENT_THRESHOLD}"
+    "SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, "
+    "round(CAST(count(*) AS DOUBLE) / x.n, 6) AS cont_a, "
+    "round(CAST(count(*) AS DOUBLE) / y.n, 6) AS cont_b "
+    "FROM (SELECT doc_id, unnest(s) AS w, len(s) AS n FROM sh) x "
+    "JOIN (SELECT doc_id, unnest(s) AS w, len(s) AS n FROM sh) y "
+    "ON x.w = y.w AND x.doc_id < y.doc_id "
+    "GROUP BY 1, 2, x.n, y.n "
+    f"HAVING CAST(count(*) AS DOUBLE) / x.n >= {CONTAINMENT_THRESHOLD} "
+    f"OR CAST(count(*) AS DOUBLE) / y.n >= {CONTAINMENT_THRESHOLD}"
 )
 
 

@@ -19,8 +19,8 @@ from ..registry import register
 from .dedup import (
     JACCARD_THRESHOLD,
     SHINGLES_CTE,
-    _ORACLE_PAIR_JACCARD,
     dedup_fuzzy_minhash,
+    oracle_jaccard_pairs_select,
 )
 
 PR_ITERS = 3
@@ -30,9 +30,7 @@ PR_DAMP = 0.85
 def _pagerank_oracle() -> str:
     base = (
         f"{SHINGLES_CTE}, "
-        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sh a "
-        "JOIN sh b ON a.doc_id < b.doc_id "
-        f"WHERE {_ORACLE_PAIR_JACCARD} >= {JACCARD_THRESHOLD}), "
+        f"pairs AS ({oracle_jaccard_pairs_select(JACCARD_THRESHOLD)}), "
         "edges AS (SELECT da AS u, db AS v FROM pairs "
         "UNION ALL SELECT db, da FROM pairs), "
         "deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u), "

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table, ts_day
-from .dedup import ORACLE_SIMHASH_FP, SHINGLES_CTE
+from .dedup import ORACLE_SIMHASH_FP, SHINGLES_CTE, oracle_jaccard_pairs_select
 from .exact import floor_day_us_sql, money_cents, money_cents_sql
 from ..registry import register
 
@@ -1753,10 +1753,7 @@ _EVAL_J_TAU = 0.3  # ground truth: exact trigram-shingle Jaccard >= 0.3
 DEDUP_EVAL_SIMHASH_ORACLE = (
     f"{SHINGLES_CTE}, "
     "truth AS ("
-    "  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b"
-    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
-    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
-    f"  / len(list_distinct(list_concat(a.s, b.s))) >= {_EVAL_J_TAU}"
+    f"{oracle_jaccard_pairs_select(_EVAL_J_TAU, 'doc_id_a', 'doc_id_b')}"
     "), "
     # predictions: doc pairs whose 60-bit simhash fingerprints are within
     # hamming 3 (dedup_simhash_pairs' spec, expanded to doc level)

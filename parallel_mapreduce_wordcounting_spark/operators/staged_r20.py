@@ -719,15 +719,12 @@ def _edges_oracle() -> str:
     (the round-8 ADVICE finding: the oracle previously hard-coded 0.3
     while the fn's LSH funnel verified at 0.6 — equal only because this
     fixture's Jaccard distribution is bimodal)."""
-    from .dedup import JACCARD_THRESHOLD, SHINGLES_CTE, _ORACLE_PAIR_JACCARD
+    from .dedup import JACCARD_THRESHOLD, SHINGLES_CTE, oracle_jaccard_pairs_select
 
     return (
         f"{SHINGLES_CTE}, "
-        "pairs AS ("
-        "  SELECT a.doc_id AS u, b.doc_id AS v"
-        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
-        f"  WHERE {_ORACLE_PAIR_JACCARD} >= {JACCARD_THRESHOLD}"
-        "), adj AS ("
+        f"pairs AS ({oracle_jaccard_pairs_select(JACCARD_THRESHOLD, 'u', 'v')}), "
+        "adj AS ("
         "  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs"
         ")"
     )

@@ -472,14 +472,11 @@ def stat_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bleu_oracle() -> str:
-    from .dedup import SHINGLES_CTE, _ORACLE_PAIR_JACCARD
+    from .dedup import SHINGLES_CTE, oracle_jaccard_pairs_select
 
     return (
         f"{SHINGLES_CTE}, "
-        "p AS ("
-        "  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b"
-        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
-        f"  WHERE {_ORACLE_PAIR_JACCARD} >= 0.3"
+        f"p AS ({oracle_jaccard_pairs_select(0.3, 'doc_id_a', 'doc_id_b')}"
         "), tt AS ("
         "  SELECT doc_id, list_filter(string_split(lower(text), ' '), "
         "    x -> x <> '') AS t FROM documents"

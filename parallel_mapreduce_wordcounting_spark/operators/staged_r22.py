@@ -63,14 +63,11 @@ _KCORE_ROUNDS = 8
 
 
 def _kcore_oracle() -> str:
-    from .dedup import SHINGLES_CTE, _ORACLE_PAIR_JACCARD
+    from .dedup import SHINGLES_CTE, oracle_jaccard_pairs_select
 
     sql = (
         f"{SHINGLES_CTE}, "
-        "p AS ("
-        "  SELECT a.doc_id AS da, b.doc_id AS db"
-        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
-        f"  WHERE {_ORACLE_PAIR_JACCARD} >= 0.3"
+        f"p AS ({oracle_jaccard_pairs_select(0.3)}"
         "), e0 AS MATERIALIZED ("
         "  SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p"
         ")"

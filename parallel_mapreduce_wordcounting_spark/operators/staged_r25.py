@@ -195,14 +195,11 @@ def lpa_cte_chain() -> str:
     """The full LPA oracle CTE chain (shingles → edges e0 → labels
     l0..l{_LPA_ROUNDS}) WITHOUT a final SELECT — shared with
     staged_r28.graph_modularity's oracle, which scores these labels."""
-    from .dedup import SHINGLES_CTE, _ORACLE_PAIR_JACCARD
+    from .dedup import SHINGLES_CTE, oracle_jaccard_pairs_select
 
     sql = (
         f"{SHINGLES_CTE}, "
-        "p AS ("
-        "  SELECT a.doc_id AS da, b.doc_id AS db"
-        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
-        f"  WHERE {_ORACLE_PAIR_JACCARD} >= 0.3"
+        f"p AS ({oracle_jaccard_pairs_select(0.3)}"
         "), e0 AS MATERIALIZED ("
         "  SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p"
         "), l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lab "

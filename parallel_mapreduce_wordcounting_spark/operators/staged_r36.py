@@ -266,14 +266,11 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _venn_oracle() -> str:
-    from .dedup import SHINGLES_CTE, _ORACLE_PAIR_JACCARD
+    from .dedup import SHINGLES_CTE, oracle_jaccard_pairs_select
 
     return (
         f"{SHINGLES_CTE}, "
-        "lex AS ("
-        "  SELECT a.doc_id AS da, b.doc_id AS db"
-        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
-        f"  WHERE {_ORACLE_PAIR_JACCARD} >= 0.3"
+        f"lex AS ({oracle_jaccard_pairs_select(0.3)}"
         "), sem AS ("
         "  SELECT a.vec_id AS da, b.vec_id AS db FROM embeddings a "
         "  JOIN embeddings b ON a.vec_id < b.vec_id "

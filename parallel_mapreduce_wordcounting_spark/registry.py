@@ -204,6 +204,32 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # geomean, output identical. dedup_semantic embeds the same routine.
     "dedup_cluster": 14,
     "dedup_semantic": 14,
+    # r14: the all-pairs exact-Jaccard CTE shared by the dedup/graph-family
+    # ORACLES moved to its inverted-index form
+    # (dedup.oracle_jaccard_pairs_select — value-identical by integer
+    # arithmetic: equi-join group count c = len(list_intersect), union =
+    # na+nb−c = len(list_distinct(list_concat)); zero-common pairs were
+    # never emitted by either form). Every affected oracle re-evaluated
+    # old-vs-new at sf0.001 AND sf0.01: 19/19 EQUAL rows+columns, ~380 s →
+    # ~3 s per sweep (OPTIMIZATION_r14.md). The Spark sides are untouched,
+    # but the newest hash verdicts attest the old oracle TEXT, so the keys
+    # re-float for fresh verdicts against the new oracles. (dedup_cluster,
+    # dedup_eval_simhash, dedup_ngram_jaccard, graph_pagerank,
+    # pipeline_dedup_report are already stamped above this round.)
+    "dedup_cluster_star": 14,
+    "dedup_containment": 14,
+    "dedup_edit_distance": 14,
+    "dedup_fuzzy_minhash": 14,
+    "dedup_lexical_vs_semantic": 14,
+    "graph_assortativity": 14,
+    "graph_component_sizes": 14,
+    "graph_coreness": 14,
+    "graph_edge_embeddedness": 14,
+    "graph_kcore": 14,
+    "graph_label_prop": 14,
+    "graph_local_clustering": 14,
+    "graph_modularity": 14,
+    "text_bleu": 14,
     # r13 optimization round: sim_maxsim's MaxSim fold moved from
     # interpreted array HOFs to an Arrow-batched numpy kernel and its
     # per-doc token build fused distinct+collect_list into collect_set
@@ -220,13 +246,9 @@ REVERIFY_MIN_ROUNDS: dict[str, int] = {
     # kernel.
     "sim_maxsim": 14,
     "agg_percentile_iterative": 13,
-    # r13 (in-round census triage): text_bleu's pair frame (256 rows) and
-    # pruned token frame (≤512 docs) fed 5/3 plan branches each — every
-    # branch re-ran the MinHash pipeline and the pruned document scan.
-    # Both now localCheckpoint; interleaved same-session A/B (3 rounds,
-    # alternating): 1.7–1.9 s vs 3.3–4.6 s (~2×), output row-for-row
-    # equal. The newest hash verdict attests the unpinned plan.
-    "text_bleu": 13,
+    # (text_bleu's r13 pin stamp was superseded by its r14 oracle-rewrite
+    # stamp above — the r13 entry's rationale: its pair/token frames fed
+    # 5/3 plan branches each and now localCheckpoint, ~2× interleaved.)
 }
 # Back-compat aliases (tests and scripts consume these shapes)
 REVERIFY_KEYS = frozenset(REVERIFY_MIN_ROUNDS)
