@@ -68,8 +68,11 @@ def test_bench_evidence_not_on_final_line():
 
 def test_jaccard_engine_keys_reverify_stamped():
     """The three keys whose physical plans changed in round 13 re-present
-    until a fresh driver verdict lands on the pinned plans."""
+    until a fresh driver verdict lands on the pinned plans. (Round 14
+    advanced the same keys' stamps again — dense-int32 dictionary + Arrow
+    verify kernel — so the invariant is ≥ 13, not == 13: a stamp may
+    only move FORWARD with a newer change, never silently reset.)"""
     from parallel_mapreduce_wordcounting_spark.registry import REVERIFY_MIN_ROUNDS
 
     for key in ("dedup_ngram_jaccard", "dedup_eval_simhash", "pipeline_dedup_report"):
-        assert REVERIFY_MIN_ROUNDS.get(key) == 13, key
+        assert REVERIFY_MIN_ROUNDS.get(key, 0) >= 13, key
